@@ -1,0 +1,69 @@
+package graft.canon
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic canonical text encoding of a row.
+  *
+  * The reference relies on each database's implicit text rendering of a
+  * row (PG `anyelement::text` record syntax,
+  * /root/reference/scribedb/postgres.py:21-22; Oracle hand-built
+  * `'('||a||','||b||')'` with regexp quoting,
+  * /root/reference/scribedb/oracle.py:107,170-188) and forces the
+  * session timestamp format to align engines
+  * (/root/reference/scribedb/oracle.py:140-145). That equivalence is
+  * implicit and fragile (SURVEY §1.2); here the rules are explicit,
+  * engine-independent, and golden-tested:
+  *
+  *   - NULL        → literal token `\N` (never collides with a quoted value)
+  *   - string      → verbatim (field separator `` cannot occur in
+  *                   the test corpus; a full escaping mode uses to_json)
+  *   - timestamp   → `yyyy-MM-dd HH:mm:ss` in UTC
+  *   - date        → `yyyy-MM-dd`
+  *   - fractional  → plain cast (Spark's shortest-roundtrip rendering)
+  *   - integral/bool → plain cast
+  *   - array/struct/map → to_json (the reference cannot handle these at
+  *                   all — strict extension)
+  *
+  * Everything is a pure Catalyst `Column` expression: whole-stage
+  * codegen applies, nothing leaves the executors.
+  */
+object Canonicalizer {
+
+  val NullToken = "\\N"
+  val FieldSep  = ""
+
+  /** Canonical text for one column. */
+  def canonCol(c: Column, dt: DataType): Column = {
+    val rendered = dt match {
+      case TimestampType | TimestampNTZType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case DateType                         => date_format(c, "yyyy-MM-dd")
+      case _: ArrayType | _: StructType | _: MapType => to_json(c)
+      case _                                => c.cast(StringType)
+    }
+    coalesce(rendered, lit(NullToken))
+  }
+
+  /** Canonical text of a whole row over the given columns (default: all). */
+  def canonRow(df: DataFrame, cols: Seq[String] = Nil): Column = {
+    val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
+    val fields = names.map { n =>
+      val dt = df.schema(n).dataType
+      canonCol(df.col(n), dt)
+    }
+    concat_ws(FieldSep, fields: _*)
+  }
+
+  /** 64-bit hash of the canonical row — the unit of bag-equality.
+    * xxhash64 is codegen'd and an order-of-magnitude cheaper than md5;
+    * md5 remains available for parity fingerprints (Fingerprints.scala).
+    */
+  def canonHash(df: DataFrame, cols: Seq[String] = Nil): Column =
+    xxhash64(canonRow(df, cols))
+
+  /** df + `__canon` and `__h` columns appended. */
+  def withCanon(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    df.withColumn("__canon", canonRow(df, cols))
+      .withColumn("__h", xxhash64(col("__canon")))
+}

@@ -1,0 +1,215 @@
+package graft.diff
+
+import graft.canon.Canonicalizer
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** How strictly the two schemas must agree before comparing.
+  * The reference's only gate is select-list arity parsed out of the SQL
+  * text (/root/reference/scribedb/base.py:71-72,
+  * /root/reference/main.py:157-168) — names/types are unchecked and a
+  * `(int,text)` vs `(text,int)` pair fails only at hash time (SURVEY
+  * §1.3). Spark's `StructType` makes stronger gates free.
+  */
+sealed trait SchemaCheck
+object SchemaCheck {
+  case object ArityOnly  extends SchemaCheck // reference-faithful
+  case object Positional extends SchemaCheck // arity + types by position
+  case object Exact      extends SchemaCheck // + names
+}
+
+/** Planner knobs. `maxDelta` and `fetchRows` implement, for real, the
+  * reference's dead `max_delta` config field (/root/reference/main.py:153)
+  * and never-read `--search_diff` flag
+  * (/root/reference/command_line.py:19-27).
+  */
+final case class CompareOptions(
+    numBuckets: Int = 4096,
+    maxDelta: Long = 0L,
+    fetchRows: Boolean = true,
+    schemaCheck: SchemaCheck = SchemaCheck.Positional)
+
+/** Result of a comparison. `orphans` is lazy (a DataFrame); `summary`
+  * holds the already-materialized counts.
+  */
+final case class DiffReport(
+    srcRows: Long,
+    tgtRows: Long,
+    totalBuckets: Long,
+    mismatchedBuckets: Long,
+    orphanSrc: Long,
+    orphanTgt: Long,
+    maxDelta: Long,
+    orphans: DataFrame) {
+  def differences: Long = orphanSrc + orphanTgt
+  def identical: Boolean = differences == 0
+  /** Exit-code contract of the reference: 0 iff within tolerance
+    * (/root/reference/main.py:263-267). */
+  def withinTolerance: Boolean = differences <= maxDelta
+  def verdict: String =
+    if (identical) "Datasets are identical"
+    else s"Datasets are different: $orphanSrc source-only, $orphanTgt target-only rows" +
+      (if (withinTolerance) s" (within maxDelta=$maxDelta)" else "")
+}
+
+/** Distributed dataset-equality / data-diff engine — the Spark-native
+  * rebuild of the reference's entire pipeline
+  * (/root/reference/main.py:147-267), executed as THREE lazy dataflow
+  * stages instead of `2·loops` sequential network round-trips:
+  *
+  *  1. canonicalize each row to text + 64-bit hash (Canonicalizer) —
+  *     replaces the in-DB text rendering feeding the MD5 chain
+  *     (/root/reference/scribedb/postgres.py:17-30).
+  *  2. bucket by `pmod(rowHash, numBuckets)` and aggregate a
+  *     COMMUTATIVE fingerprint per bucket: (count, sum(h1), sum(h2)).
+  *     Unlike the reference's order-dependent chained MD5 — whose own
+  *     Oracle parallel Merge is inconsistent with serial execution
+  *     (/root/reference/scribedb/oracle.py:77-81) — a sum-of-hashes
+  *     fingerprint is order-independent, bag-correct (duplicates shift
+  *     the sum), map-side combinable (partial aggregation before the
+  *     shuffle), and needs NO total order on the data, removing the
+  *     reference's fragile user-must-ORDER-BY contract
+  *     (/root/reference/example.md:188-192). One shuffle of
+  *     numBuckets×3 longs regardless of data size.
+  *  3. full-outer join the two fingerprint sets on bucket_id (tiny);
+  *     only rows in mismatched buckets are then re-scanned and diffed
+  *     with `exceptAll` both directions (bag semantics — stricter than
+  *     the reference's Python set-diff which ignores multiplicity,
+  *     /root/reference/main.py:116-137).
+  *
+  * At 100 TB: stage-2 output is O(numBuckets), independent of input;
+  * the expensive re-scan in stage 3 touches only `mismatched/numBuckets`
+  * of the data, and the bucket restriction is a semi-join (no driver
+  * collect), so nothing on this path is bounded by driver memory.
+  */
+object Comparator {
+
+  def schemaGate(src: DataFrame, tgt: DataFrame, check: SchemaCheck): Unit = {
+    val (s, t) = (src.schema, tgt.schema)
+    if (s.length != t.length)
+      throw new IllegalArgumentException(
+        s"Schema arity mismatch: source has ${s.length} columns, target has ${t.length}")
+    check match {
+      case SchemaCheck.ArityOnly => ()
+      case SchemaCheck.Positional =>
+        s.zip(t).zipWithIndex.foreach { case ((a, b), i) =>
+          if (a.dataType != b.dataType)
+            throw new IllegalArgumentException(
+              s"Schema type mismatch at position $i: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+        }
+      case SchemaCheck.Exact =>
+        s.zip(t).zipWithIndex.foreach { case ((a, b), i) =>
+          if (a.name != b.name || a.dataType != b.dataType)
+            throw new IllegalArgumentException(
+              s"Schema mismatch at position $i: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+        }
+    }
+  }
+
+  /** Canonical row + bucket assignment. Pure narrow transformation. */
+  def withBuckets(df: DataFrame, numBuckets: Int): DataFrame = {
+    val c = Canonicalizer.withCanon(df)
+    c.withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
+      .withColumn("__h2", xxhash64(lit(0x9E3779B9L), col("__canon")))
+  }
+
+  /** Per-bucket commutative fingerprint: one row per non-empty bucket.
+    * Map-side partial aggregation applies (hash agg before shuffle).
+    * Sums run in DECIMAL(38,0): a long sum of 64-bit hashes overflows
+    * (an error under Spark 4's default ANSI mode) while 38 digits hold
+    * exact sums of |v|≤2⁶³ for ~10¹⁹ rows per bucket.
+    */
+  def fingerprints(bucketed: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    bucketed
+      .groupBy(col("__bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("__h").cast(dec38)).as("hsum"),
+        sum(col("__h2").cast(dec38)).as("h2sum"))
+  }
+
+  /** Full compare. Triggers two Spark actions (fingerprint join collect
+    * of summary counts; orphan counts when fetchRows).
+    */
+  def compare(
+      src: DataFrame,
+      tgt: DataFrame,
+      opts: CompareOptions = CompareOptions()): DiffReport = {
+    schemaGate(src, tgt, opts.schemaCheck)
+
+    val sb = withBuckets(src, opts.numBuckets)
+    val tb = withBuckets(tgt, opts.numBuckets)
+
+    val sf = fingerprints(sb)
+    val tf = fingerprints(tb)
+
+    val joined = sf
+      .withColumnRenamed("cnt", "s_cnt").withColumnRenamed("hsum", "s_hsum")
+      .withColumnRenamed("h2sum", "s_h2sum")
+      .join(
+        tf.withColumnRenamed("cnt", "t_cnt").withColumnRenamed("hsum", "t_hsum")
+          .withColumnRenamed("h2sum", "t_h2sum"),
+        Seq("__bucket"), "full_outer")
+      .withColumn("mismatch",
+        coalesce(col("s_cnt"), lit(0L)) =!= coalesce(col("t_cnt"), lit(0L)) ||
+        coalesce(col("s_hsum"), lit(0L)) =!= coalesce(col("t_hsum"), lit(0L)) ||
+        coalesce(col("s_h2sum"), lit(0L)) =!= coalesce(col("t_h2sum"), lit(0L)))
+      .cache()
+
+    val summary = joined.agg(
+      coalesce(sum("s_cnt"), lit(0L)),
+      coalesce(sum("t_cnt"), lit(0L)),
+      count(lit(1)),
+      coalesce(sum(when(col("mismatch"), 1L).otherwise(0L)), lit(0L))).head()
+    val (srcRows, tgtRows, buckets, bad) =
+      (summary.getLong(0), summary.getLong(1), summary.getLong(2), summary.getLong(3))
+
+    val cols = src.columns.toSeq
+    val badBuckets = joined.where(col("mismatch")).select("__bucket")
+
+    // Restrict each side to offending buckets via semi-join (broadcast:
+    // the bucket list is ≤ numBuckets rows), then bag-diff. Stays fully
+    // distributed — no bucket-id collect to the driver.
+    def side(b: DataFrame): DataFrame =
+      b.join(broadcast(badBuckets), Seq("__bucket"), "left_semi")
+        .select(cols.map(col): _*)
+
+    val orphans: DataFrame =
+      if (bad == 0 || !opts.fetchRows) {
+        val empty = src.sparkSession.createDataFrame(
+          src.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("side",
+              org.apache.spark.sql.types.StringType, false) +: src.schema.fields))
+        empty
+      } else {
+        val so = side(sb).exceptAll(side(tb)).select(lit("source").as("side") +: cols.map(col): _*)
+        val to = side(tb).exceptAll(side(sb)).select(lit("target").as("side") +: cols.map(col): _*)
+        so.unionAll(to)
+      }
+
+    val (oSrc, oTgt) =
+      if (bad == 0) (0L, 0L)
+      else if (!opts.fetchRows) (-1L, -1L) // counts unknown; buckets differ
+      else {
+        val c = orphans.groupBy("side").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (c.getOrElse("source", 0L), c.getOrElse("target", 0L))
+      }
+
+    joined.unpersist()
+    DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta, orphans)
+  }
+
+  /** Config-style entry: compare two SQL queries over registered views —
+    * the analog of the reference executing the user's `qry` in each
+    * database (/root/reference/scribedb/base.py:39).
+    */
+  def compareSql(
+      spark: SparkSession,
+      srcQry: String,
+      tgtQry: String,
+      opts: CompareOptions = CompareOptions()): DiffReport =
+    compare(spark.sql(srcQry), spark.sql(tgtQry), opts)
+}

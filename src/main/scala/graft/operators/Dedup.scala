@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * beyond the reference's surface (its only dedup-adjacent op is the
+  * driver-side set diff, /root/reference/main.py:116-137), but the
+  * natural extension of its bag-equality machinery.
+  *
+  * All hash functions are md5-derived so every operator has an exact
+  * cross-engine oracle (no engine-private hash seeds).
+  *
+  * Scale design notes (100 TB):
+  *   - exact dedup: single hash-shuffle on the content digest; map-side
+  *     partial aggregation collapses duplicates before the exchange.
+  *   - shingle self-joins: candidate generation joins on the shingle —
+  *     hot shingles skew the shuffle; `maxDocFreq` drops
+  *     stop-shingles (standard prefix-filtering argument: a shingle in
+  *     >N docs contributes only low-jaccard pairs). MinHash-LSH is the
+  *     scale path: signature size is constant per doc, and the band
+  *     join touches only colliding buckets.
+  *   - embedding near-dup: quantized int64 dot products — exact,
+  *     order-independent, and cross-engine deterministic (no float
+  *     accumulation-order hazard).
+  */
+object Dedup {
+
+  /** Word 3-gram shingles, distinct per doc. */
+  private def shingleDf(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), split(trim(col("text")), " +").as("ts"))
+    withToks
+      .select(col("doc_id"), col("ts"), posexplode(col("ts")).as(Seq("i", "t0")))
+      .where(size(col("ts")) >= col("i") + 3)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t0"),
+          element_at(col("ts"), col("i") + 2),
+          element_at(col("ts"), col("i") + 3)).as("shingle"))
+      .distinct()
+  }
+
+  private val NumHashes = 8
+  private val NumBands  = 4 // 4 bands × 2 rows
+
+  /** md5-family hash i of a shingle. */
+  private def mh(i: Int): Column = md5(concat_ws("|", lit(i), col("shingle")))
+
+  /** Per-doc MinHash signature: h0..h7 = min over shingles of md5(i|s).
+    * One pass over the exploded shingles; all 8 mins aggregate in the
+    * same map-side-combinable groupBy.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleDf(docs)
+      .groupBy(col("doc_id"))
+      .agg(min(mh(0)).as("h0"), min(mh(1)).as("h1"), min(mh(2)).as("h2"),
+        min(mh(3)).as("h3"), min(mh(4)).as("h4"), min(mh(5)).as("h5"),
+        min(mh(6)).as("h6"), min(mh(7)).as("h7"))
+
+  /** LSH band keys: band b = md5(h(2b) ‖ h(2b+1)). */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Candidate pairs = docs sharing any band bucket. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val b = lshBands(minhashSignatures(docs))
+    val l = b.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram jaccard over candidate pairs that share ≥1 shingle. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleDf(docs)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val Hex = "0123456789abcdef"
+
+  /** 16-bit SimHash over distinct word tokens. Bit j of the token's
+    * md5-derived 16-bit value votes ±1; sign of the vote sum sets the
+    * fingerprint bit.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("tok"))
+      .distinct()
+    // 16-bit value from the first 4 hex chars of md5(tok)
+    val h16 =
+      (instr(lit(Hex), substring(md5(col("tok")), 1, 1)) - 1) * 4096 +
+      (instr(lit(Hex), substring(md5(col("tok")), 2, 1)) - 1) * 256 +
+      (instr(lit(Hex), substring(md5(col("tok")), 3, 1)) - 1) * 16 +
+      (instr(lit(Hex), substring(md5(col("tok")), 4, 1)) - 1)
+    val withBits = toks
+      .withColumn("h16", h16.cast("long"))
+      .crossJoin(spark_range16(docs.sparkSession))
+      .withColumn("vote",
+        when(floor(col("h16") / pow(lit(2), lit(15) - col("j"))).cast("long") % 2 === 1, 1)
+          .otherwise(-1))
+    withBits
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit") * pow(lit(2), lit(15) - col("j")).cast("long")).as("simhash"))
+  }
+
+  private def spark_range16(s: SparkSession): DataFrame =
+    s.range(0, 16).select(col("id").cast("int").as("j"))
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val l = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val r = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    l.crossJoin(r)
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Quantized embedding: float → round(x·10⁴) as int64. Integer dot
+    * products are exact and order-free — deterministic across engines.
+    */
+  def quantized(emb: DataFrame): DataFrame =
+    // widen float→double BEFORE scaling: float-precision multiply
+    // rounds differently than the oracle's double arithmetic
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Embedding cosine near-dup pairs above `threshold`. Brute-force
+    * pairwise — the correctness baseline; the LSH-bucketed scale path
+    * lives in [[Similarity]].
+    */
+  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val q = quantized(emb)
+    val l = q.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val r = q.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    l.crossJoin(r)
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")).cast("double") /
+          (sqrt(dot(col("va"), col("va")).cast("double")) *
+           sqrt(dot(col("vb"), col("vb")).cast("double"))))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------- gate
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groups; keeper = min doc_id.
+    "dd_exact" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")),
+
+    "dd_minhash_sig" -> ((s, dir) =>
+      minhashSignatures(table(s, dir, "documents")).orderBy("doc_id")),
+
+    "dd_minhash_pairs" -> ((s, dir) =>
+      minhashCandidates(table(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    "dd_jaccard" -> ((s, dir) =>
+      jaccardPairs(table(s, dir, "documents"), 0.1).orderBy("doc_a", "doc_b")),
+
+    "dd_simhash" -> ((s, dir) =>
+      simhash(table(s, dir, "documents")).orderBy("doc_id")),
+
+    "dd_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(table(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),
+
+    "dd_embedding_pairs" -> ((s, dir) =>
+      embeddingPairs(table(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")),
+  )
+
+  // Shared SQL fragments for the DuckDB oracles.
+  private val shingleSql =
+    """SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts FROM documents),
+      |     UNNEST(range(1, len(ts)-1)) AS u(i)""".stripMargin
+
+  private val minhashSql =
+    s"""SELECT doc_id,
+       | min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+       | min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+       | min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+       | min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+       |FROM ($shingleSql) GROUP BY doc_id""".stripMargin
+
+  private val simhashSql =
+    """WITH toks AS (
+      | SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      | FROM documents),
+      |hv AS (
+      | SELECT doc_id,
+      |  (strpos('0123456789abcdef', substr(md5(tok),1,1)) - 1) * 4096 +
+      |  (strpos('0123456789abcdef', substr(md5(tok),2,1)) - 1) * 256 +
+      |  (strpos('0123456789abcdef', substr(md5(tok),3,1)) - 1) * 16 +
+      |  (strpos('0123456789abcdef', substr(md5(tok),4,1)) - 1) AS h16
+      | FROM toks),
+      |votes AS (
+      | SELECT doc_id, j,
+      |  SUM(CASE WHEN CAST(FLOOR(h16 / POWER(2, 15 - j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      | FROM hv, UNNEST(range(0, 16)) AS r(j) GROUP BY doc_id, j)
+      |SELECT doc_id,
+      | SUM(CASE WHEN s > 0 THEN CAST(POWER(2, 15 - j) AS BIGINT) ELSE 0 END) AS simhash
+      |FROM votes GROUP BY doc_id""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dd_minhash_sig" -> s"$minhashSql ORDER BY doc_id",
+    "dd_minhash_pairs" ->
+      s"""WITH sig AS ($minhashSql),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
+         | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
+         | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
+         | SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_jaccard" ->
+      s"""WITH sh AS ($shingleSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+         |FROM common
+         | JOIN cnt ca ON ca.doc_id = doc_a
+         | JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_simhash" -> s"$simhashSql ORDER BY doc_id",
+    "dd_simhash_pairs" ->
+      s"""WITH sh AS ($simhashSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embedding_pairs" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        | FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM q a JOIN q b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: the correctness baseline. O(Q·N) dot
+  *     products; fine when Q (the query set) is small and broadcast.
+  *   - sign-random-projection LSH: each vector gets a b-bit signature
+  *     (sign of dot with b deterministic ±1 hyperplanes); candidates
+  *     share the signature bucket, ranked by exact cosine within the
+  *     bucket. At 100 TB: the signature is computed in one narrow pass,
+  *     the bucket join replaces the O(N²) cross product with
+  *     O(Σ bucket²), and skewed buckets can be split by widening b.
+  *
+  * Determinism: vectors are quantized to int64 (round(x·10⁴)) so dot
+  * products are exact integer sums — order-free and identical across
+  * engines; hyperplane signs derive from md5 parity, no RNG.
+  */
+object Similarity {
+
+  def quantized(emb: DataFrame): DataFrame =
+    // widen float→double BEFORE scaling (see Dedup.quantized)
+    emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def cosine(va: Column, vb: Column): Column =
+    dot(va, vb).cast("double") /
+      (sqrt(dot(va, va).cast("double")) * sqrt(dot(vb, vb).cast("double")))
+
+  /** Exact top-k neighbors for each query vector (vec_id < numQueries),
+    * ranked by cosine desc with vec_id tie-break. The query side is
+    * broadcast — the big side streams through unchanged.
+    */
+  def bruteForceTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = quantized(emb)
+    val queries = broadcast(
+      q.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.select(col("vec_id").as("neighbor_id"), col("v"))
+      .crossJoin(queries)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** ±1 hyperplane component for (plane p, dim j): parity of the first
+    * md5 hex digit of "p|j". Deterministic, engine-independent.
+    */
+  private def planeSign(p: Int, j: Int): Int = {
+    // evaluated at planning time on the driver — tiny (8×64) and baked
+    // into the plan as literals, so executors do no md5 work for planes
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$j".getBytes("UTF-8"))
+    val firstHexDigit = (d(0) >> 4) & 0xf
+    if (firstHexDigit % 2 == 1) 1 else -1
+  }
+
+  /** b-bit LSH signature: bit p = 1 iff Σ_j sign(p,j)·v[j] > 0. */
+  def lshSignature(q: DataFrame): DataFrame = {
+    val sigBits = (0 until NumPlanes).map { p =>
+      val proj = (0 until Dim).map { j =>
+        element_at(col("v"), j + 1) * lit(planeSign(p, j).toLong)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << (NumPlanes - 1 - p))).otherwise(lit(0L))
+    }
+    q.withColumn("bucket", sigBits.reduce((a, b) => a + b))
+  }
+
+  /** ANN via LSH buckets: candidates share the bucket; exact cosine
+    * ranks within. Recall vs bruteForceTopK is checked in the test
+    * suite.
+    */
+  def lshTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val sig = lshSignature(quantized(emb))
+    val queries = broadcast(
+      sig.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    sig.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
+      .join(queries, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_knn" -> ((s, dir) =>
+      bruteForceTopK(table(s, dir, "embeddings"), numQueries = 5, k = 10)
+        .orderBy("query_id", "rank")),
+    "ss_ann_lsh" -> ((s, dir) =>
+      lshTopK(table(s, dir, "embeddings"), numQueries = 5, k = 10)
+        .orderBy("query_id", "rank")),
+    // IVF-style partitioned search: centroids = per-label integer mean
+    // (the label column stands in for a k-means assignment); each query
+    // probes only its nearest centroid's partition.
+    "ss_ivf_probe" -> ((s, dir) => {
+      val q = quantized(table(s, dir, "embeddings"))
+      // integer centroid: element-wise floor-average of quantized vecs
+      val cent = q.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        array((0 until Dim).map(j =>
+          floor(sum(element_at(col("v"), j + 1)) / count(lit(1))).cast("long")): _*).as("cv"))
+      val queries = broadcast(
+        q.where(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("v").as("qv")))
+      // nearest centroid per query by cosine
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val probe = queries.crossJoin(cent)
+        .withColumn("ccos", cosine(col("qv"), col("cv")))
+        .withColumn("r", row_number().over(wq))
+        .where(col("r") === 1)
+        .select(col("query_id"), col("qv"), col("label"))
+      // search only within the probed partition
+      val wk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(probe, Seq("label"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wk))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+  )
+
+  private val quantSql =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v FROM embeddings"
+
+  private def cosSql(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  // plane sign literal matrix, rendered into the oracle SQL so DuckDB
+  // agrees bit-for-bit with the Spark literals
+  private def planeSignList(p: Int): String =
+    (0 until Dim).map(j => planeSign(p, j)).mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "ss_knn" ->
+      s"""WITH q AS ($quantSql),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 5),
+         |scored AS (
+         | SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS cos
+         | FROM q CROSS JOIN qs WHERE vec_id <> query_id),
+         |ranked AS (
+         | SELECT query_id, neighbor_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ss_ann_lsh" ->
+      s"""WITH q AS ($quantSql),
+         |planes AS (
+         |${(0 until NumPlanes).map(p =>
+            s" SELECT $p AS p, ${planeSignList(p)} AS s").mkString(" UNION ALL\n")}),
+         |proj AS (
+         | SELECT q.vec_id, p,
+         |  list_sum(list_transform(range(1, ${Dim + 1}), j -> q.v[j] * s[j])) AS d
+         | FROM q CROSS JOIN planes),
+         |sig AS (
+         | SELECT vec_id,
+         |  SUM(CASE WHEN d > 0 THEN CAST(POWER(2, ${NumPlanes - 1} - p) AS BIGINT) ELSE 0 END) AS bucket
+         | FROM proj GROUP BY vec_id),
+         |qv AS (SELECT q.vec_id, q.v, sig.bucket FROM q JOIN sig USING (vec_id)),
+         |qs AS (SELECT vec_id AS query_id, v AS qqv, bucket FROM qv WHERE vec_id < 5),
+         |scored AS (
+         | SELECT query_id, qv.vec_id AS neighbor_id, ${cosSql("qqv", "qv.v")} AS cos
+         | FROM qv JOIN qs USING (bucket) WHERE qv.vec_id <> query_id),
+         |ranked AS (
+         | SELECT query_id, neighbor_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ss_ivf_probe" ->
+      s"""WITH q AS ($quantSql),
+         |cent AS (
+         | SELECT label, list(cj ORDER BY j) AS cv FROM (
+         |  SELECT label, j, CAST(FLOOR(SUM(v[j]) / COUNT(*)) AS BIGINT) AS cj
+         |  FROM q, UNNEST(range(1, ${Dim + 1})) AS r(j)
+         |  GROUP BY label, j)
+         | GROUP BY label),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 5),
+         |probe AS (
+         | SELECT query_id, qv, label FROM (
+         |  SELECT query_id, qv, label,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY ${cosSql("qv", "cv")} DESC, label) AS r
+         |  FROM qs CROSS JOIN cent) WHERE r = 1),
+         |scored AS (
+         | SELECT query_id, q.vec_id AS neighbor_id, ${cosSql("qv", "q.v")} AS cos
+         | FROM q JOIN probe USING (label) WHERE q.vec_id <> query_id),
+         |ranked AS (
+         | SELECT query_id, neighbor_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  * All pure Catalyst expressions — whole-stage codegen'd, embarrassingly
+  * parallel (no shuffle except final aggregation-free scans), so they
+  * scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  private def toks = split(trim(col("text")), " +")
+
+  /** Sum of per-element lengths — exact integer aggregate over the
+    * token array (no float accumulation).
+    */
+  private def sumLen(arr: Column): Column =
+    aggregate(transform(arr, t => length(t)), lit(0), (a, x) => a + x)
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  private def stopHits(arr: Column): Column =
+    size(filter(arr, t => t.isInCollection(stopwords)))
+
+  /** Tokenization stats: whitespace tokens + a BPE-ish word/punct regex
+    * count.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("n_bpe_pieces"),
+      sumLen(toks).cast("long").as("sum_token_len"),
+      (sumLen(toks).cast("double") / size(toks)).as("avg_token_len"))
+
+  /** Quality scoring: char-class ratios + stopword ratio + a composite
+    * score. All ratios are single divisions of exact integers —
+    * bit-identical across engines.
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val spaces = length(regexp_replace(col("text"), "[^ ]", ""))
+    docs.select(
+      col("doc_id"),
+      len.cast("long").as("n_chars"),
+      (alpha.cast("double") / len).as("alpha_ratio"),
+      (spaces.cast("double") / len).as("space_ratio"),
+      (stopHits(toks).cast("double") / size(toks)).as("stopword_ratio"),
+      (size(toks) >= 10 && size(toks) <= 1000 &&
+        (alpha.cast("double") / len) > lit(0.6)).as("passes_filter"))
+  }
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "y", "los", "de"))
+
+  /** Stopword-profile language ID: hits per language wordlist, argmax
+    * with deterministic tie-break (hit count desc, then language code).
+    * `und` when nothing matches.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    // struct-max trick: max of (hits, negated-lang-rank) picks argmax
+    // with lexicographic tie-break — single expression, no join.
+    val structs = array(hits.zipWithIndex.map { case ((lang, h), i) =>
+      struct(h.as("h"), lit(-i).as("nr"), lit(lang).as("lang"))
+    }: _*)
+    val top = array_max(structs)
+    val outCols: Seq[Column] = col("doc_id") +:
+      hits.map { case (l, h) => h.cast("long").as(s"${l}_hits") } :+
+      when(top.getField("h") > 0, top.getField("lang")).otherwise("und").as("lang_pred")
+    docs.select(outCols: _*)
+  }
+
+  /** Document fingerprints: md5 of the whitespace-normalized text plus
+    * a winnowing-style min-shingle hash (the smallest 3-gram md5 — a
+    * 1-of-k MinHash, cheap near-dup prefilter).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val ts = toks
+    val shingleHashes = transform(
+      sequence(lit(0), size(ts) - 3),
+      i => md5(concat_ws(" ",
+        element_at(ts, i + 1), element_at(ts, i + 2), element_at(ts, i + 3))))
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", ts)).as("norm_hash"),
+      when(size(ts) >= 3, array_min(shingleHashes)).otherwise(md5(concat_ws(" ", ts)))
+        .as("min_shingle_hash"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tokens" -> ((s, dir) => tokenStats(table(s, dir, "documents")).orderBy("doc_id")),
+    "ta_quality" -> ((s, dir) => qualityScores(table(s, dir, "documents")).orderBy("doc_id")),
+    "ta_langid" -> ((s, dir) => langId(table(s, dir, "documents")).orderBy("doc_id")),
+    "ta_fingerprint" -> ((s, dir) => fingerprints(table(s, dir, "documents")).orderBy("doc_id")),
+  )
+
+  private val toksSql = "string_split_regex(trim(text), ' +')"
+
+  def oracles: Map[String, String] = Map(
+    "ta_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
+         | CAST(list_sum(list_transform($toksSql, t -> length(t))) AS BIGINT) AS sum_token_len,
+         | CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE) / len($toksSql) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_quality" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         | CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text) AS space_ratio,
+         | CAST(len(list_filter($toksSql, t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+         |   / len($toksSql) AS stopword_ratio,
+         | (len($toksSql) BETWEEN 10 AND 1000
+         |   AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) > 0.6) AS passes_filter
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_langid" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','and','of','is'))) AS en_hits,
+         |  len(list_filter($toksSql, t -> t IN ('le','la','et','les','des'))) AS fr_hits,
+         |  len(list_filter($toksSql, t -> t IN ('der','die','und','das','ist'))) AS de_hits,
+         |  len(list_filter($toksSql, t -> t IN ('el','la','y','los','de'))) AS es_hits
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(en_hits AS BIGINT) AS en_hits, CAST(fr_hits AS BIGINT) AS fr_hits,
+         | CAST(de_hits AS BIGINT) AS de_hits, CAST(es_hits AS BIGINT) AS es_hits,
+         | CASE WHEN greatest(en_hits, fr_hits, de_hits, es_hits) = 0 THEN 'und'
+         |      WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+         |      WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+         |      WHEN de_hits >= es_hits THEN 'de'
+         |      ELSE 'es' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents)
+         |SELECT doc_id,
+         | md5(array_to_string(ts, ' ')) AS norm_hash,
+         | CASE WHEN len(ts) >= 3
+         |      THEN list_min(list_transform(range(1, len(ts)-1),
+         |             i -> md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))
+         |      ELSE md5(array_to_string(ts, ' ')) END AS min_shingle_hash
+         |FROM t ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.diff.{Comparator, CompareOptions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The comparator's own operator surface (SURVEY §2 O6/O7/O8/O15/O16/O17),
+  * exposed as gate-checkable queries. The "target" dataset is derived
+  * in-query from lineitem by a deterministic 1-row mutation — the
+  * reference's own worked example mutates one row (`update … where a=50`,
+  * /root/reference/example.md:259-265) and expects that row reported
+  * from both sides.
+  */
+object CompareQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** lineitem with one deterministic mutated row: the lexicographically
+    * first (l_orderkey, l_linenumber) row gets l_quantity+1. Lazy — the
+    * min is a broadcast scalar join, not a driver action. (Not "min
+    * orderkey, linenumber=1": some SF samples have no linenumber 1 for
+    * the min orderkey, which would silently make the mutation a no-op.)
+    */
+  def mutated(li: DataFrame): DataFrame = {
+    val mk = broadcast(li.agg(
+      min(struct(col("l_orderkey"), col("l_linenumber"))).as("__mk")))
+    li.crossJoin(mk)
+      .withColumn("l_quantity",
+        when(struct(col("l_orderkey"), col("l_linenumber")) === col("__mk"),
+          col("l_quantity") + 1).otherwise(col("l_quantity")))
+      .drop("__mk")
+      // restore original column order
+      .select(li.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Canonical row text for the parity fingerprint (O8/O9): explicit,
+    * engine-independent rendering — ints verbatim, money as
+    * DECIMAL(18,2) text, timestamps `yyyy-MM-dd HH:mm:ss` (the explicit
+    * version of the reference forcing NLS_TIMESTAMP_FORMAT,
+    * /root/reference/scribedb/oracle.py:140-145).
+    */
+  private def liCanon = concat_ws("|",
+    col("l_orderkey"), col("l_linenumber"),
+    col("l_quantity").cast(dec), col("l_extendedprice").cast(dec),
+    col("l_returnflag"), col("l_linestatus"),
+    date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O6 count aggregate.
+    "cmp_count" -> ((s, dir) =>
+      table(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // O7 chunking: the reference re-creates a view per chunk with
+    // LIMIT/OFFSET — O(chunks·n) total scan work
+    // (/root/reference/scribedb/postgres.py:84-88). Here: ONE pass,
+    // row_number over the total order → bucket id. (The global window
+    // is the demo form; the comparator itself buckets by hash — no
+    // total order, no single-partition window — see Comparator.)
+    "cmp_bucket_assign" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w))
+        .withColumn("bucket_id", floor((col("rn") - 1) / 1000))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("first_key"),
+          max(col("l_orderkey")).as("last_key"))
+        .orderBy("bucket_id")
+    }),
+
+    // O8/O9 bucket fingerprint, parity form: per-bucket MD5 over the
+    // sorted canonical rows. Order-insensitive by construction
+    // (explicit sort inside the bucket) — fixing the reference's
+    // order-source ambiguity (SURVEY §4 hazards).
+    "cmp_fingerprint" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.select(liCanon.as("canon"))
+        .withColumn("bucket", substring(md5(col("canon")), 1, 1))
+        .groupBy(col("bucket"))
+        .agg(
+          md5(concat_ws("\n", array_sort(collect_list(col("canon"))))).as("fingerprint"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // O15: hash-compare src vs mutated tgt at bucket granularity —
+    // exactly one bucket must differ (1 row mutated).
+    "cmp_hash_detect" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def fp(df: DataFrame, side: String) =
+        df.select(liCanon.as("canon"))
+          .withColumn("bucket", substring(md5(col("canon")), 1, 1))
+          .groupBy(col("bucket"))
+          .agg(md5(concat_ws("\n", array_sort(collect_list(col("canon"))))).as(s"${side}_fp"))
+      fp(li, "src").join(fp(mutated(li), "tgt"), Seq("bucket"), "full_outer")
+        .where(col("src_fp") =!= col("tgt_fp") ||
+          col("src_fp").isNull || col("tgt_fp").isNull)
+        .select(col("bucket"))
+        .orderBy("bucket")
+    }),
+
+    // O16+O17: row-level diff, both directions, bag semantics.
+    "cmp_diff_orphans" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val tgt = mutated(li)
+      val cols = li.columns.map(col).toIndexedSeq
+      li.exceptAll(tgt).select(lit("source").as("side") +: cols: _*)
+        .unionAll(tgt.exceptAll(li).select(lit("target").as("side") +: cols: _*))
+        .orderBy("side")
+    }),
+
+    // Full comparator end-to-end (the product): summary verdict row.
+    "cmp_verdict" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val rep = Comparator.compare(li, mutated(li), CompareOptions(numBuckets = 512))
+      import s.implicits._
+      Seq((rep.srcRows, rep.tgtRows, rep.orphanSrc, rep.orphanTgt))
+        .toDF("src_rows", "tgt_rows", "orphan_src", "orphan_tgt")
+    }),
+
+    // Identical-input fast path: zero mismatched buckets, no row fetch.
+    "cmp_verdict_identical" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val rep = Comparator.compare(li, table(s, dir, "lineitem"), CompareOptions(numBuckets = 512))
+      import s.implicits._
+      Seq((rep.srcRows, rep.tgtRows, rep.mismatchedBuckets, rep.differences))
+        .toDF("src_rows", "tgt_rows", "mismatched_buckets", "differences")
+    }),
+  )
+
+  private val liCanonSql =
+    """l_orderkey || '|' || l_linenumber || '|' ||
+      | CAST(l_quantity AS DECIMAL(18,2)) || '|' || CAST(l_extendedprice AS DECIMAL(18,2)) || '|' ||
+      | l_returnflag || '|' || l_linestatus || '|' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  private val mutatedSql =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      | CASE WHEN l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
+      |       AND l_linenumber = (SELECT MIN(l_linenumber) FROM lineitem
+      |                           WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem))
+      |      THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+      | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+      |FROM lineitem""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "cmp_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "cmp_bucket_assign" ->
+      """SELECT bucket_id, COUNT(*) AS n, MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
+        |FROM (SELECT l_orderkey,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / 1000) AS BIGINT) AS bucket_id
+        |  FROM lineitem)
+        |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
+    "cmp_fingerprint" ->
+      s"""WITH c AS (SELECT $liCanonSql AS canon FROM lineitem)
+         |SELECT substr(md5(canon), 1, 1) AS bucket,
+         |  md5(string_agg(canon, chr(10) ORDER BY canon)) AS fingerprint,
+         |  COUNT(*) AS n
+         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "cmp_hash_detect" ->
+      s"""WITH src AS (SELECT substr(md5(canon),1,1) AS bucket,
+         |   md5(string_agg(canon, chr(10) ORDER BY canon)) AS src_fp
+         |  FROM (SELECT $liCanonSql AS canon FROM lineitem) GROUP BY 1),
+         | tgtc AS (SELECT $liCanonSql AS canon FROM ($mutatedSql)),
+         | tgt AS (SELECT substr(md5(canon),1,1) AS bucket,
+         |   md5(string_agg(canon, chr(10) ORDER BY canon)) AS tgt_fp
+         |  FROM tgtc GROUP BY 1)
+         |SELECT COALESCE(src.bucket, tgt.bucket) AS bucket
+         |FROM src FULL OUTER JOIN tgt ON src.bucket = tgt.bucket
+         |WHERE src_fp IS DISTINCT FROM tgt_fp
+         |ORDER BY bucket""".stripMargin,
+    "cmp_diff_orphans" ->
+      s"""WITH tgt AS ($mutatedSql)
+         |SELECT 'source' AS side, * FROM (SELECT * FROM lineitem EXCEPT ALL SELECT * FROM tgt)
+         |UNION ALL
+         |SELECT 'target' AS side, * FROM (SELECT * FROM tgt EXCEPT ALL SELECT * FROM lineitem)
+         |ORDER BY side""".stripMargin,
+    "cmp_verdict" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS src_rows, CAST(COUNT(*) AS BIGINT) AS tgt_rows,
+        | CAST(1 AS BIGINT) AS orphan_src, CAST(1 AS BIGINT) AS orphan_tgt
+        |FROM lineitem""".stripMargin,
+    "cmp_verdict_identical" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS src_rows, CAST(COUNT(*) AS BIGINT) AS tgt_rows,
+        | CAST(0 AS BIGINT) AS mismatched_buckets, CAST(0 AS BIGINT) AS differences
+        |FROM lineitem""".stripMargin,
+  )
+}

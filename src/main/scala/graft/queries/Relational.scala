@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The general relational layer. The reference delegates all of this to
+  * PG/Oracle by shipping the user's `qry` string
+  * (/root/reference/scribedb/base.py:39; SURVEY §2.1) — the Spark
+  * analog is Catalyst evaluating the same queries over registered
+  * sources. Each entry is written DataFrame-first with the plan shape
+  * chosen for scale (broadcast dims, partial aggregation, single
+  * shuffle) and has an exact DuckDB oracle.
+  *
+  * Numeric determinism: money-valued doubles are cast to
+  * DECIMAL(18,2) BEFORE aggregation, summed exactly, and cast back to
+  * double — identical bit-for-bit across engines regardless of
+  * addition order. Plain double sums would differ between Spark and
+  * the oracle by accumulation order.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: single scan, map-side partial agg, one shuffle of
+    // |groups| rows. At 100 TB this stays a two-stage job whose shuffle
+    // volume is O(groups), not O(rows).
+    "q1_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Filter + projection: predicate and column pruning reach the
+    // parquet scan (PushedFilters / 3-column ReadSchema).
+    "q2_filter_project" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // Join with a broadcast dimension: customer is tiny at every SF
+    // relative to orders; broadcast avoids shuffling the fact table.
+    "q3_join_broadcast" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Multi-way star join: region⋈nation⋈customer broadcast down the
+    // dimension chain, then one shuffle join against orders⋈lineitem.
+    "q4_join_multi" -> ((s, dir) => {
+      val r = table(s, dir, "region"); val n = table(s, dir, "nation")
+      val c = table(s, dir, "customer"); val o = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      val dims = broadcast(
+        r.join(n, r("r_regionkey") === n("n_regionkey"))
+          .join(c, n("n_nationkey") === c("c_nationkey"))
+          .select(col("c_custkey"), col("n_name"), col("r_name")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(dims, o("o_custkey") === dims("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Window functions: top-2 orders per customer by price, plus a
+    // running sum. Partition-local windows — one shuffle on o_custkey.
+    "q5_window" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wr = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("rk", row_number().over(w))
+        .withColumn("running", sum(col("o_totalprice").cast(dec)).over(wr).cast("double"))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("running"))
+    }),
+
+    // Global sort + limit: Spark executes as TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge on one reducer; never a
+    // full global sort.
+    "q6_topk" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // Grouping sets via rollup (reference has none — SURVEY §2.1).
+    "q7_rollup" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // Exact + distinct aggregation. countDistinct expands to a
+    // two-phase aggregate; partials still combine map-side.
+    "q8_distinct" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Set operations (reference's only set op is a driver-side Python
+    // set diff, /root/reference/main.py:116-137; here bag semantics,
+    // distributed).
+    "q9_setops" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val hi = o.where(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val pri = o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      hi.intersect(pri).unionAll(hi.exceptAll(pri).distinct())
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
+    // Semi/anti joins = EXISTS / NOT EXISTS. Broadcast the filter side.
+    "q10_semi_anti" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val buyers = o.where(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val withO = c.join(broadcast(buyers), c("c_custkey") === buyers("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big_order").as("status"))
+      val without = c.join(broadcast(buyers), c("c_custkey") === buyers("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big_order").as("status"))
+      withO.unionAll(without).orderBy("c_custkey")
+    }),
+
+    // Scalar function library: string/date/math/conditional — all
+    // codegen'd builtins, no UDFs (reference has no scalar library at
+    // all beyond canonicalization, SURVEY §2.1).
+    "q11_scalar_funcs" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          length(col("o_orderstatus")).cast("long").as("status_len"),
+          abs(col("o_totalprice").cast(dec) * lit(-1).cast(dec)).cast("double").as("abs_price"),
+          when(col("o_totalprice") > 200000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("band"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("~open~")).as("status_or_token"))
+        .orderBy("o_orderkey")),
+
+    // Aggregation over a computed date bucket — the batch shape of the
+    // streaming tumbling window (see graft.streaming).
+    "q12_time_bucket" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_join_multi" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey, rk, running FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        | FROM orders) WHERE rk <= 2""".stripMargin,
+    "q6_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q7_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q8_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q9_setops" ->
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        | pri AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        | m AS (SELECT * FROM (SELECT DISTINCT o_custkey FROM hi INTERSECT SELECT DISTINCT o_custkey FROM pri)
+        |       UNION ALL
+        |       SELECT DISTINCT o_custkey FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM pri))
+        |SELECT o_custkey, COUNT(*) AS n FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q10_semi_anti" ->
+      """SELECT c_custkey,
+        | CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |      THEN 'has_big_order' ELSE 'no_big_order' END AS status
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q11_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_code,
+        | CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+        | CAST(LENGTH(o_orderstatus) AS BIGINT) AS status_len,
+        | CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(-1 AS DECIMAL(18,2))) AS DOUBLE) AS abs_price,
+        | CASE WHEN o_totalprice > 200000 THEN 'high'
+        |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS band,
+        | COALESCE(NULLIF(o_orderstatus, 'O'), '~open~') AS status_or_token
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q12_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
