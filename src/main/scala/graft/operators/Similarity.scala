@@ -56,14 +56,15 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
-  private val NumPlanes = 8
+  private val NumTables = 4 // independent hash tables
+  private val BitsPerTable = 4
   private val Dim = 64
 
   /** ±1 hyperplane component for (plane p, dim j): parity of the first
     * md5 hex digit of "p|j". Deterministic, engine-independent.
     */
   private def planeSign(p: Int, j: Int): Int = {
-    // evaluated at planning time on the driver — tiny (8×64) and baked
+    // evaluated at planning time on the driver — tiny (16×64) and baked
     // into the plan as literals, so executors do no md5 work for planes
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p|$j".getBytes("UTF-8"))
@@ -71,31 +72,47 @@ object Similarity {
     if (firstHexDigit % 2 == 1) 1 else -1
   }
 
-  /** b-bit LSH signature: bit p = 1 iff Σ_j sign(p,j)·v[j] > 0. */
+  /** Multi-table sign-random-projection signatures: table t gets a
+    * BitsPerTable-bit bucket from planes t·B..t·B+B-1 (bit b = 1 iff
+    * Σ_j sign(p,j)·v[j] > 0). One narrow pass; a single 4-bit table is
+    * too selective (recall collapses), while T independent tables give
+    * union recall 1-(1-p^B)^T — the standard recall/cost knob.
+    */
   def lshSignature(q: DataFrame): DataFrame = {
-    val sigBits = (0 until NumPlanes).map { p =>
-      val proj = (0 until Dim).map { j =>
-        element_at(col("v"), j + 1) * lit(planeSign(p, j).toLong)
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << (NumPlanes - 1 - p))).otherwise(lit(0L))
+    val buckets = (0 until NumTables).map { t =>
+      val bits = (0 until BitsPerTable).map { b =>
+        val p = t * BitsPerTable + b
+        val proj = (0 until Dim).map { j =>
+          element_at(col("v"), j + 1) * lit(planeSign(p, j).toLong)
+        }.reduce(_ + _)
+        when(proj > 0, lit(1L << (BitsPerTable - 1 - b))).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).as(s"sig$t")
     }
-    q.withColumn("bucket", sigBits.reduce((a, b) => a + b))
+    q.select(col("*") +: buckets: _*)
   }
 
-  /** ANN via LSH buckets: candidates share the bucket; exact cosine
-    * ranks within. Recall vs bruteForceTopK is checked in the test
-    * suite.
+  /** ANN via multi-table LSH: candidates share a bucket in ANY table
+    * (union over tables, deduped), ranked by exact cosine. Recall vs
+    * bruteForceTopK is checked in the test suite.
     */
   def lshTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val sig = lshSignature(quantized(emb))
+    // explode into (table, bucket) rows: T rows per vector
+    val tb = sig.select(col("vec_id"), col("v"),
+      explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("t"), col(s"sig$t").as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val queries = broadcast(
-      sig.where(col("vec_id") < numQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
+      tb.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"), col("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    sig.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
-      .join(queries, Seq("bucket"))
+    tb.select(col("vec_id").as("neighbor_id"), col("v"), col("t"), col("bucket"))
+      .join(queries, Seq("t", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("v"))
+      .distinct() // a pair colliding in several tables counts once
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -171,21 +188,23 @@ object Similarity {
     "ss_ann_lsh" ->
       s"""WITH q AS ($quantSql),
          |planes AS (
-         |${(0 until NumPlanes).map(p =>
+         |${(0 until NumTables * BitsPerTable).map(p =>
             s" SELECT $p AS p, ${planeSignList(p)} AS s").mkString(" UNION ALL\n")}),
          |proj AS (
          | SELECT q.vec_id, p,
          |  list_sum(list_transform(range(1, ${Dim + 1}), j -> q.v[j] * s[j])) AS d
          | FROM q CROSS JOIN planes),
          |sig AS (
-         | SELECT vec_id,
-         |  SUM(CASE WHEN d > 0 THEN CAST(POWER(2, ${NumPlanes - 1} - p) AS BIGINT) ELSE 0 END) AS bucket
-         | FROM proj GROUP BY vec_id),
-         |qv AS (SELECT q.vec_id, q.v, sig.bucket FROM q JOIN sig USING (vec_id)),
-         |qs AS (SELECT vec_id AS query_id, v AS qqv, bucket FROM qv WHERE vec_id < 5),
+         | SELECT vec_id, p // $BitsPerTable AS t,
+         |  SUM(CASE WHEN d > 0 THEN CAST(POWER(2, ${BitsPerTable - 1} - (p % $BitsPerTable)) AS BIGINT) ELSE 0 END) AS bucket
+         | FROM proj GROUP BY vec_id, p // $BitsPerTable),
+         |tb AS (SELECT q.vec_id, q.v, sig.t, sig.bucket FROM q JOIN sig USING (vec_id)),
+         |qs AS (SELECT vec_id AS query_id, v AS qqv, t, bucket FROM tb WHERE vec_id < 5),
+         |cand AS (
+         | SELECT DISTINCT query_id, qqv, tb.vec_id AS neighbor_id, tb.v
+         | FROM tb JOIN qs USING (t, bucket) WHERE tb.vec_id <> query_id),
          |scored AS (
-         | SELECT query_id, qv.vec_id AS neighbor_id, ${cosSql("qqv", "qv.v")} AS cos
-         | FROM qv JOIN qs USING (bucket) WHERE qv.vec_id <> query_id),
+         | SELECT query_id, neighbor_id, ${cosSql("qqv", "v")} AS cos FROM cand),
          |ranked AS (
          | SELECT query_id, neighbor_id, cos,
          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

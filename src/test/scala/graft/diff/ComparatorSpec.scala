@@ -1,0 +1,97 @@
+package graft.diff
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ComparatorSpec extends SparkSpec {
+
+  private def li: DataFrame = GraftSession.table(spark, Sf0001, "lineitem")
+
+  test("identical inputs => identical verdict, zero orphans") {
+    val rep = Comparator.compare(li, li, CompareOptions(numBuckets = 64))
+    assert(rep.identical)
+    assert(rep.srcRows == 6000 && rep.tgtRows == 6000)
+    assert(rep.mismatchedBuckets == 0)
+    assert(rep.orphans.count() == 0)
+  }
+
+  test("k mutated rows => exactly k orphans per direction") {
+    val k = 7
+    val tgt = li.withColumn("l_quantity",
+      when(col("l_orderkey") < k && col("l_linenumber") === col("l_linenumber"),
+        col("l_quantity") + 100).otherwise(col("l_quantity")))
+    // mutate all lines of the first k orderkeys — count them exactly
+    val expected = li.where(col("l_orderkey") < k).count()
+    val rep = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64))
+    assert(!rep.identical)
+    assert(rep.orphanSrc == expected)
+    assert(rep.orphanTgt == expected)
+    assert(rep.differences == 2 * expected)
+  }
+
+  test("extra rows on one side are reported as target orphans") {
+    val extra = li.limit(5)
+    val rep = Comparator.compare(li, li.unionAll(extra), CompareOptions(numBuckets = 64))
+    assert(rep.orphanSrc == 0)
+    assert(rep.orphanTgt == 5)
+    assert(rep.tgtRows == rep.srcRows + 5)
+  }
+
+  test("duplicate multiplicity is detected (bag semantics, unlike the reference's set diff)") {
+    // duplicating an existing row: a Python set() diff would miss this
+    val dup = li.limit(1)
+    val rep = Comparator.compare(li, li.unionAll(dup), CompareOptions(numBuckets = 64))
+    assert(rep.orphanTgt == 1)
+  }
+
+  test("result is invariant under repartitioning of either side") {
+    val rep = Comparator.compare(
+      li.repartition(13), li.repartition(3), CompareOptions(numBuckets = 64))
+    assert(rep.identical)
+  }
+
+  test("schema gate: arity mismatch throws") {
+    intercept[IllegalArgumentException] {
+      Comparator.compare(li, li.drop("l_tax"), CompareOptions())
+    }
+  }
+
+  test("schema gate: positional type mismatch throws, ArityOnly passes") {
+    val retyped = li.withColumn("l_quantity", col("l_quantity").cast("string"))
+    intercept[IllegalArgumentException] {
+      Comparator.schemaGate(li, retyped, SchemaCheck.Positional)
+    }
+    Comparator.schemaGate(li, retyped, SchemaCheck.ArityOnly) // no throw
+  }
+
+  test("maxDelta tolerance: verdict within tolerance but not identical") {
+    val tgt = graft.queries.CompareQueries.mutated(li)
+    val rep = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64, maxDelta = 2))
+    assert(!rep.identical)
+    assert(rep.withinTolerance)
+    val strict = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64, maxDelta = 1))
+    assert(!strict.withinTolerance)
+  }
+
+  test("fetchRows=false skips row retrieval but still detects difference") {
+    val tgt = graft.queries.CompareQueries.mutated(li)
+    val rep = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64, fetchRows = false))
+    assert(rep.mismatchedBuckets >= 1)
+    assert(rep.orphans.isEmpty)
+  }
+
+  test("empty inputs compare as identical (reference's empty-exit semantics)") {
+    val empty = li.where(lit(false))
+    val rep = Comparator.compare(empty, empty, CompareOptions(numBuckets = 16))
+    assert(rep.identical && rep.srcRows == 0)
+  }
+
+  test("compareSql entry over registered views") {
+    GraftSession.registerAll(spark, Sf0001)
+    val rep = Comparator.compareSql(spark,
+      "SELECT * FROM lineitem WHERE l_orderkey < 100",
+      "SELECT * FROM lineitem WHERE l_orderkey < 100")
+    assert(rep.identical)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  private def docs = GraftSession.table(spark, Sf0001, "documents")
+  private def emb  = GraftSession.table(spark, Sf0001, "embeddings")
+
+  test("exact dedup groups account for every document") {
+    val g = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+    assert(g.agg(sum("n")).head().getLong(0) == docs.count())
+  }
+
+  test("minhash signatures: one row per doc with shingles, hex hashes") {
+    val sig = Dedup.minhashSignatures(docs)
+    assert(sig.count() == docs.count()) // every test doc has ≥3 tokens
+    val r = sig.head()
+    (1 to 8).foreach(i => assert(r.getString(i).matches("[0-9a-f]{32}")))
+  }
+
+  test("minhash candidate pairs are symmetric-free and deduped") {
+    val pairs = Dedup.minhashCandidates(docs)
+    assert(pairs.where(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(pairs.count() == pairs.distinct().count())
+  }
+
+  test("jaccard of a document with itself is 1") {
+    val two = docs.limit(3)
+    val doubled = two.unionAll(two.withColumn("doc_id", col("doc_id") + 1000000))
+    val j = Dedup.jaccardPairs(doubled, 0.99)
+      .where(col("doc_b") === col("doc_a") + 1000000)
+    assert(j.count() == 3)
+    assert(j.agg(min("jaccard")).head().getDouble(0) == 1.0)
+  }
+
+  test("simhash of identical docs is identical; hamming 0") {
+    val two = docs.limit(2)
+    val doubled = two.unionAll(two.withColumn("doc_id", col("doc_id") + 1000000))
+    val pairs = Dedup.simhashPairs(doubled, 0)
+      .where(col("doc_b") === col("doc_a") + 1000000)
+    assert(pairs.count() == 2)
+  }
+
+  test("embedding near-dup: a vector duplicated is found at cos=1") {
+    val one = emb.limit(1)
+    val dup = emb.unionAll(one.withColumn("vec_id", col("vec_id") + 1000000))
+    val pairs = Dedup.embeddingPairs(dup, 0.999999)
+    assert(pairs.where(col("vec_b") === col("vec_a") + 1000000).count() == 1)
+  }
+
+  test("brute-force topk returns exactly k ranked neighbors per query") {
+    val k = 5
+    val top = Similarity.bruteForceTopK(emb, numQueries = 3, k = k)
+    val counts = top.groupBy("query_id").count().collect()
+    assert(counts.length == 3 && counts.forall(_.getLong(1) == k))
+    // ranks are 1..k and cosine is non-increasing within a query
+    val rows = top.orderBy("query_id", "rank").collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN recall@10 vs brute force is reasonable (same-bucket candidates only)") {
+    val bf = Similarity.bruteForceTopK(emb, 5, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = Similarity.lshTopK(emb, 5, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // every ANN hit for a query either matches brute force or is a
+    // genuine same-bucket neighbor; recall just needs to be nonzero
+    val recalls = bf.keys.toSeq.map { q =>
+      val a = ann.getOrElse(q, Set.empty)
+      if (a.isEmpty) 0.0 else (bf(q) & a).size.toDouble / 10
+    }
+    assert(recalls.sum / recalls.size > 0.2, s"mean recall too low: $recalls")
+  }
+
+  test("token stats: n_tokens matches manual split") {
+    import spark.implicits._
+    val d = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(d).head()
+    assert(r.getLong(1) == 4)            // n_tokens
+    assert(r.getLong(3) == 16)           // sum_token_len
+    assert(r.getDouble(4) == 4.0)        // avg
+  }
+
+  test("language id picks the profile with most stopword hits") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat et les chiens des maisons"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "und")
+  }
+
+  test("fingerprints: identical normalized text => identical norm_hash") {
+    import spark.implicits._
+    val d = Seq((1L, "a  b   c"), (2L, " a b c ")).toDF("doc_id", "text")
+    val f = TextAnalysis.fingerprints(d).select("norm_hash").distinct()
+    assert(f.count() == 1)
+  }
+}
