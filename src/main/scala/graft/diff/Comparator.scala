@@ -202,6 +202,24 @@ object Comparator {
     DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta, orphans)
   }
 
+  /** O13/O14 analog — the reference calibrates a per-chunk row budget
+    * with timed probes and plans `loops = ceil(max(rows)/min(bucket))`
+    * (/root/reference/scribedb/base.py:108-154,
+    * /root/reference/main.py:206-208). Here planning is two cheap
+    * counts: bucket count scales with the larger side so each bucket
+    * holds ~targetRowsPerBucket rows, bounded so the fingerprint join
+    * stays tiny; AQE handles residual skew at runtime.
+    */
+  def compareAuto(
+      src: DataFrame,
+      tgt: DataFrame,
+      targetRowsPerBucket: Long = 100000L,
+      opts: CompareOptions = CompareOptions()): DiffReport = {
+    val rows = math.max(src.count(), tgt.count())
+    val buckets = math.max(64L, math.min(1L << 21, rows / math.max(1L, targetRowsPerBucket) + 1)).toInt
+    compare(src, tgt, opts.copy(numBuckets = buckets))
+  }
+
   /** Config-style entry: compare two SQL queries over registered views —
     * the analog of the reference executing the user's `qry` in each
     * database (/root/reference/scribedb/base.py:39).

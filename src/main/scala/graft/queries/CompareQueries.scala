@@ -129,6 +129,29 @@ object CompareQueries {
       Seq((rep.srcRows, rep.tgtRows, rep.mismatchedBuckets, rep.differences))
         .toDF("src_rows", "tgt_rows", "mismatched_buckets", "differences")
     }),
+
+    // O8/O9 byte-parity fingerprint: the reference's exact chained-MD5
+    // aggregate semantics (state ← upper(md5(state‖row)), init ''),
+    // folded per bucket in explicit canonical order.
+    "cmp_chained_md5" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val prep = li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(dec).as("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+      val canon = graft.functions.Parity.pgRecordText(prep)
+      graft.functions.Parity.chainedMd5(prep, substring(md5(canon), 1, 1), canon)
+        .orderBy("bucket")
+    }),
+
+    // O10 PG record-syntax canonical text incl. the whitespace-quoting
+    // rule — demonstrated on documents (free text with spaces).
+    "fn_pg_record" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        graft.functions.Parity.pgRecordText(d, Seq("doc_id", "text", "lang")).as("rec"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val liCanonSql =
@@ -186,5 +209,20 @@ object CompareQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS src_rows, CAST(COUNT(*) AS BIGINT) AS tgt_rows,
         | CAST(0 AS BIGINT) AS mismatched_buckets, CAST(0 AS BIGINT) AS differences
         |FROM lineitem""".stripMargin,
+    "cmp_chained_md5" ->
+      """WITH c AS (SELECT '(' || l_orderkey || ',' || l_linenumber || ','
+        |  || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || ','
+        |  || l_returnflag || ','
+        |  || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || ')' AS canon
+        | FROM lineitem)
+        |SELECT substr(md5(canon), 1, 1) AS bucket,
+        | list_reduce(list_prepend('', list(canon ORDER BY canon)),
+        |             (s, x) -> upper(md5(s || x))) AS chain_md5
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "fn_pg_record" ->
+      """SELECT doc_id, '(' || doc_id || ','
+        | || CASE WHEN regexp_matches(text, '\s') THEN '"' || text || '"' ELSE COALESCE(text, '') END || ','
+        | || COALESCE(lang, '') || ')' AS rec
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
