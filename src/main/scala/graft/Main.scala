@@ -1,0 +1,77 @@
+package graft
+
+import graft.config.{CompareSpec, ConfigLoader}
+import graft.diff.{Comparator, DiffReport}
+import graft.sources.Sources
+import org.apache.spark.sql.SparkSession
+
+/** CLI — the `spark-submit` analog of the reference's Docker/CLI
+  * contract (/root/reference/command_line.py:7-48,
+  * /root/reference/main.py:270-278): config path + env-var secrets in,
+  * verdict on stdout, exit status out (0 within tolerance, 1 different,
+  * 2 usage/config error). `--search-diff` toggles row-level retrieval —
+  * the reference parsed this flag but never read it
+  * (/root/reference/command_line.py:19-27); here it works.
+  */
+object Main {
+
+  final case class CliArgs(
+      configPath: String = "compare.yaml",
+      logLevel: String = "WARN",
+      searchDiff: Option[Boolean] = None,
+      master: String = "local[*]")
+
+  def parseArgs(argv: Array[String]): CliArgs = {
+    def loop(acc: CliArgs, rest: List[String]): CliArgs = rest match {
+      case Nil => acc
+      case ("-f" | "--file") :: v :: t     => loop(acc.copy(configPath = v), t)
+      case ("-l" | "--loglevel") :: v :: t => loop(acc.copy(logLevel = v), t)
+      case ("-s" | "--search-diff") :: t   => loop(acc.copy(searchDiff = Some(true)), t)
+      case "--no-search-diff" :: t         => loop(acc.copy(searchDiff = Some(false)), t)
+      case ("-m" | "--master") :: v :: t   => loop(acc.copy(master = v), t)
+      case other :: _ =>
+        throw new IllegalArgumentException(s"Unknown argument: $other")
+    }
+    loop(CliArgs(), argv.toList)
+  }
+
+  /** Side-effect-free core (testable): resolve both sides, compare,
+    * return the report.
+    */
+  def run(spark: SparkSession, spec: CompareSpec, searchDiff: Option[Boolean] = None): DiffReport = {
+    val src = Sources.resolve(spark, spec.source)
+    val tgt = Sources.resolve(spark, spec.target)
+    val opts0 = spec.options
+    val opts = searchDiff.fold(opts0)(s => opts0.copy(fetchRows = s))
+    spec.numBuckets match {
+      case Some(_) => Comparator.compare(src, tgt, opts)
+      case None    => Comparator.compareAuto(src, tgt, opts = opts)
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val cli =
+      try parseArgs(argv)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); sys.exit(2)
+      }
+    val spec =
+      try ConfigLoader.load(cli.configPath)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"Config error: ${e.getMessage}"); sys.exit(2)
+      }
+    val spark = GraftSession.build(cli.master)
+    spark.sparkContext.setLogLevel(cli.logLevel)
+    try {
+      val rep = run(spark, spec, cli.searchDiff)
+      println(rep.verdict)
+      if (!rep.identical && rep.withinTolerance)
+        println(s"Differences (${rep.differences}) within max_delta=${rep.maxDelta}")
+      if (!rep.identical && spec.options.fetchRows)
+        rep.orphans.show(50, truncate = false)
+      sys.exit(if (rep.withinTolerance) 0 else 1)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,151 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.diff.{CompareOptions, SchemaCheck}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Where a side's rows come from — the analog of the reference's
+  * discriminated union `Db = Union[Postgres, Oracle]` on `type`
+  * (/root/reference/scribedb/configuration.py:19-37,
+  * /root/reference/main.py:104-153), widened with file and SQL sources
+  * the reference lacks. JDBC pushes the user's whole `qry` down to the
+  * remote database via the `query` option — the faithful analog of the
+  * reference shipping `qry` to PG/Oracle
+  * (/root/reference/scribedb/base.py:39).
+  */
+sealed trait SourceSpec
+object SourceSpec {
+  /** type: parquet | csv | json. Optional `qry` runs Spark SQL over the
+    * file registered as view `<name>`.
+    */
+  final case class File(format: String, path: String, qry: Option[String]) extends SourceSpec
+  /** type: postgres | oracle | jdbc. Password comes from the env var
+    * named by `passwordEnv` — the reference's secret contract
+    * (/root/reference/scribedb/postgres.py:51, Dockerfile env).
+    */
+  final case class Jdbc(
+      url: String,
+      driver: Option[String],
+      user: Option[String],
+      passwordEnv: Option[String],
+      qry: String) extends SourceSpec
+  /** type: sql — a query over views already registered in the session. */
+  final case class Sql(qry: String) extends SourceSpec
+}
+
+final case class SideSpec(name: String, source: SourceSpec)
+
+/** Root config: two sides + comparator knobs. `maxDelta` and
+  * `searchDiff` are the reference's dead `max_delta` field
+  * (/root/reference/main.py:153) and never-read `--search_diff` flag
+  * (/root/reference/command_line.py:19-27) implemented for real.
+  */
+final case class CompareSpec(
+    source: SideSpec,
+    target: SideSpec,
+    maxDelta: Long = 0L,
+    searchDiff: Boolean = true,
+    numBuckets: Option[Int] = None,
+    schemaCheck: SchemaCheck = SchemaCheck.Positional) {
+  def options: CompareOptions = CompareOptions(
+    numBuckets = numBuckets.getOrElse(4096),
+    maxDelta = maxDelta,
+    fetchRows = searchDiff,
+    schemaCheck = schemaCheck)
+}
+
+/** YAML → CompareSpec. Fail-fast with precise messages — the analog of
+  * the reference's Configuration + pydantic validation
+  * (/root/reference/scribedb/configuration.py:19-37): missing file,
+  * empty file, malformed YAML, unknown/missing fields all raise.
+  */
+object ConfigLoader {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  def load(path: String): CompareSpec = {
+    val p = Paths.get(path)
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(s"Config file not found: $path")
+    val text = Files.readString(p)
+    if (text.trim.isEmpty)
+      throw new IllegalArgumentException(s"Config file is empty: $path")
+    fromYaml(text)
+  }
+
+  def fromYaml(text: String): CompareSpec = {
+    val root =
+      try mapper.readTree(text)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"Malformed YAML: ${e.getMessage}")
+      }
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException("Config root must be a mapping")
+    CompareSpec(
+      source = side(require(root, "source"), "source"),
+      target = side(require(root, "target"), "target"),
+      maxDelta = opt(root, "max_delta").map(_.asLong(0L)).getOrElse(0L),
+      searchDiff = opt(root, "search_diff").forall(_.asBoolean(true)),
+      numBuckets = opt(root, "num_buckets").map(_.asInt),
+      schemaCheck = opt(root, "schema_check").map(_.asText) match {
+        case Some("arity")      => SchemaCheck.ArityOnly
+        case Some("positional") | None => SchemaCheck.Positional
+        case Some("exact")      => SchemaCheck.Exact
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"schema_check must be arity|positional|exact, got '$other'")
+      })
+  }
+
+  private def side(node: JsonNode, where: String): SideSpec = {
+    val name = opt(node, "name").map(_.asText).getOrElse(where)
+    val db = require(node, "db", where)
+    val tpe = require(db, "type", s"$where.db").asText
+    val src = tpe match {
+      case "parquet" | "csv" | "json" =>
+        SourceSpec.File(tpe,
+          require(db, "path", s"$where.db").asText,
+          opt(db, "qry").map(_.asText))
+      case "postgres" | "oracle" | "jdbc" =>
+        val url = opt(db, "url").map(_.asText).getOrElse {
+          val host = require(db, "host", s"$where.db").asText
+          val port = require(db, "port", s"$where.db").asInt
+          val dbname = require(db, "dbname", s"$where.db").asText
+          tpe match {
+            case "postgres" => s"jdbc:postgresql://$host:$port/$dbname"
+            case "oracle"   => s"jdbc:oracle:thin:@//$host:$port/$dbname"
+            case _ => throw new IllegalArgumentException(
+              s"$where.db: generic jdbc needs an explicit url")
+          }
+        }
+        val driver = tpe match {
+          case "postgres" => Some("org.postgresql.Driver")
+          case "oracle"   => Some("oracle.jdbc.OracleDriver")
+          case _          => opt(db, "driver").map(_.asText)
+        }
+        SourceSpec.Jdbc(url, driver,
+          opt(db, "user").map(_.asText),
+          opt(db, "password_env").map(_.asText),
+          require(db, "qry", s"$where.db").asText)
+      case "sql" =>
+        SourceSpec.Sql(require(db, "qry", s"$where.db").asText)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$where.db.type must be parquet|csv|json|postgres|oracle|jdbc|sql, got '$other'")
+    }
+    SideSpec(name, src)
+  }
+
+  private def require(node: JsonNode, field: String, where: String = "config"): JsonNode = {
+    val n = node.get(field)
+    if (n == null || n.isNull)
+      throw new IllegalArgumentException(s"$where: missing required field '$field'")
+    n
+  }
+
+  private def opt(node: JsonNode, field: String): Option[JsonNode] =
+    Option(node.get(field)).filterNot(_.isNull)
+}

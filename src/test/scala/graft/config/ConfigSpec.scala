@@ -1,0 +1,101 @@
+package graft.config
+
+import graft.{Main, SparkSpec}
+import graft.diff.SchemaCheck
+import java.nio.file.Files
+
+/** Mirrors the reference's config-layer tests
+  * (/root/reference/tests/test_configuration.py:11-34,
+  * /root/reference/tests/test_scribedb.py:47-57): missing/empty/
+  * malformed config raises; valid config decodes; end-to-end compare
+  * runs from a spec.
+  */
+class ConfigSpec extends SparkSpec {
+
+  private val validYaml =
+    s"""source:
+       |  name: src
+       |  db:
+       |    type: parquet
+       |    path: $Sf0001/lineitem.parquet
+       |target:
+       |  name: tgt
+       |  db:
+       |    type: parquet
+       |    path: $Sf0001/lineitem.parquet
+       |max_delta: 0
+       |num_buckets: 64
+       |""".stripMargin
+
+  test("missing config file raises") {
+    intercept[IllegalArgumentException](ConfigLoader.load("/nonexistent/x.yaml"))
+  }
+
+  test("empty config file raises") {
+    val f = Files.createTempFile("graft", ".yaml")
+    intercept[IllegalArgumentException](ConfigLoader.load(f.toString))
+  }
+
+  test("malformed YAML raises") {
+    intercept[IllegalArgumentException](ConfigLoader.fromYaml("source: [unclosed"))
+  }
+
+  test("missing side raises") {
+    intercept[IllegalArgumentException](ConfigLoader.fromYaml("source:\n  db: {type: sql, qry: SELECT 1}\n"))
+  }
+
+  test("unknown source type raises") {
+    intercept[IllegalArgumentException](ConfigLoader.fromYaml(
+      validYaml.replace("type: parquet", "type: mysql")))
+  }
+
+  test("valid config decodes with defaults") {
+    val spec = ConfigLoader.fromYaml(validYaml)
+    assert(spec.source.name == "src")
+    assert(spec.maxDelta == 0 && spec.searchDiff)
+    assert(spec.numBuckets.contains(64))
+    assert(spec.schemaCheck == SchemaCheck.Positional)
+  }
+
+  test("jdbc source builds engine-specific URL and driver") {
+    val spec = ConfigLoader.fromYaml(
+      """source:
+        |  db: {type: postgres, host: h, port: 5432, dbname: d, user: u, password_env: PGPW, qry: SELECT 1}
+        |target:
+        |  db: {type: sql, qry: SELECT 1}
+        |""".stripMargin)
+    spec.source.source match {
+      case SourceSpec.Jdbc(url, driver, user, pwEnv, qry) =>
+        assert(url == "jdbc:postgresql://h:5432/d")
+        assert(driver.contains("org.postgresql.Driver"))
+        assert(user.contains("u") && pwEnv.contains("PGPW") && qry == "SELECT 1")
+      case other => fail(s"expected Jdbc, got $other")
+    }
+  }
+
+  test("end-to-end: run() from a file-source spec, identical verdict") {
+    val rep = Main.run(spark, ConfigLoader.fromYaml(validYaml))
+    assert(rep.identical)
+  }
+
+  test("end-to-end: sql sources with a mutation, orphans found, exit-code semantics") {
+    graft.GraftSession.registerAll(spark, Sf0001)
+    val spec = ConfigLoader.fromYaml(
+      """source:
+        |  db: {type: sql, qry: "SELECT l_orderkey, l_quantity FROM lineitem"}
+        |target:
+        |  db: {type: sql, qry: "SELECT l_orderkey, CASE WHEN l_orderkey = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity FROM lineitem"}
+        |num_buckets: 64
+        |max_delta: 10
+        |""".stripMargin)
+    val rep = Main.run(spark, spec)
+    assert(!rep.identical && rep.withinTolerance)
+    assert(rep.differences > 0)
+  }
+
+  test("CLI arg parsing incl. the reference's dead flag, now functional") {
+    val a = Main.parseArgs(Array("-f", "c.yaml", "--no-search-diff", "-l", "INFO"))
+    assert(a.configPath == "c.yaml" && a.searchDiff.contains(false) && a.logLevel == "INFO")
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--bogus")))
+  }
+}
