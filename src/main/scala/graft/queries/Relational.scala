@@ -180,6 +180,15 @@ object Relational {
           count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
         .orderBy("hour", "event_type")),
+
+    // Sessionization (gap > 30 min): the batch twin of the streaming
+    // flatMapGroupsWithState operator — equality asserted in
+    // StreamingSpec, oracle-checked here.
+    "q13_sessionize" -> ((s, dir) =>
+      graft.streaming.Streaming.sessionizeBatch(
+        table(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
+        .orderBy("user_id", "session_start")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -260,5 +269,18 @@ object Relational {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_idx
+        | FROM e)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.canon.Canonicalizer
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — a strict extension: the reference is
+  * batch-only (SURVEY §2.1 "no streaming/watermarks/stateful ops").
+  * Each operator has a batch twin whose equality is asserted in the
+  * test suite, so the streaming path inherits the batch oracles.
+  *
+  * Scale notes: all three operators shuffle once on their grouping key
+  * and keep state bounded — windowed counts by watermark eviction,
+  * sessions by per-user open-session state (one small record per
+  * active user), fingerprints by O(numBuckets) running sums.
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  // not private: the state encoder's generated code must reach the ctor
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming twin of the batch `q12_time_bucket` query. In append
+    * mode a window emits once its watermark passes; state is bounded
+    * by (watermark horizon / window width) per key.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Batch sessionization: per user, a >30-min gap starts a new
+    * session. Single shuffle on user_id; windows are partition-local.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev")) > SessionGapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  // state tracks MICROsecond epochs: Timestamp.getTime alone truncates
+  // to ms and would disagree with the batch twin's full precision
+  private def toMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: one
+    * OpenSession record per active user; a batch's events are sorted
+    * in-group, gaps close sessions (emitted), the trailing session
+    * stays open in state for the next trigger. Closed sessions agree
+    * exactly with [[sessionizeBatch]] (asserted in StreamingSpec).
+    */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val ts = it.map(e => toMicros(e.ts)).toArray.sorted
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (t <- ts) {
+            open match {
+              // gap decided at ms precision — bit-identical to the
+              // batch twin's unix_millis comparison
+              case Some(o) if math.floorDiv(t, 1000L) - math.floorDiv(o.last, 1000L) <= SessionGapMs =>
+                open = Some(o.copy(last = t, n = o.n + 1))
+              case Some(o) =>
+                closed += Session(userId, fromMicros(o.start), fromMicros(o.last), o.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Incremental dataset fingerprint: the streaming twin of
+    * [[graft.diff.Comparator.fingerprints]] — per-bucket running
+    * (count, hash-sum) updated per micro-batch. Comparing two streams'
+    * fingerprint tables gives a continuously-maintained dataset diff at
+    * O(numBuckets) state, any scale.
+    */
+  def incrementalFingerprints(df: DataFrame, numBuckets: Int): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = Canonicalizer.withCanon(df)
+    c.withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__h").cast(dec38)).as("hsum"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.{GraftSession, SparkSpec}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def eventsDf = GraftSession.table(spark, Sf0001, "events")
+    .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"))
+
+  private def typedEvents: Seq[Streaming.Event] =
+    eventsDf.as[Streaming.Event].collect().toSeq
+
+  test("windowed counts: streaming complete-mode result equals batch groupBy") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    mem.addData(typedEvents)
+    // complete mode needs no watermark eviction — drop it for the twin check
+    val agg = mem.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("wc")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = eventsDf
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming sessionization equals batch sessionization (sentinel-closed)") {
+    implicit val sq = spark.sqlContext
+    val events = typedEvents
+    // sentinel event far in the future closes every open session
+    val sentinelTs = events.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000
+    val sentinels = events.map(_.user_id).distinct.map(u =>
+      Streaming.Event(-1L, new Timestamp(sentinelTs), u, "sentinel", 0.0))
+
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // two triggers: first half, then rest + sentinels (state carries over)
+      val (a, b) = events.sortBy(_.ts.getTime).splitAt(events.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b ++ sentinels); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batch = Streaming.sessionizeBatch(eventsDf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("incremental fingerprints converge to the batch fingerprints") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.incrementalFingerprints(mem.toDF(), numBuckets = 32)
+      .writeStream.format("memory").queryName("fp").outputMode("complete").start()
+    try {
+      val (a, b) = typedEvents.splitAt(typedEvents.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    val batch = Streaming.incrementalFingerprints(
+      eventsDf, numBuckets = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+}
