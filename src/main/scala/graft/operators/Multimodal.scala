@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extraction /
+  * resize / frame-sampling pipelines.
+  *
+  * The Spark-side plumbing is real — binary schema, per-partition
+  * batched iteration, explode shapes, codegen'd expressions. The codec
+  * itself is a clearly-marked DETERMINISTIC STUB (this container has no
+  * image/audio libraries): "decoding" derives features from md5 of the
+  * payload, so every pipeline has an exact cross-engine oracle and
+  * swapping in a real codec only replaces [[StubCodec]].
+  *
+  * Scale notes: all operators are narrow (no shuffle) over the payload
+  * column; at 100 TB the binary column dominates scan cost, so
+  * pipelines project metadata/features early and never carry payloads
+  * past the first select. Payload-heavy stages are embarrassingly
+  * parallel map partitions.
+  */
+object Multimodal {
+
+  /** Typed decoded-media record (the mapPartitions pipeline output). */
+  final case class DecodedMedia(
+      media_id: Long, kind: String, n_bytes: Long, checksum: String,
+      features: Array[Float])
+
+  /** ======================= STUB CODEC =======================
+    * Stands in for a real image/audio/video codec. Deterministic:
+    * features are md5-derived from the payload bytes. Replace `decode`
+    * with a real library call to productionize; everything downstream
+    * (schema, batching, partitioning) stays as-is.
+    */
+  object StubCodec {
+    val FeatureDim = 4
+    def md5hex(bytes: Array[Byte]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(bytes).map("%02x".format(_)).mkString
+    }
+    /** STUB decode: payload → FeatureDim floats in [0,1). */
+    def decode(payload: Array[Byte]): Array[Float] =
+      (0 until FeatureDim).map { j =>
+        val h = md5hex((new String(payload, "UTF-8") + "|" + j).getBytes("UTF-8"))
+        (java.lang.Long.parseLong(h.substring(0, 8), 16).toDouble / 4294967296.0).toFloat
+      }.toArray
+  }
+
+  /** Media catalog over documents: text payloads stand in for encoded
+    * media (opaque bytes); kind and dimensions are deterministic
+    * functions of the id. Column-pruning note: `meta` is a nested
+    * struct so pipelines that only need metadata never touch `payload`.
+    */
+  def mediaCatalog(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        (pmod(col("doc_id"), lit(1280)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(720)) + 1).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(3)) * 16000 + 8000).cast("int").as("sample_rate")).as("meta"))
+
+  /** Feature extraction as codegen'd Catalyst expressions (oracle-able
+    * twin of the typed [[decodePipeline]]): feature j = first 8 hex
+    * digits of md5(payload ‖ '|' ‖ j) / 2³².
+    */
+  def extractFeatures(catalog: DataFrame): DataFrame = {
+    def feat(j: Int): Column =
+      (conv(substring(md5(concat(col("payload"),
+        lit(s"|$j").cast("binary"))), 1, 8), 16, 10).cast("long").cast("double")
+        / lit(4294967296.0)).as(s"f$j")
+    val fs = (0 until StubCodec.FeatureDim).map(feat)
+    catalog.select(
+      col("media_id") +: col("kind") +: col("meta.n_bytes").as("n_bytes") +: fs: _*)
+  }
+
+  /** The typed per-partition decode pipeline — the Scala analog of a
+    * batched decode UDF: one codec instance per partition, rows
+    * streamed through it, typed output. Equality with
+    * [[extractFeatures]] is asserted in the test suite.
+    */
+  def decodePipeline(catalog: DataFrame): Dataset[DecodedMedia] = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup (real codecs amortize init here)
+        it.map { case (id, kind, payload) =>
+          DecodedMedia(id, kind, payload.length.toLong,
+            StubCodec.md5hex(payload), StubCodec.decode(payload))
+        }
+      }
+  }
+
+  /** Frame sampling for video payloads: n equal byte-range "frames"
+    * per payload (remainder dropped — sampling), exploded to one row
+    * per frame with its checksum. The explode keeps frame bytes out of
+    * the output (checksum only) — at scale the payload never shuffles.
+    */
+  def frameSample(catalog: DataFrame, numFrames: Int = 4): DataFrame = {
+    val flen = (col("meta.n_bytes") / numFrames).cast("int")
+    catalog
+      .where(col("kind") === "video" && flen > 0)
+      .select(col("media_id"), col("payload"), flen.as("flen"),
+        explode(sequence(lit(0), lit(numFrames - 1))).as("frame_idx"))
+      .select(
+        col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(substring(col("payload"), col("frame_idx") * col("flen") + 1, col("flen")))
+          .as("frame_md5"))
+  }
+
+  /** Resize stub: metadata transform (exact target dims) + payload
+    * "re-encode" stub (truncation to the area-scaled byte budget).
+    * Returns new metadata + checksum of the re-encoded payload.
+    */
+  def resizeStub(catalog: DataFrame, w: Int, h: Int): DataFrame = {
+    val scale = (lit(w.toLong * h) / (col("meta.width").cast("long") * col("meta.height")))
+    val newBytes = greatest(lit(1),
+      least(col("meta.n_bytes"), ceil(col("meta.n_bytes") * scale))).cast("int")
+    catalog
+      .where(col("kind") === "image")
+      .select(
+        col("media_id"),
+        lit(w).as("width"), lit(h).as("height"),
+        newBytes.cast("long").as("n_bytes"),
+        md5(substring(col("payload"), lit(1), newBytes)).as("checksum"))
+  }
+
+  // ---------------------------------------------------------------- gate
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_catalog" -> ((s, dir) =>
+      mediaCatalog(table(s, dir, "documents"))
+        .select(col("media_id"), col("kind"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sample_rate").as("sample_rate"))
+        .orderBy("media_id")),
+    "mm_features" -> ((s, dir) =>
+      extractFeatures(mediaCatalog(table(s, dir, "documents"))).orderBy("media_id")),
+    "mm_frames" -> ((s, dir) =>
+      frameSample(mediaCatalog(table(s, dir, "documents"))).orderBy("media_id", "frame_idx")),
+  )
+
+  private def hex8ToInt(expr: String): String =
+    s"""list_sum(list_transform(range(1, 9),
+       | i -> CAST((strpos('0123456789abcdef', substr($expr, i, 1)) - 1) AS BIGINT)
+       |      * CAST(POWER(16, 8 - i) AS BIGINT)))""".stripMargin.replaceAll("\\s+", " ")
+
+  def oracles: Map[String, String] = Map(
+    "mm_catalog" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(doc_id % 1280 + 1 AS INT) AS width,
+        | CAST(doc_id % 720 + 1 AS INT) AS height,
+        | CAST((doc_id % 3) * 16000 + 8000 AS INT) AS sample_rate
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_features" ->
+      s"""SELECT doc_id AS media_id,
+         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         | ${(0 until StubCodec.FeatureDim).map(j =>
+             s"CAST(${hex8ToInt(s"md5(text || '|$j')")} AS DOUBLE) / 4294967296.0 AS f$j")
+             .mkString(",\n ")}
+         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      """WITH v AS (
+        | SELECT doc_id AS media_id, text,
+        |  CAST(octet_length(encode(text)) // 4 AS INT) AS flen
+        | FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 4)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | md5(substr(text, frame_idx * flen + 1, flen)) AS frame_md5
+        |FROM v, UNNEST(range(0, 4)) AS r(frame_idx)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+  )
+}
