@@ -112,7 +112,10 @@ object Similarity {
       .join(queries, Seq("t", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("v"))
-      .distinct() // a pair colliding in several tables counts once
+      // a pair colliding in several tables counts once; dedup on the
+      // pair KEYS (cheap fixed-width shuffle) — a full distinct would
+      // compare the embedding arrays too
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
