@@ -189,6 +189,69 @@ object Relational {
         table(s, dir, "events")
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
         .orderBy("user_id", "session_start")),
+
+    // As-of join: each click paired with the user's most recent
+    // at-or-before purchase. Implemented the scale way — union the two
+    // event roles, one window pass per user ordered by time (single
+    // shuffle on user_id, no range-condition row explosion; a
+    // nested-loop BETWEEN join would be O(clicks × purchases) per user).
+    "q14_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(null).cast("timestamp").as("p_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"), col("ts").as("p_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("p_ts").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("asof_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .where(col("event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("asof_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Range join: orders banded by price against an in-query band
+    // dimension. The band table is broadcast; the non-equi condition
+    // runs as a broadcast nested-loop over 4 rows — never a shuffle.
+    "q15_range_join" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val bands = broadcast(Seq(
+        ("low", 0d, 100000d), ("mid", 100000d, 200000d),
+        ("high", 200000d, 300000d), ("top", 300000d, 1e9))
+        .toDF("band", "lo", "hi"))
+      table(s, dir, "orders")
+        .join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+        .orderBy("band")
+    }),
+
+    // Pivot: order counts by status × priority, explicit pivot values
+    // so the output schema is deterministic.
+    "q16_pivot" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderstatus"), col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+          col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"), col("5-LOW").as("p5"))
+        .orderBy("o_orderstatus")),
+
+    // Exact percentiles (continuous interpolation) per group.
+    "q17_percentiles" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .orderBy("l_returnflag")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -269,6 +332,34 @@ object Relational {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS asof_purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q15_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        | ('low', 0, 100000), ('mid', 100000, 200000),
+        | ('high', 200000, 300000), ('top', 300000, 1000000000))
+        |SELECT band, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q16_pivot" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        | COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        | COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        | COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        | COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q17_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.9) AS p90,
+        | quantile_cont(l_extendedprice, 0.99) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q13_sessionize" ->
       """WITH e AS (
         | SELECT user_id, ts,
