@@ -83,9 +83,11 @@ object Similarity {
     val buckets = (0 until NumTables).map { t =>
       val bits = (0 until BitsPerTable).map { b =>
         val p = t * BitsPerTable + b
-        val proj = (0 until Dim).map { j =>
-          element_at(col("v"), j + 1) * lit(planeSign(p, j).toLong)
-        }.reduce(_ + _)
+        // projection = dot with the literal ±1 plane vector via the
+        // native codegen'd dot_long — a 64-term sum expression tree per
+        // plane (1024 nodes total) blew past codegen limits
+        val plane = typedLit((0 until Dim).map(j => planeSign(p, j).toLong))
+        val proj = graft.functions.DotLong(col("v"), plane)
         when(proj > 0, lit(1L << (BitsPerTable - 1 - b))).otherwise(lit(0L))
       }
       bits.reduce(_ + _).as(s"sig$t")
