@@ -228,6 +228,44 @@ object Comparator {
     compare(src, tgt, opts.copy(numBuckets = buckets))
   }
 
+  /** Key-uniqueness validation (SURVEY §7.4 hazard 2): the reference's
+    * OFFSET chunking silently produces wrong results when the user's
+    * ORDER BY is not a total order; our hash bucketing doesn't need an
+    * order at all, but KEYED operations (columnDiff) do need unique
+    * keys — validate explicitly instead of failing subtly.
+    */
+  def validateKeys(df: DataFrame, keys: Seq[String]): Unit = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(col): _*)).as("d")).head()
+    if (r.getLong(0) != r.getLong(1))
+      throw new IllegalArgumentException(
+        s"Keys ${keys.mkString(",")} are not unique: ${r.getLong(0)} rows, ${r.getLong(1)} distinct keys")
+  }
+
+  /** Column-level diff: which COLUMNS changed for rows present on both
+    * sides (keyed). Returns (keys…, column, src_value, tgt_value) —
+    * one row per changed cell, null-safe comparison. Finer-grained
+    * than the reference's whole-row orphan print
+    * (/root/reference/main.py:116-137). Single full-outer join on the
+    * keys; the per-column comparison is a codegen'd projection.
+    */
+  def columnDiff(src: DataFrame, tgt: DataFrame, keys: Seq[String]): DataFrame = {
+    val nonKeys = src.columns.filterNot(keys.contains).toSeq
+    val joinCond = keys.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _)
+    val j = src.alias("s").join(tgt.alias("t"), joinCond, "full_outer")
+    val cells = array(nonKeys.map { c =>
+      when(!(col(s"s.$c") <=> col(s"t.$c")),
+        struct(lit(c).as("column"),
+          col(s"s.$c").cast("string").as("src_value"),
+          col(s"t.$c").cast("string").as("tgt_value")))
+    }: _*)
+    val keyCols = keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k))
+    j.select(keyCols :+ explode(filter(cells, x => x.isNotNull)).as("d"): _*)
+      .select(keys.map(col) :+ col("d.column").as("column") :+
+        col("d.src_value").as("src_value") :+ col("d.tgt_value").as("tgt_value"): _*)
+  }
+
   /** Config-style entry: compare two SQL queries over registered views —
     * the analog of the reference executing the user's `qry` in each
     * database (/root/reference/scribedb/base.py:39).

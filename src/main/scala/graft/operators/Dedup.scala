@@ -82,8 +82,29 @@ object Dedup {
     * both sides of the self-join) — persisted so the tokenize/explode/
     * distinct pass runs once, not three times.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleDf(docs).persist()
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairs(docs, threshold, maxDocFreq = None)
+
+  /** `maxDocFreq`: drop shingles appearing in more than N documents
+    * before the self-join — the standard prefix-filtering/stop-shingle
+    * bound. A shingle in f docs contributes f² candidate pairs to the
+    * shuffle while only ever supporting low-jaccard matches, so hot
+    * shingles are both the skew hazard AND the least informative;
+    * dropping them bounds the largest join group at maxDocFreq².
+    * NOTE: jaccard is then computed over the FILTERED shingle sets
+    * (documented approximation — the reason the unfiltered variant
+    * remains the exactness baseline).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, maxDocFreq: Option[Int]): DataFrame = {
+    val all = shingleDf(docs)
+    val sh0 = maxDocFreq match {
+      case Some(f) =>
+        val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .where(col("df") > f).select(col("shingle"))
+        all.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => all
+    }
+    val sh = sh0.persist()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -192,6 +213,10 @@ object Dedup {
     "dd_jaccard" -> ((s, dir) =>
       jaccardPairs(table(s, dir, "documents"), 0.1).orderBy("doc_a", "doc_b")),
 
+    // stop-shingle prefiltered variant (maxDocFreq = 20)
+    "dd_jaccard_prefiltered" -> ((s, dir) =>
+      jaccardPairs(table(s, dir, "documents"), 0.1, Some(20)).orderBy("doc_a", "doc_b")),
+
     "dd_simhash" -> ((s, dir) =>
       simhash(table(s, dir, "documents")).orderBy("doc_id")),
 
@@ -249,6 +274,21 @@ object Dedup {
          | SELECT doc_id, 3, md5(h6 || h7) FROM sig)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_jaccard_prefiltered" ->
+      s"""WITH sh0 AS ($shingleSql),
+         |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 20),
+         |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+         |FROM common
+         | JOIN cnt ca ON ca.doc_id = doc_a
+         | JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_jaccard" ->
       s"""WITH sh AS ($shingleSql),

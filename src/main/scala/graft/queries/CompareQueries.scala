@@ -152,7 +152,32 @@ object CompareQueries {
         graft.functions.Parity.pgRecordText(d, Seq("doc_id", "text", "lang")).as("rec"))
         .orderBy("doc_id")
     }),
+
+    // Column-level keyed diff: WHICH cells changed, not just which
+    // rows — finer-grained than the reference's whole-row orphan print.
+    // Keyed on orders.o_orderkey (unique — validated; lineitem's
+    // (orderkey, linenumber) is NOT unique in this corpus).
+    "cmp_column_diff" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      Comparator.validateKeys(o, Seq("o_orderkey"))
+      Comparator.columnDiff(o, mutatedOrders(o), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column")
+    }),
   )
+
+  /** orders with the min-orderkey row's o_totalprice bumped by 1. */
+  def mutatedOrders(o: DataFrame): DataFrame = {
+    val mk = broadcast(o.agg(min(col("o_orderkey")).as("__mk")))
+    o.crossJoin(mk)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === col("__mk"), col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .drop("__mk")
+      .select(o.columns.map(col).toIndexedSeq: _*)
+  }
+
+  private val ordNonKeyCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
 
   private val liCanonSql =
     """l_orderkey || '|' || l_linenumber || '|' ||
@@ -224,5 +249,22 @@ object CompareQueries {
         | || CASE WHEN regexp_matches(text, '\s') THEN '"' || text || '"' ELSE COALESCE(text, '') END || ','
         | || COALESCE(lang, '') || ')' AS rec
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "cmp_column_diff" -> {
+      val unions = ordNonKeyCols.map { c =>
+        s"""SELECT o_orderkey, '$c' AS "column",
+           | CAST(s.$c AS VARCHAR) AS src_value, CAST(t.$c AS VARCHAR) AS tgt_value
+           |FROM orders s JOIN tgt t USING (o_orderkey)
+           |WHERE s.$c IS DISTINCT FROM t.$c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tgt AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |   CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+         |        THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         |   o_orderdate, o_orderpriority
+         |  FROM orders)
+         |SELECT * FROM (
+         |$unions
+         |) ORDER BY o_orderkey, "column"""".stripMargin
+    },
   )
 }
