@@ -252,6 +252,16 @@ object Relational {
           expr("percentile(l_quantity, 0.9)").as("p90"),
           expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
         .orderBy("l_returnflag")),
+
+    // JSON functions over the events.props payload column.
+    "q18_json" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -360,6 +370,11 @@ object Relational {
         | quantile_cont(l_quantity, 0.9) AS p90,
         | quantile_cont(l_extendedprice, 0.99) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_json" ->
+      """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+        | MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_sessionize" ->
       """WITH e AS (
         | SELECT user_id, ts,

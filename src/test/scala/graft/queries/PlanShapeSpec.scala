@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape assertions: the scale claims in the operator docs
+  * (pushdown, pruning, broadcast, bounded shuffles) checked against
+  * the actual physical plans — not just believed.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def initialPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+
+  test("filter + projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
+    val q = Relational.queries("q2_filter_project")(spark, Sf0001)
+    val scanLine = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("PushedFilters: ["), scanLine)
+    assert(scanLine.contains("GreaterThan(l_quantity") || scanLine.contains("IsNotNull"), scanLine)
+    // pruned read schema: only the 3 projected + filtered columns
+    val readSchema = scanLine.substring(scanLine.indexOf("ReadSchema:"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact table for q3)") {
+    val q = Relational.queries("q3_join_broadcast")(spark, Sf0001)
+    val plan = planString(q)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, never a global sort") {
+    val q = Relational.queries("q6_topk")(spark, Sf0001)
+    val plan = planString(q)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("comparator fingerprint aggregation is map-side partial (two-phase HashAggregate)") {
+    val li = GraftSession.table(spark, Sf0001, "lineitem")
+    val fp = graft.diff.Comparator.fingerprints(graft.diff.Comparator.withBuckets(li, 64))
+    val plan = planString(fp)
+    // partial_ + final aggregate pair around one exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    val shuffles = initialPlan(fp).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"expected exactly 1 shuffle, got ${shuffles.size}")
+  }
+
+  test("q1 aggregation shuffles only once (partial agg before the exchange)") {
+    val q = Relational.queries("q1_agg")(spark, Sf0001)
+    val shuffles = initialPlan(q).collect { case s: ShuffleExchangeExec => s }
+    // one for groupBy, one for the final orderBy (range partitioning)
+    assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles")
+  }
+}
