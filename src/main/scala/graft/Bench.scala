@@ -11,9 +11,12 @@ object Bench {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scan paths so the first timed query doesn't
-    // absorb several seconds of one-time startup cost
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
+    // absorb several seconds of one-time startup cost — including the
+    // comparator's plan family (canon + fingerprints + exceptAll)
+    val warm = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(512)
+    warm.groupBy("l_returnflag").count().count()
+    graft.diff.Comparator.compare(warm, warm.limit(500),
+      graft.diff.CompareOptions(numBuckets = 8))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
