@@ -119,4 +119,30 @@ object Streaming {
       .groupBy(col("__bucket"))
       .agg(count(lit(1)).as("cnt"), sum(col("__h").cast(dec38)).as("hsum"))
   }
+
+  /** Continuous two-stream diff: union both streams with a side tag
+    * and keep ONE stateful aggregation of per-(bucket, side)
+    * fingerprints — a live `mismatch` flag per bucket, O(numBuckets)
+    * state total. The streaming generalization of
+    * [[graft.diff.Comparator.compare]]'s fingerprint join: when both
+    * streams have delivered the same bag of rows, every bucket's
+    * mismatch is false; a bucket stays flagged while the sides
+    * disagree (e.g. one stream lags).
+    */
+  def diffStreams(src: DataFrame, tgt: DataFrame, numBuckets: Int): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def prep(df: DataFrame, side: String): DataFrame =
+      Canonicalizer.withCanon(df)
+        .withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
+        .select(col("__bucket"), col("__h"), lit(side).as("__side"))
+    prep(src, "s").unionByName(prep(tgt, "t"))
+      .groupBy(col("__bucket"))
+      .agg(
+        sum(when(col("__side") === "s", 1L).otherwise(0L)).as("s_cnt"),
+        sum(when(col("__side") === "t", 1L).otherwise(0L)).as("t_cnt"),
+        sum(when(col("__side") === "s", col("__h").cast(dec38)).otherwise(lit(0).cast(dec38))).as("s_hsum"),
+        sum(when(col("__side") === "t", col("__h").cast(dec38)).otherwise(lit(0).cast(dec38))).as("t_hsum"))
+      .withColumn("mismatch",
+        col("s_cnt") =!= col("t_cnt") || !(col("s_hsum") <=> col("t_hsum")))
+  }
 }

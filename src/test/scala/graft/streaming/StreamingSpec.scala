@@ -65,6 +65,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("two-stream diff: mismatch while one side lags, clean once both delivered") {
+    implicit val sq = spark.sqlContext
+    val memS = MemoryStream[Streaming.Event]
+    val memT = MemoryStream[Streaming.Event]
+    val q = Streaming.diffStreams(memS.toDF(), memT.toDF(), numBuckets = 16)
+      .writeStream.format("memory").queryName("sdiff").outputMode("complete").start()
+    try {
+      val events = typedEvents
+      memS.addData(events); q.processAllAvailable()
+      val lagging = spark.table("sdiff").where(col("mismatch")).count()
+      assert(lagging > 0) // target has delivered nothing yet
+      memT.addData(events); q.processAllAvailable()
+      val converged = spark.table("sdiff").where(col("mismatch")).count()
+      assert(converged == 0, s"still $converged mismatched buckets after convergence")
+    } finally q.stop()
+  }
+
+  test("two-stream diff flags a mutated stream permanently") {
+    implicit val sq = spark.sqlContext
+    val memS = MemoryStream[Streaming.Event]
+    val memT = MemoryStream[Streaming.Event]
+    val q = Streaming.diffStreams(memS.toDF(), memT.toDF(), numBuckets = 16)
+      .writeStream.format("memory").queryName("sdiff2").outputMode("complete").start()
+    try {
+      val events = typedEvents
+      val mutated = events.head.copy(value = events.head.value + 1) +: events.tail
+      memS.addData(events); memT.addData(mutated); q.processAllAvailable()
+      val bad = spark.table("sdiff2").where(col("mismatch")).count()
+      assert(bad >= 1 && bad <= 2) // mutated row's old and new buckets
+    } finally q.stop()
+  }
+
   test("incremental fingerprints converge to the batch fingerprints") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
