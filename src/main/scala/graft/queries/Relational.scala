@@ -253,6 +253,27 @@ object Relational {
           expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
         .orderBy("l_returnflag")),
 
+    // Full grouping-sets lattice via cube (rollup covered by q7).
+    "q19_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Correlated scalar subquery: orders above their customer's average.
+    // Catalyst decorrelates this into an aggregate + join — no
+    // per-row subquery execution.
+    "q20_corr_subquery" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("__orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM __orders o
+          |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM __orders i
+          |                            WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // JSON functions over the events.props payload column.
     "q18_json" -> ((s, dir) =>
       table(s, dir, "events")
@@ -370,6 +391,17 @@ object Relational {
         | quantile_cont(l_quantity, 0.9) AS p90,
         | quantile_cont(l_extendedprice, 0.99) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q19_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q20_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q18_json" ->
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
