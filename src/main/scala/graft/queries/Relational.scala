@@ -274,6 +274,30 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Unpivot (wide → long) via stack — the inverse of q16's pivot.
+    "q21_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("price"),
+          sum(col("l_discount").cast(dec)).cast("double").as("disc"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, value)")
+        .orderBy("l_returnflag", "measure")),
+
+    // Approximate distinct (HLL++ sketch): implementation-specific
+    // estimates, so no exact cross-engine oracle — accuracy vs exact
+    // counts is asserted in the test suite instead (±5%). At 100 TB
+    // this replaces a two-phase exact distinct (full shuffle of the
+    // distinct keys) with constant-size mergeable sketch state.
+    "q22_approx_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // JSON functions over the events.props payload column.
     "q18_json" -> ((s, dir) =>
       table(s, dir, "events")
@@ -402,6 +426,21 @@ object Relational {
         |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders i
         |                            WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // q22_approx_distinct: deliberately NO oracle — HLL estimates are
+    // engine-specific (driver records the weaker rows-only check);
+    // accuracy is asserted in RelationalSpec instead.
+    "q21_unpivot" ->
+      """WITH a AS (
+        | SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        | SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+        | UNION ALL SELECT l_returnflag, 'price', price FROM a
+        | UNION ALL SELECT l_returnflag, 'disc', disc FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q18_json" ->
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
