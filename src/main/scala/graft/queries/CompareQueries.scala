@@ -153,6 +153,23 @@ object CompareQueries {
         .orderBy("doc_id")
     }),
 
+    // The reference's own worked example, end to end: t_test(a,b,c)
+    // with 50,000 generated rows, one row mutated (`update … where
+    // a=50`), the mutated row reported from BOTH sides
+    // (/root/reference/example.md:116-122,259-325). Bench-comparable
+    // to BASELINE's ~16 s wall for this exact scenario.
+    "cmp_ref_scenario" -> ((s, dir) => {
+      val src = s.range(1, 50001).select(
+        col("id").cast("int").as("a"),
+        (col("id") % 1000).cast("int").as("b"),
+        concat(lit("the quick brown fox jumped over the lazy dog number "), col("id")).as("c"))
+      val tgt = src
+        .withColumn("b", when(col("a") === 50, col("b") + 10).otherwise(col("b")))
+        .withColumn("c", when(col("a") === 50, concat(col("c"), lit(" changed"))).otherwise(col("c")))
+      val rep = Comparator.compare(src, tgt, CompareOptions(numBuckets = 512))
+      rep.orphans.orderBy("side", "a")
+    }),
+
     // Column-level keyed diff: WHICH cells changed, not just which
     // rows — finer-grained than the reference's whole-row orphan print.
     // Keyed on orders.o_orderkey (unique — validated; lineitem's
@@ -249,6 +266,20 @@ object CompareQueries {
         | || CASE WHEN regexp_matches(text, '\s') THEN '"' || text || '"' ELSE COALESCE(text, '') END || ','
         | || COALESCE(lang, '') || ')' AS rec
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "cmp_ref_scenario" ->
+      """WITH src AS (
+        | SELECT CAST(r AS INT) AS a, CAST(r % 1000 AS INT) AS b,
+        |  'the quick brown fox jumped over the lazy dog number ' || r AS c
+        | FROM range(1, 50001) AS t(r)),
+        |tgt AS (
+        | SELECT a,
+        |  CASE WHEN a = 50 THEN b + 10 ELSE b END AS b,
+        |  CASE WHEN a = 50 THEN c || ' changed' ELSE c END AS c
+        | FROM src)
+        |SELECT 'source' AS side, * FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt)
+        |UNION ALL
+        |SELECT 'target' AS side, * FROM (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src)
+        |ORDER BY side, a""".stripMargin,
     "cmp_column_diff" -> {
       val unions = ordNonKeyCols.map { c =>
         s"""SELECT o_orderkey, '$c' AS "column",
