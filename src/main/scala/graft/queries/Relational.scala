@@ -298,6 +298,56 @@ object Relational {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // Window-function battery beyond q5's row_number/running-sum:
+    // lead/lag/rank/dense_rank/ntile/percent_rank/cume_dist.
+    "q23_window_battery" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
+    // String-function battery: levenshtein, pad, translate,
+    // regexp_extract, reverse, repeat, split-part.
+    "q24_string_battery" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .where(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          levenshtein(col("o_orderpriority"), lit("1-URGENT")).cast("long").as("lev"),
+          lpad(col("o_orderstatus"), 5, "_").as("padded"),
+          translate(col("o_orderpriority"), "-", "_").as("translated"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1).as("prio_num"),
+          reverse(col("o_orderstatus")).as("rev"),
+          repeat(col("o_orderstatus"), 3).as("rep"),
+          split(col("o_orderpriority"), "-").getItem(1).as("prio_word"))
+        .orderBy("o_orderkey")),
+
+    // Date arithmetic battery: add/diff/trunc/last_day/extract — all
+    // integer-exact across engines.
+    "q25_date_battery" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .where(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          datediff(lit("1998-12-01").cast("date"), col("o_orderdate")).cast("long").as("age_days"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"))
+        .orderBy("o_orderkey")),
+
     // JSON functions over the events.props payload column.
     "q18_json" -> ((s, dir) =>
       table(s, dir, "events")
@@ -441,6 +491,37 @@ object Relational {
         | UNION ALL SELECT l_returnflag, 'price', price FROM a
         | UNION ALL SELECT l_returnflag, 'disc', disc FROM a)
         |ORDER BY l_returnflag, measure""".stripMargin,
+    "q23_window_battery" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | lag(o_orderkey, 1) OVER w AS prev_key,
+        | lead(o_orderkey, 1) OVER w AS next_key,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS prank,
+        | cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q24_string_battery" ->
+      """SELECT o_orderkey,
+        | CAST(levenshtein(o_orderpriority, '1-URGENT') AS BIGINT) AS lev,
+        | lpad(o_orderstatus, 5, '_') AS padded,
+        | translate(o_orderpriority, '-', '_') AS translated,
+        | regexp_extract(o_orderpriority, '^(\d+)-', 1) AS prio_num,
+        | reverse(o_orderstatus) AS rev,
+        | repeat(o_orderstatus, 3) AS rep,
+        | split_part(o_orderpriority, '-', 2) AS prio_word
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q25_date_battery" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS age_days,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+        | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        | CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS woy
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q18_json" ->
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
