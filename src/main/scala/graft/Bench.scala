@@ -15,7 +15,7 @@ object Bench {
     // real cmp_* plan family EXACTLY (same schema, same mutated
     // lineage, same bucket count) so janino's codegen cache hits on
     // the timed runs.
-    val warmLi = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(2000)
+    val warmLi = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
     warmLi.groupBy("l_returnflag").count().count()
     graft.diff.Comparator.compare(
       warmLi, graft.queries.CompareQueries.mutated(warmLi),

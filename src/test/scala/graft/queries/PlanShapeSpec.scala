@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size == 1, s"expected exactly 1 shuffle, got ${shuffles.size}")
   }
 
+  test("star join broadcasts the dimension chain — the fact table never shuffles for the join") {
+    val q = Relational.queries("q4_join_multi")(spark, Sf0001)
+    val plan = planString(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchanges are for the final aggregation/sort, not a
+    // fact-table join shuffle: no SortMergeJoin anywhere
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q1 aggregation shuffles only once (partial agg before the exchange)") {
     val q = Relational.queries("q1_agg")(spark, Sf0001)
     val shuffles = initialPlan(q).collect { case s: ShuffleExchangeExec => s }
