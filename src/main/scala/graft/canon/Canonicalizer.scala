@@ -45,7 +45,11 @@ object Canonicalizer {
     coalesce(rendered, lit(NullToken))
   }
 
-  /** Canonical text of a whole row over the given columns (default: all). */
+  /** Canonical text of a whole row over the given columns (default:
+    * all). Fast display form: separator-joined. NOT injective when a
+    * string value can contain FieldSep — use [[canonRowStrict]] where
+    * false-equal is unacceptable.
+    */
   def canonRow(df: DataFrame, cols: Seq[String] = Nil): Column = {
     val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
     val fields = names.map { n =>
@@ -55,15 +59,28 @@ object Canonicalizer {
     concat_ws(FieldSep, fields: _*)
   }
 
+  /** Injective canonical text: the pre-rendered fields wrapped in JSON
+    * (exact escaping — `("a","b")` and `("a","b")` stay
+    * distinct, unlike the separator-joined form). Still a pure
+    * codegen'd expression; this is the comparator's default.
+    */
+  def canonRowStrict(df: DataFrame, cols: Seq[String] = Nil): Column = {
+    val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
+    val fields = names.zipWithIndex.map { case (n, i) =>
+      canonCol(df.col(n), df.schema(n).dataType).as(s"c$i")
+    }
+    to_json(struct(fields: _*))
+  }
+
   /** 64-bit hash of the canonical row — the unit of bag-equality.
     * xxhash64 is codegen'd and an order-of-magnitude cheaper than md5;
-    * md5 remains available for parity fingerprints (Fingerprints.scala).
+    * md5 remains available for parity fingerprints (Parity.scala).
     */
   def canonHash(df: DataFrame, cols: Seq[String] = Nil): Column =
     xxhash64(canonRow(df, cols))
 
-  /** df + `__canon` and `__h` columns appended. */
+  /** df + `__canon` and `__h` columns appended (strict/injective form). */
   def withCanon(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
-    df.withColumn("__canon", canonRow(df, cols))
+    df.withColumn("__canon", canonRowStrict(df, cols))
       .withColumn("__h", xxhash64(col("__canon")))
 }

@@ -48,4 +48,21 @@ class CanonicalizerSpec extends SparkSpec {
     val c = df.select(Canonicalizer.canonRow(df, Seq("a", "b")).as("c")).as[String].head()
     assert(c == s"1${Canonicalizer.FieldSep}x")
   }
+
+  test("strict canon is injective where the fast form collides") {
+    val sep = Canonicalizer.FieldSep
+    val df1 = Seq((s"a$sep", "b")).toDF("x", "y")
+    val df2 = Seq(("a", s"${sep}b")).toDF("x", "y")
+    // fast form collides by construction…
+    val f1 = df1.select(Canonicalizer.canonRow(df1).as("c")).as[String].head()
+    val f2 = df2.select(Canonicalizer.canonRow(df2).as("c")).as[String].head()
+    assert(f1 == f2)
+    // …strict form distinguishes, so the comparator does too
+    val s1 = df1.select(Canonicalizer.canonRowStrict(df1).as("c")).as[String].head()
+    val s2 = df2.select(Canonicalizer.canonRowStrict(df2).as("c")).as[String].head()
+    assert(s1 != s2)
+    val rep = graft.diff.Comparator.compare(df1, df2,
+      graft.diff.CompareOptions(numBuckets = 4))
+    assert(!rep.identical)
+  }
 }
