@@ -197,6 +197,42 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise candidates into dedup CLUSTERS (keep one doc per
+    * component). Iterative min-label propagation: each round every
+    * vertex takes the min label among itself and its neighbors;
+    * converges in O(component diameter) rounds (near-dup clusters are
+    * shallow). Each round is one shuffle join + one aggregation, and
+    * the label table is persisted per round to cut lineage — the
+    * standard large-graph CC pattern (no driver-side graph).
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborLabels = sym
+        .join(labels.select(col("doc_id").as("v"), col("label")), Seq("v"))
+        .select(col("u").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .unionAll(neighborLabels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -228,6 +264,12 @@ object Dedup {
 
     "dd_embedding_pairs" -> ((s, dir) =>
       embeddingPairs(table(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")),
+
+    // MinHash pairs → connected components → dedup clusters + keepers.
+    "dd_dedup_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      connectedComponents(docs, minhashCandidates(docs)).orderBy("doc_id")
+    }),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
@@ -314,6 +356,25 @@ object Dedup {
          |FROM sh a, sh b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_dedup_clusters" ->
+      s"""WITH RECURSIVE sig AS ($minhashSql),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
+         | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
+         | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
+         | SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |edges AS (
+         | SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dd_embedding_pairs" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
         | FROM embeddings)

@@ -79,6 +79,19 @@ class OperatorsSpec extends SparkSpec {
     assert(recalls.sum / recalls.size > 0.2, s"mean recall too low: $recalls")
   }
 
+  test("connected components: chain and triangle collapse to min-id clusters") {
+    import spark.implicits._
+    val vertices = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3, triangle 4-5-6, singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(cc(1L) == (1L, true) && cc(2L) == (1L, false) && cc(3L) == (1L, false))
+    assert(cc(4L) == (4L, true) && cc(5L) == (4L, false) && cc(6L) == (4L, false))
+    assert(cc(7L) == (7L, true))
+  }
+
   test("token stats: n_tokens matches manual split") {
     import spark.implicits._
     val d = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
