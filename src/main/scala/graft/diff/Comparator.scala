@@ -41,13 +41,22 @@ final case class DiffReport(
     orphanTgt: Long,
     maxDelta: Long,
     orphans: DataFrame) {
-  def differences: Long = orphanSrc + orphanTgt
-  def identical: Boolean = differences == 0
+  /** True when row-level counts were not fetched (fetchRows=false with
+    * mismatched buckets) — difference is known but not quantified.
+    */
+  def countsUnknown: Boolean = orphanSrc < 0 || orphanTgt < 0
+  def differences: Long = if (countsUnknown) -1L else orphanSrc + orphanTgt
+  def identical: Boolean = mismatchedBuckets == 0
   /** Exit-code contract of the reference: 0 iff within tolerance
-    * (/root/reference/main.py:263-267). */
-  def withinTolerance: Boolean = differences <= maxDelta
+    * (/root/reference/main.py:263-267). Unquantified differences can
+    * never be "within" a tolerance.
+    */
+  def withinTolerance: Boolean =
+    identical || (!countsUnknown && differences <= maxDelta)
   def verdict: String =
     if (identical) "Datasets are identical"
+    else if (countsUnknown)
+      s"Datasets are different: $mismatchedBuckets mismatched buckets (row counts not fetched)"
     else s"Datasets are different: $orphanSrc source-only, $orphanTgt target-only rows" +
       (if (withinTolerance) s" (within maxDelta=$maxDelta)" else "")
 }

@@ -79,6 +79,10 @@ class ComparatorSpec extends SparkSpec {
     val rep = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64, fetchRows = false))
     assert(rep.mismatchedBuckets >= 1)
     assert(rep.orphans.isEmpty)
+    assert(!rep.identical)
+    // unquantified difference must NOT pass any tolerance (exit code 1)
+    assert(rep.countsUnknown && !rep.withinTolerance)
+    assert(rep.verdict.contains("mismatched buckets"))
   }
 
   test("empty inputs compare as identical (reference's empty-exit semantics)") {
