@@ -348,6 +348,17 @@ object Relational {
           weekofyear(col("o_orderdate")).cast("long").as("woy"))
         .orderBy("o_orderkey")),
 
+    // Lateral view / table-generating explode: one row per word with
+    // its position — the UDTF shape (reference has none, SURVEY §2.1).
+    "q26_explode" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), " +")).as(Seq("pos", "word")))
+        .where(col("pos") < 5)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+        .orderBy("doc_id", "pos")),
+
     // JSON functions over the events.props payload column.
     "q18_json" -> ((s, dir) =>
       table(s, dir, "events")
@@ -522,6 +533,13 @@ object Relational {
         | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
         | CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS woy
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q26_explode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+        |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+        |      FROM documents WHERE doc_id < 50),
+        |     UNNEST(range(1, len(ws) + 1)) AS r(i)
+        |WHERE i <= 5
+        |ORDER BY doc_id, pos""".stripMargin,
     "q18_json" ->
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,

@@ -93,6 +93,32 @@ class ConfigSpec extends SparkSpec {
     assert(rep.differences > 0)
   }
 
+  test("filtered-query config: both sides shaped by WHERE clauses, identical verdict") {
+    // mirrors the reference's filtered-query fixture
+    // (/root/reference/tests/yaml — filtered query shape)
+    graft.GraftSession.registerAll(spark, Sf0001)
+    val rep = Main.run(spark, ConfigLoader.fromYaml(
+      """source:
+        |  db: {type: sql, qry: "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000"}
+        |target:
+        |  db: {type: sql, qry: "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000"}
+        |num_buckets: 32
+        |""".stripMargin))
+    assert(rep.identical && rep.srcRows > 0)
+  }
+
+  test("single-column config compares (reference's single-column fixture shape)") {
+    graft.GraftSession.registerAll(spark, Sf0001)
+    val rep = Main.run(spark, ConfigLoader.fromYaml(
+      """source:
+        |  db: {type: sql, qry: "SELECT o_orderkey FROM orders"}
+        |target:
+        |  db: {type: sql, qry: "SELECT o_orderkey FROM orders"}
+        |num_buckets: 32
+        |""".stripMargin))
+    assert(rep.identical && rep.srcRows == 1500)
+  }
+
   test("CLI arg parsing incl. the reference's dead flag, now functional") {
     val a = Main.parseArgs(Array("-f", "c.yaml", "--no-search-diff", "-l", "INFO"))
     assert(a.configPath == "c.yaml" && a.searchDiff.contains(false) && a.logLevel == "INFO")

@@ -97,6 +97,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming file sink: append windowed counts to parquet via checkpoint, read back") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ssink").toString
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.windowedCounts(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(typedEvents); q.processAllAvailable()
+      // advance the watermark far enough to close every window
+      mem.addData(Seq(Streaming.Event(-1L,
+        new java.sql.Timestamp(typedEvents.map(_.ts.getTime).max + 10L * 3600 * 1000),
+        0L, "late", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/out")
+    val batch = eventsDf.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // every emitted (hour, type, n) row matches the batch aggregate
+    val got = out.select("hour", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = batch.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got.subsetOf(want), s"got=${got.size} want=${want.size}")
+  }
+
   test("incremental fingerprints converge to the batch fingerprints") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
