@@ -348,6 +348,27 @@ object Relational {
           weekofyear(col("o_orderdate")).cast("long").as("woy"))
         .orderBy("o_orderkey")),
 
+    // Approximate percentile (t-digest-style sketch): like q22, no
+    // exact oracle by design — accuracy vs exact percentile asserted
+    // in RelationalSpec.
+    "q27_approx_percentile" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Typed Aggregator UDAF (Dataset aggregation API): exact weighted
+    // average via decimal sums + one final IEEE division.
+    "q28_weighted_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udaf
+      s.udf.register("wavg", udaf(graft.functions.WeightedAvg))
+      table(s, dir, "lineitem").createOrReplaceTempView("__li_wavg")
+      s.sql(
+        """SELECT l_returnflag, wavg(l_extendedprice, l_quantity) AS wavg_price
+          |FROM __li_wavg GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Lateral view / table-generating explode: one row per word with
     // its position — the UDTF shape (reference has none, SURVEY §2.1).
     "q26_explode" -> ((s, dir) =>
@@ -533,6 +554,12 @@ object Relational {
         | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
         | CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS woy
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    // q27_approx_percentile: deliberately NO oracle (sketch).
+    "q28_weighted_avg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q26_explode" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
         |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws

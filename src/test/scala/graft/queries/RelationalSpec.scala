@@ -24,6 +24,18 @@ class RelationalSpec extends SparkSpec {
     assert(perGroup.nonEmpty && perGroup.forall(_.getLong(1) == 3))
   }
 
+  test("approx_percentile within 2% of exact median per group") {
+    val approx = Relational.queries("q27_approx_percentile")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = GraftSession.table(spark, Sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / e < 0.02, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
   test("as-of join: every purchase timestamp is at or before its click") {
     val d = Relational.queries("q14_asof_join")(spark, Sf0001)
       .where(col("asof_purchase_ts").isNotNull)
