@@ -364,8 +364,10 @@ object Relational {
       import org.apache.spark.sql.functions.udaf
       s.udf.register("wavg", udaf(graft.functions.WeightedAvg))
       table(s, dir, "lineitem").createOrReplaceTempView("__li_wavg")
+      // rounded to 6 decimals: decimal→double conversion is not
+      // guaranteed correctly-rounded on either engine (1-ulp skew)
       s.sql(
-        """SELECT l_returnflag, wavg(l_extendedprice, l_quantity) AS wavg_price
+        """SELECT l_returnflag, round(wavg(l_extendedprice, l_quantity), 6) AS wavg_price
           |FROM __li_wavg GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
@@ -557,8 +559,8 @@ object Relational {
     // q27_approx_percentile: deliberately NO oracle (sketch).
     "q28_weighted_avg" ->
       """SELECT l_returnflag,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS wavg_price
+        | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 6) AS wavg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q26_explode" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
