@@ -40,7 +40,7 @@ object Dedup {
       .distinct()
   }
 
-  private val NumHashes = 8
+  private val NumHashes = 8 // h0..h7 in minhashSignatures
   private val NumBands  = 4 // 4 bands × 2 rows
 
   /** md5-family hash i of a shingle. */
