@@ -382,6 +382,33 @@ object Relational {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
         .orderBy("doc_id", "pos")),
 
+    // Array functions over tokenized text: size, distinct count,
+    // sorted slice, containment.
+    "q29_array_funcs" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("ws"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          slice(sort_array(col("ws")), 1, 3).as("first3_sorted"),
+          array_contains(col("ws"), "the").as("has_the"))
+        .orderBy("doc_id")),
+
+    // Map functions over a constructed map column (props JSON → map).
+    "q30_map_funcs" -> ((s, dir) =>
+      table(s, dir, "events")
+        .where(col("event_id") < 200)
+        .select(col("event_id"),
+          from_json(col("props"), lit("map<string,bigint>")).as("m"))
+        .select(
+          col("event_id"),
+          map_keys(col("m")).as("ks"),
+          size(col("m")).cast("long").as("n_entries"),
+          element_at(col("m"), "k").as("k_value"))
+        .orderBy("event_id")),
+
     // JSON functions over the events.props payload column.
     "q18_json" -> ((s, dir) =>
       table(s, dir, "events")
@@ -556,6 +583,21 @@ object Relational {
         | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
         | CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS woy
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q29_array_funcs" ->
+      """SELECT doc_id,
+        | CAST(len(ws) AS BIGINT) AS n,
+        | CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        | list_sort(ws)[1:3] AS first3_sorted,
+        | list_contains(ws, 'the') AS has_the
+        |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+        |      FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id""".stripMargin,
+    "q30_map_funcs" ->
+      """SELECT event_id,
+        | json_keys(props) AS ks,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
     // q27_approx_percentile: deliberately NO oracle (sketch).
     "q28_weighted_avg" ->
       """SELECT l_returnflag,
