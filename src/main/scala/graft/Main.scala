@@ -69,7 +69,10 @@ object Main {
       println(rep.verdict)
       if (!rep.identical && rep.withinTolerance)
         println(s"Differences (${rep.differences}) within max_delta=${rep.maxDelta}")
-      if (!rep.identical && spec.options.fetchRows)
+      // CLI flag overrides the YAML default — same effective value the
+      // compare itself used, so we never .show() an unfetched placeholder
+      val effectiveFetch = cli.searchDiff.getOrElse(spec.options.fetchRows)
+      if (!rep.identical && effectiveFetch)
         rep.orphans.show(50, truncate = false)
       sys.exit(if (rep.withinTolerance) 0 else 1)
     } finally spark.stop()

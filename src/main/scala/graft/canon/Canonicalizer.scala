@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   *   - NULL        → literal token `\N` (never collides with a quoted value)
   *   - string      → verbatim (field separator `` cannot occur in
   *                   the test corpus; a full escaping mode uses to_json)
-  *   - timestamp   → `yyyy-MM-dd HH:mm:ss` in UTC
+  *   - timestamp   → `yyyy-MM-dd HH:mm:ss.SSSSSS` in UTC (full micros —
+  *                   rows differing only in sub-second time must NOT
+  *                   canonicalize equal; the reference's seconds-only
+  *                   rendering stays available via `Parity`)
   *   - date        → `yyyy-MM-dd`
   *   - fractional  → plain cast (Spark's shortest-roundtrip rendering)
   *   - integral/bool → plain cast
@@ -37,7 +40,7 @@ object Canonicalizer {
   /** Canonical text for one column. */
   def canonCol(c: Column, dt: DataType): Column = {
     val rendered = dt match {
-      case TimestampType | TimestampNTZType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case TimestampType | TimestampNTZType => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
       case DateType                         => date_format(c, "yyyy-MM-dd")
       case _: ArrayType | _: StructType | _: MapType => to_json(c)
       case _                                => c.cast(StringType)

@@ -256,13 +256,15 @@ object Comparator {
     * sides (keyed). Returns (keys…, column, src_value, tgt_value) —
     * one row per changed cell, null-safe comparison. Finer-grained
     * than the reference's whole-row orphan print
-    * (/root/reference/main.py:116-137). Single full-outer join on the
-    * keys; the per-column comparison is a codegen'd projection.
+    * (/root/reference/main.py:116-137). Single inner join on the keys —
+    * rows present on one side only are the ORPHAN report's job
+    * ([[compare]]), not a per-column "changed vs null" row; the
+    * per-column comparison is a codegen'd projection.
     */
   def columnDiff(src: DataFrame, tgt: DataFrame, keys: Seq[String]): DataFrame = {
     val nonKeys = src.columns.filterNot(keys.contains).toSeq
     val joinCond = keys.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _)
-    val j = src.alias("s").join(tgt.alias("t"), joinCond, "full_outer")
+    val j = src.alias("s").join(tgt.alias("t"), joinCond, "inner")
     val cells = array(nonKeys.map { c =>
       when(!(col(s"s.$c") <=> col(s"t.$c")),
         struct(lit(c).as("column"),

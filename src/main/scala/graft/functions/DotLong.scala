@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * stages. This expression generates a tight primitive loop inside
   * whole-stage codegen (preference order (b) of the build brief: a
   * native `Expression` with `doGenCode` beats any UDF). Exact integer
-  * math — same results as the composable form, bit for bit.
+  * math — same results as the composable form, bit for bit, including
+  * null propagation: a null element on either side yields a null
+  * result (the HOF form's `null + x = null`), never a silent 0.
   */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,6 +38,11 @@ case class DotLong(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def prettyName: String = "dot_long"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -45,6 +52,7 @@ case class DotLong(left: Expression, right: Expression)
     var sum = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -56,11 +64,22 @@ case class DotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      // element-null check only emitted when an input can hold nulls —
+      // when it can't, ev.isNull is the FalseLiteral (not assignable)
+      // and the branch would be dead anyway
+      val mayHaveNullElems =
+        left.dataType.asInstanceOf[ArrayType].containsNull ||
+          right.dataType.asInstanceOf[ArrayType].containsNull
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $x.numElements();
          |if ($y.numElements() < $n) $n = $y.numElements();
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $sum += $x.getLong($i) * $y.getLong($i);
          |}
          |${ev.value} = $sum;

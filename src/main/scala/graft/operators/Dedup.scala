@@ -302,7 +302,7 @@ object Dedup {
       |  SUM(CASE WHEN CAST(FLOOR(h16 / POWER(2, 15 - j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
       | FROM hv, UNNEST(range(0, 16)) AS r(j) GROUP BY doc_id, j)
       |SELECT doc_id,
-      | SUM(CASE WHEN s > 0 THEN CAST(POWER(2, 15 - j) AS BIGINT) ELSE 0 END) AS simhash
+      | CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, 15 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(

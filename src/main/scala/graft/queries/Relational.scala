@@ -201,8 +201,11 @@ object Relational {
         .select(col("event_id"), col("user_id"), col("ts"), lit(null).cast("timestamp").as("p_ts"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"), col("ts").as("p_ts"))
+      // nulls LAST so an equal-ts purchase sorts BEFORE the click row
+      // and lands in its frame — 'at-or-before' is inclusive, matching
+      // the oracle's ASOF ... ON p.ts <= c.ts
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("p_ts").asc_nulls_first)
+        .orderBy(col("ts"), col("p_ts").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       clicks.unionAll(purchases)
         .withColumn("asof_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
@@ -291,11 +294,19 @@ object Relational {
     // counts is asserted in the test suite instead (±5%). At 100 TB
     // this replaces a two-phase exact distinct (full shuffle of the
     // distinct keys) with constant-size mergeable sketch state.
+    // The sketch estimate itself is engine-private, so the gate row
+    // carries the EXACT distinct count plus a `sketch_ok` bit asserting
+    // the HLL estimate landed within 5% — cross-engine hash-matchable
+    // while still exercising the sketch path.
     "q22_approx_distinct" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          (abs(col("approx").cast("double") - col("exact_parts")) / col("exact_parts") <= 0.05)
+            .as("sketch_ok"))
         .orderBy("l_returnflag")),
 
     // Window-function battery beyond q5's row_number/running-sum:
@@ -348,14 +359,20 @@ object Relational {
           weekofyear(col("o_orderdate")).cast("long").as("woy"))
         .orderBy("o_orderkey")),
 
-    // Approximate percentile (t-digest-style sketch): like q22, no
-    // exact oracle by design — accuracy vs exact percentile asserted
-    // in RelationalSpec.
+    // Approximate percentile: the gate row carries the EXACT
+    // interpolated median ×200 (integral — prices have 2 decimals, the
+    // midpoint adds one factor of 2, so the double arithmetic is exact)
+    // plus a `sketch_ok` bit asserting the sketch landed within 5%.
     "q27_approx_percentile" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+        .agg(
+          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 1000)").as("approx"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("exact"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          expr("CAST(round(exact * 200) AS BIGINT)").as("p50_x200"),
+          (abs(col("approx") - col("exact")) / col("exact") <= 0.05).as("sketch_ok"))
         .orderBy("l_returnflag")),
 
     // Typed Aggregator UDAF (Dataset aggregation API): exact weighted
@@ -392,7 +409,9 @@ object Relational {
           col("doc_id"),
           size(col("ws")).cast("long").as("n"),
           size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
-          slice(sort_array(col("ws")), 1, 3).as("first3_sorted"),
+          // array_join: the gate's compare sorts rows in pandas, which
+          // can't order list-valued cells — ship scalars across engines
+          array_join(slice(sort_array(col("ws")), 1, 3), "|").as("first3_sorted"),
           array_contains(col("ws"), "the").as("has_the"))
         .orderBy("doc_id")),
 
@@ -404,7 +423,8 @@ object Relational {
           from_json(col("props"), lit("map<string,bigint>")).as("m"))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
+          // sorted + joined: scalar cell for the pandas row-sort (above)
+          array_join(sort_array(map_keys(col("m"))), "|").as("ks"),
           size(col("m")).cast("long").as("n_entries"),
           element_at(col("m"), "k").as("k_value"))
         .orderBy("event_id")),
@@ -537,9 +557,10 @@ object Relational {
         |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders i
         |                            WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
-    // q22_approx_distinct: deliberately NO oracle — HLL estimates are
-    // engine-specific (driver records the weaker rows-only check);
-    // accuracy is asserted in RelationalSpec instead.
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        | COUNT(*) AS n_rows, TRUE AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q21_unpivot" ->
       """WITH a AS (
         | SELECT l_returnflag,
@@ -587,18 +608,22 @@ object Relational {
       """SELECT doc_id,
         | CAST(len(ws) AS BIGINT) AS n,
         | CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-        | list_sort(ws)[1:3] AS first3_sorted,
+        | array_to_string(list_sort(ws)[1:3], '|') AS first3_sorted,
         | list_contains(ws, 'the') AS has_the
         |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
         |      FROM documents WHERE doc_id < 50)
         |ORDER BY doc_id""".stripMargin,
     "q30_map_funcs" ->
       """SELECT event_id,
-        | json_keys(props) AS ks,
+        | array_to_string(list_sort(json_keys(props)), '|') AS ks,
         | CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
-    // q27_approx_percentile: deliberately NO oracle (sketch).
+    "q27_approx_percentile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) * 200) AS BIGINT) AS p50_x200,
+        | TRUE AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q28_weighted_avg" ->
       """SELECT l_returnflag,
         | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
@@ -613,7 +638,7 @@ object Relational {
         |ORDER BY doc_id, pos""".stripMargin,
     "q18_json" ->
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+        |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
         | MIN(k) AS min_k, MAX(k) AS max_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_sessionize" ->

@@ -15,14 +15,23 @@ class CanonicalizerSpec extends SparkSpec {
     assert(rows.toSet == Set(Canonicalizer.NullToken, ""))
   }
 
-  test("timestamps render second-precision UTC, dates ISO") {
+  test("timestamps render micros-precision UTC, dates ISO") {
     val df = Seq((Timestamp.valueOf("2024-06-01 12:34:56.789"), Date.valueOf("2024-06-01")))
       .toDF("ts", "d")
     val r = df.select(
       Canonicalizer.canonCol(col("ts"), df.schema("ts").dataType).as("cts"),
       Canonicalizer.canonCol(col("d"), df.schema("d").dataType).as("cd")).head()
-    assert(r.getString(0) == "2024-06-01 12:34:56")
+    assert(r.getString(0) == "2024-06-01 12:34:56.789000")
     assert(r.getString(1) == "2024-06-01")
+  }
+
+  test("rows differing only in sub-second time canonicalize differently") {
+    val df = Seq(
+      Timestamp.valueOf("2024-06-01 12:34:56.000001"),
+      Timestamp.valueOf("2024-06-01 12:34:56.000002")).toDF("ts")
+    val rs = df.select(Canonicalizer.canonCol(col("ts"), df.schema("ts").dataType).as("c"))
+      .as[String].collect()
+    assert(rs.distinct.length == 2)
   }
 
   test("arrays/structs canonicalize via JSON (beyond-reference types)") {
