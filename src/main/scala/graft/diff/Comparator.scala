@@ -23,11 +23,21 @@ object SchemaCheck {
   * and never-read `--search_diff` flag
   * (/root/reference/command_line.py:19-27).
   */
+/** `persistScans`: keep each side's canonicalized+bucketed rows in
+  * serialized spillable storage for the duration of the compare, so the
+  * mismatch path re-reads the cache instead of re-scanning and
+  * re-canonicalizing the input (the canonical JSON + two xxhash64 per
+  * row is the compare's dominant per-row cost, and the orphan stage
+  * needs it a second time). Default on; set false when a side is too
+  * large to spill locally (≫ cluster disk) — the orphan stage then
+  * recomputes from source, which stays correct, just slower.
+  */
 final case class CompareOptions(
     numBuckets: Int = 4096,
     maxDelta: Long = 0L,
     fetchRows: Boolean = true,
-    schemaCheck: SchemaCheck = SchemaCheck.Positional)
+    schemaCheck: SchemaCheck = SchemaCheck.Positional,
+    persistScans: Boolean = true)
 
 /** Result of a comparison. `orphans` is lazy (a DataFrame); `summary`
   * holds the already-materialized counts.
@@ -153,8 +163,11 @@ object Comparator {
       opts: CompareOptions = CompareOptions()): DiffReport = {
     schemaGate(src, tgt, opts.schemaCheck)
 
-    val sb = withBuckets(src, opts.numBuckets)
-    val tb = withBuckets(tgt, opts.numBuckets)
+    val sb0 = withBuckets(src, opts.numBuckets)
+    val tb0 = withBuckets(tgt, opts.numBuckets)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val (sb, tb) =
+      if (opts.persistScans) (sb0.persist(lvl), tb0.persist(lvl)) else (sb0, tb0)
 
     val sf = fingerprints(sb)
     val tf = fingerprints(tb)
@@ -216,6 +229,7 @@ object Comparator {
       }
 
     joined.unpersist()
+    if (opts.persistScans) { sb.unpersist(); tb.unpersist() }
     DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta, orphans)
   }
 

@@ -3,7 +3,6 @@ package graft.queries
 import graft.GraftSession.table
 import graft.diff.{Comparator, CompareOptions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -55,15 +54,24 @@ object CompareQueries {
 
     // O7 chunking: the reference re-creates a view per chunk with
     // LIMIT/OFFSET — O(chunks·n) total scan work
-    // (/root/reference/scribedb/postgres.py:84-88). Here: ONE pass,
-    // row_number over the total order → bucket id. (The global window
-    // is the demo form; the comparator itself buckets by hash — no
-    // total order, no single-partition window — see Comparator.)
+    // (/root/reference/scribedb/postgres.py:84-88). Here: ONE pass —
+    // range-partitioned sort, then global row numbers from per-partition
+    // offsets (zipWithIndex pattern). No single-partition window: a
+    // `Window.orderBy` with no partitionBy funnels ALL rows through one
+    // task, which is exactly the anti-pattern at scale. (The comparator
+    // itself buckets by hash — no total order needed at all.)
     "cmp_bucket_assign" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
       val li = table(s, dir, "lineitem")
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-      li.withColumn("rn", row_number().over(w))
-        .withColumn("bucket_id", floor((col("rn") - 1) / 1000))
+      val sorted = li
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val rn = sorted.as[(Long, Long)].rdd
+        .zipWithIndex()
+        .map { case ((k, _), i) => (k, i) }
+        .toDF("l_orderkey", "rn")
+      rn.withColumn("bucket_id", floor(col("rn") / 1000))
         .groupBy(col("bucket_id"))
         .agg(count(lit(1)).as("n"),
           min(col("l_orderkey")).as("first_key"),
@@ -86,13 +94,15 @@ object CompareQueries {
         .orderBy("bucket")
     }),
 
-    // O15: hash-compare src vs mutated tgt at bucket granularity —
-    // exactly one bucket must differ (1 row mutated).
+    // O15: hash-compare src vs mutated tgt at bucket granularity — the
+    // mutated row's canon moves bucket, so up to 2 buckets differ.
+    // 256 buckets (2 hex chars): the per-bucket collect+sort is the
+    // whole cost, and 16 groups can't use 32 cores.
     "cmp_hash_detect" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       def fp(df: DataFrame, side: String) =
         df.select(liCanon.as("canon"))
-          .withColumn("bucket", substring(md5(col("canon")), 1, 1))
+          .withColumn("bucket", substring(md5(col("canon")), 1, 2))
           .groupBy(col("bucket"))
           .agg(md5(concat_ws("\n", array_sort(collect_list(col("canon"))))).as(s"${side}_fp"))
       fp(li, "src").join(fp(mutated(li), "tgt"), Seq("bucket"), "full_outer")
@@ -226,11 +236,11 @@ object CompareQueries {
          |  COUNT(*) AS n
          |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
     "cmp_hash_detect" ->
-      s"""WITH src AS (SELECT substr(md5(canon),1,1) AS bucket,
+      s"""WITH src AS (SELECT substr(md5(canon),1,2) AS bucket,
          |   md5(string_agg(canon, chr(10) ORDER BY canon)) AS src_fp
          |  FROM (SELECT $liCanonSql AS canon FROM lineitem) GROUP BY 1),
          | tgtc AS (SELECT $liCanonSql AS canon FROM ($mutatedSql)),
-         | tgt AS (SELECT substr(md5(canon),1,1) AS bucket,
+         | tgt AS (SELECT substr(md5(canon),1,2) AS bucket,
          |   md5(string_agg(canon, chr(10) ORDER BY canon)) AS tgt_fp
          |  FROM tgtc GROUP BY 1)
          |SELECT COALESCE(src.bucket, tgt.bucket) AS bucket
