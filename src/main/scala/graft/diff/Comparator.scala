@@ -23,14 +23,14 @@ object SchemaCheck {
   * and never-read `--search_diff` flag
   * (/root/reference/command_line.py:19-27).
   */
-/** `persistScans`: keep each side's canonicalized+bucketed rows in
-  * serialized spillable storage for the duration of the compare, so the
-  * mismatch path re-reads the cache instead of re-scanning and
-  * re-canonicalizing the input (the canonical JSON + two xxhash64 per
-  * row is the compare's dominant per-row cost, and the orphan stage
-  * needs it a second time). Default on; set false when a side is too
-  * large to spill locally (≫ cluster disk) — the orphan stage then
-  * recomputes from source, which stays correct, just slower.
+/** `persistScans`: keep each side's hashed+bucketed rows in serialized
+  * spillable storage for the duration of the compare, so the mismatch
+  * path re-reads the cache instead of re-scanning and re-hashing the
+  * input (scan + row hash is the compare's dominant per-row cost, and
+  * the orphan stage needs it a second time). Default on; set false
+  * when a side is too large to spill locally (≫ cluster disk) — the
+  * orphan stage then recomputes from source, which stays correct, just
+  * slower.
   */
 final case class CompareOptions(
     numBuckets: Int = 4096,
@@ -76,9 +76,12 @@ final case class DiffReport(
   * (/root/reference/main.py:147-267), executed as THREE lazy dataflow
   * stages instead of `2·loops` sequential network round-trips:
   *
-  *  1. canonicalize each row to text + 64-bit hash (Canonicalizer) —
-  *     replaces the in-DB text rendering feeding the MD5 chain
-  *     (/root/reference/scribedb/postgres.py:17-30).
+  *  1. hash each row to two independent 64-bit values over its native
+  *     column values + null pattern (Canonicalizer.rowHash) — replaces
+  *     the in-DB text rendering feeding the MD5 chain
+  *     (/root/reference/scribedb/postgres.py:17-30) with a codegen'd
+  *     no-render equivalent; the textual canonical form remains
+  *     available for parity fingerprints (Parity, cmp_fingerprint).
   *  2. bucket by `pmod(rowHash, numBuckets)` and aggregate a
   *     COMMUTATIVE fingerprint per bucket: (count, sum(h1), sum(h2)).
   *     Unlike the reference's order-dependent chained MD5 — whose own
@@ -132,11 +135,10 @@ object Comparator {
     * does not pay for its shuffle even on single-row-group local
     * files; on real multi-file data scan splits provide parallelism.)
     */
-  def withBuckets(df: DataFrame, numBuckets: Int): DataFrame = {
-    val c = Canonicalizer.withCanon(df)
-    c.withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
-      .withColumn("__h2", xxhash64(lit(0x9E3779B9L), col("__canon")))
-  }
+  def withBuckets(df: DataFrame, numBuckets: Int): DataFrame =
+    df.withColumn("__h", Canonicalizer.rowHash(df, 42L))
+      .withColumn("__h2", Canonicalizer.rowHash(df, 0x9E3779B9L))
+      .withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
 
   /** Per-bucket commutative fingerprint: one row per non-empty bucket.
     * Map-side partial aggregation applies (hash agg before shuffle).

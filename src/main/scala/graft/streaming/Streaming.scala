@@ -114,7 +114,7 @@ object Streaming {
     */
   def incrementalFingerprints(df: DataFrame, numBuckets: Int): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val c = Canonicalizer.withCanon(df)
+    val c = df.withColumn("__h", Canonicalizer.rowHash(df, 42L))
     c.withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
       .groupBy(col("__bucket"))
       .agg(count(lit(1)).as("cnt"), sum(col("__h").cast(dec38)).as("hsum"))
@@ -132,7 +132,7 @@ object Streaming {
   def diffStreams(src: DataFrame, tgt: DataFrame, numBuckets: Int): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def prep(df: DataFrame, side: String): DataFrame =
-      Canonicalizer.withCanon(df)
+      df.withColumn("__h", Canonicalizer.rowHash(df, 42L))
         .withColumn("__bucket", pmod(col("__h"), lit(numBuckets.toLong)))
         .select(col("__bucket"), col("__h"), lit(side).as("__side"))
     prep(src, "s").unionByName(prep(tgt, "t"))
