@@ -87,6 +87,29 @@ object Canonicalizer {
     df.withColumn("__canon", canonRowStrict(df, cols))
       .withColumn("__h", xxhash64(col("__canon")))
 
+  /** True when hashing the native value with xxhash64 is either unsafe
+    * or impossible for this type, so the column must hash its canonical
+    * JSON text instead:
+    *
+    *   - MapType at ANY nesting depth: xxhash64's type check rejects it
+    *     recursively (iteration order is undefined).
+    *   - a nullable array element or struct field at ANY depth:
+    *     xxhash64 SKIPS null values at every level (hash(null, seed) =
+    *     seed), and the comparator's null-flag prefix covers only the
+    *     top-level column — so array('x', null) vs array(null, 'x'),
+    *     or array('x') vs array('x', null), would hash identically and
+    *     the diff engine would silently report "identical".
+    *
+    * Complex types whose internals are provably null-free (and map-free)
+    * stay on the fast native-hash path.
+    */
+  private[graft] def needsJsonHash(dt: DataType): Boolean = dt match {
+    case _: MapType                  => true
+    case ArrayType(et, containsNull) => containsNull || needsJsonHash(et)
+    case StructType(fields) => fields.exists(f => f.nullable || needsJsonHash(f.dataType))
+    case _ => false
+  }
+
   /** Direct row hash over the NATIVE column values — the comparator's
     * hot path. Same equivalence classes as hashing the strict canonical
     * text (equal values, equal null pattern, column boundaries kept),
@@ -99,7 +122,11 @@ object Canonicalizer {
     * and (null, "x") would collide. Each field is therefore preceded by
     * its null flag as a long — the flag is never null, so the hashed
     * input stream uniquely encodes both the null pattern and the value
-    * positions, for any column count.
+    * positions, for any column count. Nulls NESTED inside a complex
+    * value can't be flagged that way, so any column whose type admits
+    * them (see [[needsJsonHash]]) hashes its canonical JSON text —
+    * to_json keeps array nulls and drops null struct fields, both
+    * injective renderings for a fixed schema.
     */
   def rowHash(df: DataFrame, seed: Long, cols: Seq[String] = Nil): Column = {
     val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
@@ -110,10 +137,8 @@ object Canonicalizer {
         // (the reference's whole point is comparing across engines)
         case ByteType | ShortType | IntegerType => df.col(n).cast(LongType)
         case FloatType                          => df.col(n).cast(DoubleType)
-        // xxhash64 refuses MapType (iteration order is undefined) —
-        // canonical JSON text keeps map columns comparable
-        case _: MapType => to_json(df.col(n))
-        case _          => df.col(n)
+        case dt if needsJsonHash(dt)            => to_json(df.col(n))
+        case _                                  => df.col(n)
       }
       Seq(df.col(n).isNull.cast("long"), c)
     }

@@ -205,9 +205,10 @@ object Comparator {
     // input) and feed both exceptAll directions plus the orphan counts
     // — without the cache each consumer re-scans and re-canonicalizes
     // the full input (measured 2× end-to-end on the mismatch path).
+    // The row hashes ride along for the MapType-safe diff path.
     def side(b: DataFrame): DataFrame =
       b.join(broadcast(badBuckets), Seq("__bucket"), "left_semi")
-        .select(cols.map(col): _*)
+        .select((cols ++ Seq("__h", "__h2")).map(col): _*)
 
     val (orphans: DataFrame, oSrc: Long, oTgt: Long) =
       if (bad == 0 || !opts.fetchRows) {
@@ -221,9 +222,16 @@ object Comparator {
       } else {
         val ss = side(sb).cache()
         val ts = side(tb).cache()
-        val so = ss.exceptAll(ts).select(lit("source").as("side") +: cols.map(col): _*)
-        val to = ts.exceptAll(ss).select(lit("target").as("side") +: cols.map(col): _*)
-        val all = so.unionAll(to).cache()
+        val all0 =
+          if (src.schema.exists(f => containsMap(f.dataType)))
+            hashBagDiff(ss, ts, cols)
+          else {
+            val (sp, tp) = (ss.select(cols.map(col): _*), ts.select(cols.map(col): _*))
+            sp.exceptAll(tp).select(lit("source").as("side") +: cols.map(col): _*)
+              .unionAll(
+                tp.exceptAll(sp).select(lit("target").as("side") +: cols.map(col): _*))
+          }
+        val all = all0.cache()
         val c = all.groupBy("side").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         ss.unpersist(); ts.unpersist()
@@ -233,6 +241,41 @@ object Comparator {
     joined.unpersist()
     if (opts.persistScans) { sb.unpersist(); tb.unpersist() }
     DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta, orphans)
+  }
+
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType        => true
+    case org.apache.spark.sql.types.ArrayType(et, _)  => containsMap(et)
+    case org.apache.spark.sql.types.StructType(fs)    => fs.exists(f => containsMap(f.dataType))
+    case _                                            => false
+  }
+
+  /** Bag diff without set operations, for schemas Spark's `exceptAll`
+    * rejects (MapType at any nesting depth). Keyed on the two
+    * independent 64-bit row hashes already carried by the bucketed
+    * sides: equal hash pairs mean equal rows, so per-key multiplicity
+    * deltas reproduce exceptAll's bag semantics exactly — d surplus
+    * copies on a side yield d orphan rows — while the map values ride
+    * along as payload and are never compared by a set op. The window is
+    * per (h, h2) key WITHIN mismatched buckets only, so partitions stay
+    * tiny at any input scale.
+    */
+  private def hashBagDiff(ss: DataFrame, ts: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = ss.groupBy("__h", "__h2").agg(count(lit(1)).as("s_n"))
+    val tc = ts.groupBy("__h", "__h2").agg(count(lit(1)).as("t_n"))
+    val delta = sc.join(tc, Seq("__h", "__h2"), "full_outer")
+      .select(col("__h"), col("__h2"),
+        (coalesce(col("s_n"), lit(0L)) - coalesce(col("t_n"), lit(0L))).as("__d"))
+      .where(col("__d") =!= 0L)
+    val w = Window.partitionBy("__h", "__h2").orderBy(lit(1))
+    def pick(s: DataFrame, name: String, cond: Column, n: Column): DataFrame =
+      s.join(delta.where(cond), Seq("__h", "__h2"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= n)
+        .select(lit(name).as("side") +: cols.map(col): _*)
+    pick(ss, "source", col("__d") > 0, col("__d"))
+      .unionAll(pick(ts, "target", col("__d") < 0, -col("__d")))
   }
 
   /** O13/O14 analog — the reference calibrates a per-chunk row budget
