@@ -153,16 +153,40 @@ object Dedup {
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. */
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming.
+    *
+    * Banded, not all-pairs: the 16-bit fingerprint splits into
+    * maxHamming+1 disjoint bit bands, and by pigeonhole any two
+    * fingerprints within maxHamming differing bits agree EXACTLY on at
+    * least one band — so joining on (band, band_value) and
+    * post-filtering the true hamming distance returns the identical
+    * pair set while touching only colliding band buckets:
+    * O(Σ bucket²) instead of O(N²) rows through the filter. Pairs
+    * colliding in several bands are deduped (hamming is a function of
+    * the pair, so `distinct` on the output row suffices).
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs)
-    val l = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-    val r = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
-    l.crossJoin(r)
+    val Bits = 16
+    val nb = maxHamming + 1
+    require(nb >= 1 && nb <= Bits, s"maxHamming must be in [0, ${Bits - 1}]")
+    // distribute the 16 bits into nb near-equal disjoint bands
+    val widths  = (0 until nb).map(i => Bits / nb + (if (i < Bits % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until nb).map { i =>
+      struct(lit(i).as("band"),
+        (shiftright(col("simhash"), offsets(i)) % lit(1L << widths(i))).as("bval"))
+    }
+    val banded = simhash(docs)
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bval").as("bval"))
+    val l = banded.select(col("band"), col("bval"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val r = banded.select(col("band"), col("bval"), col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    l.join(r, Seq("band", "bval"))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 
   /** Quantized embedding: float → round(x·10⁴) as int64. Integer dot
@@ -191,6 +215,36 @@ object Dedup {
     val r = q.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     l.crossJoin(r)
       .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Embedding cosine near-dup pairs via SRP-LSH — the SCALE path and
+    * the gate default. Candidates are restricted to vector pairs
+    * sharing a sign-random-projection bucket in at least one of
+    * [[Similarity.NumTables]] tables (signatures in one narrow pass,
+    * banded bucket self-join — O(Σ bucket²), never O(N²)), then ranked
+    * by exact integer-quantized cosine and filtered at `threshold`.
+    * Candidate recall vs [[embeddingPairs]] (the brute-force baseline,
+    * kept as the test-suite cross-check) is the standard 1-(1-p^B)^T
+    * SRP bound; the oracle replays the same literal plane matrix so
+    * the candidate set is deterministic cross-engine.
+    */
+  def embeddingPairsLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    val q = quantized(emb)
+      .withColumn("norm", sqrt(dot(col("v"), col("v")).cast("double")))
+    val tb = Similarity.lshBuckets(q)
+    val l = tb.select(col("t"), col("bucket"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val r = tb.select(col("t"), col("bucket"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    l.join(r, Seq("t", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      // a pair colliding in several tables counts once; dedup on the
+      // pair KEYS before the dot product so each pair is scored once
+      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cos",
         dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
@@ -270,8 +324,10 @@ object Dedup {
     "dd_simhash_pairs" -> ((s, dir) =>
       simhashPairs(table(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),
 
+    // gated on the LSH scale path; the brute-force baseline is the
+    // test-suite cross-check (OperatorsSpec recall/equality tests)
     "dd_embedding_pairs" -> ((s, dir) =>
-      embeddingPairs(table(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")),
+      embeddingPairsLsh(table(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")),
 
     // MinHash pairs → connected components → dedup clusters + keepers.
     "dd_dedup_clusters" -> ((s, dir) => {
@@ -384,12 +440,17 @@ object Dedup {
          |SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dd_embedding_pairs" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
-        | FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        |FROM q a JOIN q b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+         | FROM embeddings),
+         |${Similarity.lshBucketsSqlCte},
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, b.vec_id AS vec_b, b.v AS vb
+         | FROM tb a JOIN tb b USING (t, bucket) WHERE a.vec_id < b.vec_id),
+         |scored AS (
+         | SELECT vec_a, vec_b,
+         |  list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+         | FROM cand)
+         |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

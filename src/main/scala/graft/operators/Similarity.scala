@@ -57,9 +57,9 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
-  private val NumTables = 4 // independent hash tables
-  private val BitsPerTable = 4
-  private val Dim = 64
+  private[graft] val NumTables = 4 // independent hash tables
+  private[graft] val BitsPerTable = 4
+  private[graft] val Dim = 64
 
   /** ±1 hyperplane component for (plane p, dim j): parity of the first
     * md5 hex digit of "p|j". Deterministic, engine-independent.
@@ -95,17 +95,24 @@ object Similarity {
     q.select(col("*") +: buckets: _*)
   }
 
+  /** Explode a signed DataFrame into (table, bucket) membership rows —
+    * NumTables rows per vector; every non-sig column rides along.
+    */
+  private[graft] def lshBuckets(q: DataFrame): DataFrame = {
+    val sig = lshSignature(q)
+    val keep = q.columns.map(col)
+    sig.select(keep :+ explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("t"), col(s"sig$t").as("bucket"))): _*)).as("tb"): _*)
+      .select(keep :+ col("tb.t").as("t") :+ col("tb.bucket").as("bucket"): _*)
+  }
+
   /** ANN via multi-table LSH: candidates share a bucket in ANY table
     * (union over tables, deduped), ranked by exact cosine. Recall vs
     * bruteForceTopK is checked in the test suite.
     */
   def lshTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val sig = lshSignature(quantized(emb))
-    // explode into (table, bucket) rows: T rows per vector
-    val tb = sig.select(col("vec_id"), col("v"),
-      explode(array((0 until NumTables).map(t =>
-        struct(lit(t).as("t"), col(s"sig$t").as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val tb = lshBuckets(quantized(emb))
+      .select(col("vec_id"), col("v"), col("t"), col("bucket"))
     val queries = broadcast(
       tb.where(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"), col("bucket")))
@@ -175,8 +182,27 @@ object Similarity {
 
   // plane sign literal matrix, rendered into the oracle SQL so DuckDB
   // agrees bit-for-bit with the Spark literals
-  private def planeSignList(p: Int): String =
+  private[graft] def planeSignList(p: Int): String =
     (0 until Dim).map(j => planeSign(p, j)).mkString("[", ", ", "]")
+
+  /** Shared oracle CTE fragment: plane matrix → per-vector (t, bucket)
+    * membership (`tb`), given a `q(vec_id, v)` CTE already in scope.
+    * Used by both the ANN oracle here and Dedup's LSH-gated
+    * embedding-pairs oracle so the two stay bit-identical.
+    */
+  private[graft] def lshBucketsSqlCte: String =
+    s"""planes AS (
+       |${(0 until NumTables * BitsPerTable).map(p =>
+          s" SELECT $p AS p, ${planeSignList(p)} AS s").mkString(" UNION ALL\n")}),
+       |proj AS (
+       | SELECT q.vec_id, p,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), j -> q.v[j] * s[j])) AS d
+       | FROM q CROSS JOIN planes),
+       |sig AS (
+       | SELECT vec_id, p // $BitsPerTable AS t,
+       |  SUM(CASE WHEN d > 0 THEN CAST(POWER(2, ${BitsPerTable - 1} - (p % $BitsPerTable)) AS BIGINT) ELSE 0 END) AS bucket
+       | FROM proj GROUP BY vec_id, p // $BitsPerTable),
+       |tb AS (SELECT q.vec_id, q.v, sig.t, sig.bucket FROM q JOIN sig USING (vec_id))""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "ss_knn" ->
@@ -193,18 +219,7 @@ object Similarity {
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ss_ann_lsh" ->
       s"""WITH q AS ($quantSql),
-         |planes AS (
-         |${(0 until NumTables * BitsPerTable).map(p =>
-            s" SELECT $p AS p, ${planeSignList(p)} AS s").mkString(" UNION ALL\n")}),
-         |proj AS (
-         | SELECT q.vec_id, p,
-         |  list_sum(list_transform(range(1, ${Dim + 1}), j -> q.v[j] * s[j])) AS d
-         | FROM q CROSS JOIN planes),
-         |sig AS (
-         | SELECT vec_id, p // $BitsPerTable AS t,
-         |  SUM(CASE WHEN d > 0 THEN CAST(POWER(2, ${BitsPerTable - 1} - (p % $BitsPerTable)) AS BIGINT) ELSE 0 END) AS bucket
-         | FROM proj GROUP BY vec_id, p // $BitsPerTable),
-         |tb AS (SELECT q.vec_id, q.v, sig.t, sig.bucket FROM q JOIN sig USING (vec_id)),
+         |$lshBucketsSqlCte,
          |qs AS (SELECT vec_id AS query_id, v AS qqv, t, bucket FROM tb WHERE vec_id < 5),
          |cand AS (
          | SELECT DISTINCT query_id, qqv, tb.vec_id AS neighbor_id, tb.v

@@ -43,11 +43,47 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.count() == 2)
   }
 
+  test("banded simhashPairs equals the all-pairs reference and plans no cartesian product") {
+    val sh = Dedup.simhash(docs).cache()
+    for (h <- Seq(0, 1, 3, 5)) {
+      val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .where(col("hamming") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val banded = Dedup.simhashPairs(docs, h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded == brute, s"maxHamming=$h: banded pair set differs from all-pairs reference")
+    }
+    sh.unpersist()
+    val plan = Dedup.simhashPairs(docs, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "simhashPairs must not plan an all-pairs join")
+  }
+
   test("embedding near-dup: a vector duplicated is found at cos=1") {
     val one = emb.limit(1)
     val dup = emb.unionAll(one.withColumn("vec_id", col("vec_id") + 1000000))
     val pairs = Dedup.embeddingPairs(dup, 0.999999)
     assert(pairs.where(col("vec_b") === col("vec_a") + 1000000).count() == 1)
+  }
+
+  test("LSH embedding pairs are a subset of brute force with decent recall, no cartesian plan") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Dedup.embeddingPairs(emb, 0.4))
+    val lsh   = pairSet(Dedup.embeddingPairsLsh(emb, 0.4))
+    assert(lsh.subsetOf(brute), "LSH must only emit true above-threshold pairs")
+    assert(brute.isEmpty || lsh.size.toDouble / brute.size > 0.3,
+      s"candidate recall too low: ${lsh.size}/${brute.size}")
+    // identical vectors agree on every projection => always candidates
+    val one = emb.limit(1)
+    val dup = emb.unionAll(one.withColumn("vec_id", col("vec_id") + 1000000))
+    assert(Dedup.embeddingPairsLsh(dup, 0.999999)
+      .where(col("vec_b") === col("vec_a") + 1000000).count() == 1)
+    val plan = Dedup.embeddingPairsLsh(emb, 0.4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "embeddingPairsLsh must not plan an all-pairs join")
   }
 
   test("brute-force topk returns exactly k ranked neighbors per query") {
