@@ -38,11 +38,15 @@ object Main {
   /** Side-effect-free core (testable): resolve both sides, compare,
     * return the report.
     */
-  def run(spark: SparkSession, spec: CompareSpec, searchDiff: Option[Boolean] = None): DiffReport = {
+  def run(
+      spark: SparkSession,
+      spec: CompareSpec,
+      searchDiff: Option[Boolean] = None,
+      progress: String => Unit = _ => ()): DiffReport = {
     val src = Sources.resolve(spark, spec.source)
     val tgt = Sources.resolve(spark, spec.target)
     val opts0 = spec.options
-    val opts = searchDiff.fold(opts0)(s => opts0.copy(fetchRows = s))
+    val opts = searchDiff.fold(opts0)(s => opts0.copy(fetchRows = s)).copy(progress = progress)
     spec.numBuckets match {
       case Some(_) => Comparator.compare(src, tgt, opts)
       case None    => Comparator.compareAuto(src, tgt, opts = opts)
@@ -65,10 +69,17 @@ object Main {
     val spark = GraftSession.build(cli.master)
     spark.sparkContext.setLogLevel(cli.logLevel)
     try {
-      val rep = run(spark, spec, cli.searchDiff)
+      // per-stage progress to stderr (the reference's per-chunk OK/NOK
+      // lines, /root/reference/main.py:227-247), verdict to stdout
+      val rep = run(spark, spec, cli.searchDiff, progress = s => System.err.println(s"[compare] $s"))
       println(rep.verdict)
       if (!rep.identical && rep.withinTolerance)
         println(s"Differences (${rep.differences}) within max_delta=${rep.maxDelta}")
+      if (!rep.identical) {
+        println(s"NOK buckets (${rep.mismatchedBuckets} of ${rep.totalBuckets}):")
+        rep.buckets.where(!org.apache.spark.sql.functions.col("ok"))
+          .orderBy("bucket").show(20, truncate = false)
+      }
       // CLI flag overrides the YAML default — same effective value the
       // compare itself used, so we never .show() an unfetched placeholder
       val effectiveFetch = cli.searchDiff.getOrElse(spec.options.fetchRows)

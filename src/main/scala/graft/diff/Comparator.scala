@@ -32,15 +32,27 @@ object SchemaCheck {
   * orphan stage then recomputes from source, which stays correct, just
   * slower.
   */
+/** `progress`: per-stage progress callback (O19 analog of the
+  * reference's per-chunk `i/loops OK|NOK … eta%` lines,
+  * /root/reference/main.py:227-247) — stage-level here because the
+  * engine runs O(1) dataflow stages, not O(chunks) round trips. No-op
+  * by default; the CLI wires it to stderr.
+  */
 final case class CompareOptions(
     numBuckets: Int = 4096,
     maxDelta: Long = 0L,
     fetchRows: Boolean = true,
     schemaCheck: SchemaCheck = SchemaCheck.Positional,
-    persistScans: Boolean = true)
+    persistScans: Boolean = true,
+    progress: String => Unit = _ => ())
 
-/** Result of a comparison. `orphans` is lazy (a DataFrame); `summary`
-  * holds the already-materialized counts.
+/** Result of a comparison. `orphans` is lazy (a DataFrame over the
+  * cached bucket-restricted sides — consuming it does not re-scan the
+  * inputs); `buckets` is the per-bucket match table (bucket, src_cnt,
+  * tgt_cnt, ok — the reference's per-chunk OK/NOK view, O19); the
+  * scalar fields hold the already-materialized counts. Call
+  * [[DiffReport.release]] when done to drop the small retained caches
+  * (orphans/buckets recompute from source afterwards).
   */
 final case class DiffReport(
     srcRows: Long,
@@ -50,7 +62,11 @@ final case class DiffReport(
     orphanSrc: Long,
     orphanTgt: Long,
     maxDelta: Long,
-    orphans: DataFrame) {
+    orphans: DataFrame,
+    buckets: DataFrame,
+    private val retained: Seq[DataFrame] = Nil) {
+  /** Unpersist the small caches backing `orphans`/`buckets`. */
+  def release(): Unit = retained.foreach(_.unpersist())
   /** True when row-level counts were not fetched (fetchRows=false with
     * mismatched buckets) — difference is known but not quantified.
     */
@@ -164,6 +180,8 @@ object Comparator {
       tgt: DataFrame,
       opts: CompareOptions = CompareOptions()): DiffReport = {
     schemaGate(src, tgt, opts.schemaCheck)
+    opts.progress(
+      s"plan: ${opts.numBuckets} buckets over ${src.columns.length} columns (schema ${opts.schemaCheck})")
 
     val sb0 = withBuckets(src, opts.numBuckets)
     val tb0 = withBuckets(tgt, opts.numBuckets)
@@ -187,6 +205,8 @@ object Comparator {
         coalesce(col("s_h2sum"), lit(0L)) =!= coalesce(col("t_h2sum"), lit(0L)))
       .cache()
 
+    val t0 = System.nanoTime()
+    def ms(since: Long): Long = (System.nanoTime() - since) / 1000000L
     val summary = joined.agg(
       coalesce(sum("s_cnt"), lit(0L)),
       coalesce(sum("t_cnt"), lit(0L)),
@@ -194,88 +214,102 @@ object Comparator {
       coalesce(sum(when(col("mismatch"), 1L).otherwise(0L)), lit(0L))).head()
     val (srcRows, tgtRows, buckets, bad) =
       (summary.getLong(0), summary.getLong(1), summary.getLong(2), summary.getLong(3))
+    opts.progress(
+      s"fingerprint: $bad/$buckets buckets NOK, src=$srcRows rows, tgt=$tgtRows rows (in ${ms(t0)}ms)")
 
     val cols = src.columns.toSeq
     val badBuckets = joined.where(col("mismatch")).select("__bucket")
+    val bucketTable = joined.select(col("__bucket").as("bucket"),
+      coalesce(col("s_cnt"), lit(0L)).as("src_cnt"),
+      coalesce(col("t_cnt"), lit(0L)).as("tgt_cnt"),
+      (!col("mismatch")).as("ok"))
 
     // Restrict each side to offending buckets via semi-join (broadcast:
-    // the bucket list is ≤ numBuckets rows), then bag-diff. Stays fully
-    // distributed — no bucket-id collect to the driver. The restricted
-    // sides are CACHED: they are tiny (≈ mismatched/numBuckets of the
-    // input) and feed both exceptAll directions plus the orphan counts
-    // — without the cache each consumer re-scans and re-canonicalizes
-    // the full input (measured 2× end-to-end on the mismatch path).
-    // The row hashes ride along for the MapType-safe diff path.
+    // the bucket list is ≤ numBuckets rows). Stays fully distributed —
+    // no bucket-id collect to the driver. The restricted sides are
+    // CACHED: they are tiny (≈ mismatched/numBuckets of the input) and
+    // feed the multiplicity-delta count plus the lazy orphan fetch —
+    // without the cache each consumer re-scans and re-hashes the full
+    // input (measured 2× end-to-end on the mismatch path). The row
+    // hashes ride along as the diff keys.
     def side(b: DataFrame): DataFrame =
       b.join(broadcast(badBuckets), Seq("__bucket"), "left_semi")
         .select((cols ++ Seq("__h", "__h2")).map(col): _*)
 
-    val (orphans: DataFrame, oSrc: Long, oTgt: Long) =
+    val empty = {
+      val s = src.sparkSession
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("side",
+            org.apache.spark.sql.types.StringType, false) +: src.schema.fields))
+    }
+
+    val (orphans: DataFrame, oSrc: Long, oTgt: Long, retained: Seq[DataFrame]) =
       if (bad == 0 || !opts.fetchRows) {
-        val empty = src.sparkSession.createDataFrame(
-          src.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(
-            org.apache.spark.sql.types.StructField("side",
-              org.apache.spark.sql.types.StringType, false) +: src.schema.fields))
         val counts = if (bad == 0) (0L, 0L) else (-1L, -1L) // unknown if !fetchRows
-        (empty, counts._1, counts._2)
+        (empty, counts._1, counts._2, Seq(joined))
       } else {
+        val t1 = System.nanoTime()
         val ss = side(sb).cache()
         val ts = side(tb).cache()
-        val all0 =
-          if (src.schema.exists(f => containsMap(f.dataType)))
-            hashBagDiff(ss, ts, cols)
-          else {
-            val (sp, tp) = (ss.select(cols.map(col): _*), ts.select(cols.map(col): _*))
-            sp.exceptAll(tp).select(lit("source").as("side") +: cols.map(col): _*)
-              .unionAll(
-                tp.exceptAll(sp).select(lit("target").as("side") +: cols.map(col): _*))
-          }
-        val all = all0.cache()
-        val c = all.groupBy("side").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        ss.unpersist(); ts.unpersist()
-        (all, c.getOrElse("source", 0L), c.getOrElse("target", 0L))
+        val (delta, all) = hashBagDiff(ss, ts, cols)
+        // ONE action: orphan counts from the per-hash multiplicity
+        // deltas — no orphan-row materialization; the rows themselves
+        // stay lazy over the cached restricted sides and are only
+        // computed if the caller consumes `orphans`.
+        val c = delta.agg(
+          coalesce(sum(greatest(col("__d"), lit(0L))), lit(0L)),
+          coalesce(sum(greatest(-col("__d"), lit(0L))), lit(0L))).head()
+        opts.progress(
+          s"orphans: ${c.getLong(0)} source-only, ${c.getLong(1)} target-only (in ${ms(t1)}ms)")
+        (all, c.getLong(0), c.getLong(1), Seq(joined, ss, ts, delta))
       }
 
-    joined.unpersist()
+    // drop the big full-input caches; the small restricted caches stay
+    // with the report (DiffReport.release) so orphans/buckets stay cheap
     if (opts.persistScans) { sb.unpersist(); tb.unpersist() }
-    DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta, orphans)
+    DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta,
+      orphans, bucketTable, retained)
   }
 
-  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.MapType        => true
-    case org.apache.spark.sql.types.ArrayType(et, _)  => containsMap(et)
-    case org.apache.spark.sql.types.StructType(fs)    => fs.exists(f => containsMap(f.dataType))
-    case _                                            => false
-  }
-
-  /** Bag diff without set operations, for schemas Spark's `exceptAll`
-    * rejects (MapType at any nesting depth). Keyed on the two
-    * independent 64-bit row hashes already carried by the bucketed
-    * sides: equal hash pairs mean equal rows, so per-key multiplicity
-    * deltas reproduce exceptAll's bag semantics exactly — d surplus
-    * copies on a side yield d orphan rows — while the map values ride
-    * along as payload and are never compared by a set op. The window is
-    * per (h, h2) key WITHIN mismatched buckets only, so partitions stay
-    * tiny at any input scale.
+  /** Bag diff keyed on the two independent 64-bit row hashes carried by
+    * the bucket-restricted sides (Spark's `exceptAll` shuffles whole
+    * rows and rejects MapType-bearing schemas outright): equal hash
+    * pairs mean equal rows — the same trust the bucket fingerprints
+    * already rest on — so per-key multiplicity deltas reproduce
+    * exceptAll's bag semantics exactly: d surplus copies on a side
+    * yield d orphan rows, while the values (any type, maps included)
+    * ride along as payload and are never compared by a set op.
+    *
+    * Returns (delta, orphanRows): `delta` is the tiny per-hash count
+    * table — orphan COUNTS aggregate from it without touching a single
+    * data row; `orphanRows` joins it back to the restricted sides and
+    * picks `|d|` copies per key via a per-key row_number (keys live
+    * only in mismatched buckets, so window partitions stay tiny at any
+    * input scale).
     */
-  private def hashBagDiff(ss: DataFrame, ts: DataFrame, cols: Seq[String]): DataFrame = {
+  private def hashBagDiff(
+      ss: DataFrame, ts: DataFrame, cols: Seq[String]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val sc = ss.groupBy("__h", "__h2").agg(count(lit(1)).as("s_n"))
     val tc = ts.groupBy("__h", "__h2").agg(count(lit(1)).as("t_n"))
+    // cached: feeds the count aggregate now and both orphan-row picks
+    // later; a handful of (h, h2, d) longs
     val delta = sc.join(tc, Seq("__h", "__h2"), "full_outer")
       .select(col("__h"), col("__h2"),
         (coalesce(col("s_n"), lit(0L)) - coalesce(col("t_n"), lit(0L))).as("__d"))
       .where(col("__d") =!= 0L)
+      .cache()
     val w = Window.partitionBy("__h", "__h2").orderBy(lit(1))
     def pick(s: DataFrame, name: String, cond: Column, n: Column): DataFrame =
       s.join(delta.where(cond), Seq("__h", "__h2"))
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= n)
         .select(lit(name).as("side") +: cols.map(col): _*)
-    pick(ss, "source", col("__d") > 0, col("__d"))
+    val rows = pick(ss, "source", col("__d") > 0, col("__d"))
       .unionAll(pick(ts, "target", col("__d") < 0, -col("__d")))
+    (delta, rows)
   }
 
   /** O13/O14 analog — the reference calibrates a per-chunk row budget

@@ -126,6 +126,7 @@ object CompareQueries {
     "cmp_verdict" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val rep = Comparator.compare(li, mutated(li), CompareOptions(numBuckets = 512))
+      rep.release() // scalar fields extracted below; drop the report caches
       import s.implicits._
       Seq((rep.srcRows, rep.tgtRows, rep.orphanSrc, rep.orphanTgt))
         .toDF("src_rows", "tgt_rows", "orphan_src", "orphan_tgt")
@@ -135,6 +136,7 @@ object CompareQueries {
     "cmp_verdict_identical" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val rep = Comparator.compare(li, table(s, dir, "lineitem"), CompareOptions(numBuckets = 512))
+      rep.release()
       import s.implicits._
       Seq((rep.srcRows, rep.tgtRows, rep.mismatchedBuckets, rep.differences))
         .toDF("src_rows", "tgt_rows", "mismatched_buckets", "differences")

@@ -51,6 +51,38 @@ class ComparatorSpec extends SparkSpec {
     assert(rep.identical)
   }
 
+  test("per-bucket match table: counts reconcile and NOK buckets match the verdict") {
+    val tgt = graft.queries.CompareQueries.mutated(li)
+    val rep = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64))
+    val b = rep.buckets.cache()
+    assert(b.where(!col("ok")).count() == rep.mismatchedBuckets)
+    assert(b.agg(sum("src_cnt")).head().getLong(0) == rep.srcRows)
+    assert(b.agg(sum("tgt_cnt")).head().getLong(0) == rep.tgtRows)
+    val ident = Comparator.compare(li, li, CompareOptions(numBuckets = 64))
+    assert(ident.buckets.where(!col("ok")).count() == 0)
+    b.unpersist(); rep.release(); ident.release()
+  }
+
+  test("progress callback fires per stage") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tgt = graft.queries.CompareQueries.mutated(li)
+    Comparator.compare(li, tgt,
+      CompareOptions(numBuckets = 64, progress = lines += _)).release()
+    assert(lines.exists(_.startsWith("plan:")))
+    assert(lines.exists(_.contains("buckets NOK")))
+    assert(lines.exists(_.startsWith("orphans:")))
+  }
+
+  test("orphan counts agree with materialized orphan rows (lazy fetch path)") {
+    val tgt = graft.queries.CompareQueries.mutated(li)
+    val rep = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64))
+    val bySide = rep.orphans.groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.getOrElse("source", 0L) == rep.orphanSrc)
+    assert(bySide.getOrElse("target", 0L) == rep.orphanTgt)
+    rep.release()
+  }
+
   test("schema gate: arity mismatch throws") {
     intercept[IllegalArgumentException] {
       Comparator.compare(li, li.drop("l_tax"), CompareOptions())
