@@ -128,6 +128,34 @@ class OperatorsSpec extends SparkSpec {
     assert(cc(7L) == (7L, true))
   }
 
+  test("connected components releases superseded round checkpoints") {
+    import spark.implicits._
+    // long chain => several pointer-doubling rounds
+    val n = 64L
+    val vertices = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = Dedup.connectedComponents(vertices, pairs)
+    assert(cc.where(col("cluster_id") === 1L).count() == n)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final labels checkpoint may remain (sym + retired rounds released)
+    assert(after - before <= 1, s"leaked checkpoints: $before -> $after")
+  }
+
+  test("connected components under a reliable checkpoint dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val vertices = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(3L) == 1L && cc(6L) == 4L && cc(7L) == 7L)
+    // reliable checkpoint files were actually written
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("token stats: n_tokens matches manual split") {
     import spark.implicits._
     val d = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
