@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.{Main, SparkSpec}
+import graft.config.ConfigLoader
+import java.sql.DriverManager
+
+/** Live-database end-to-end for the JDBC path — the analog of the
+  * reference's flagship test, which spins a real PostgreSQL, loads
+  * t_test, mutates one row, and expects the full compare to report it
+  * (/root/reference/tests/test_scribedb.py:25-77). No network database
+  * exists in this sandbox, so embedded Derby (in-process, on the Spark
+  * classpath for the Hive metastore) plays the server: Spark's JDBC
+  * reader goes through the exact same `query`-pushdown code path
+  * (Sources.scala) as it would against PostgreSQL or Oracle.
+  */
+class JdbcE2ESpec extends SparkSpec {
+
+  private val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
+  private val Rows = 5000
+
+  private def url(db: String) = s"jdbc:derby:memory:$db;create=true"
+
+  private def initDb(db: String): Unit = {
+    Class.forName(Driver)
+    val conn = DriverManager.getConnection(url(db))
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE t_test (a INT, b INT, c VARCHAR(200))")
+      val ps = conn.prepareStatement("INSERT INTO t_test VALUES (?, ?, ?)")
+      (1 to Rows).foreach { i =>
+        ps.setInt(1, i); ps.setInt(2, i % 1000)
+        ps.setString(3, s"the quick brown fox jumped over the lazy dog number $i")
+        ps.addBatch()
+        if (i % 1000 == 0) ps.executeBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+  }
+
+  private def yamlSpec = ConfigLoader.fromYaml(
+    s"""source:
+       |  name: src
+       |  db:
+       |    type: jdbc
+       |    url: "${url("srcdb")}"
+       |    driver: $Driver
+       |    qry: SELECT a, b, c FROM t_test
+       |target:
+       |  name: tgt
+       |  db:
+       |    type: jdbc
+       |    url: "${url("tgtdb")}"
+       |    driver: $Driver
+       |    qry: SELECT a, b, c FROM t_test
+       |num_buckets: 64
+       |""".stripMargin)
+
+  test("JDBC e2e: identical Derby databases compare identical") {
+    initDb("srcdb"); initDb("tgtdb")
+    val rep = Main.run(spark, yamlSpec)
+    assert(rep.identical)
+    assert(rep.srcRows == Rows && rep.tgtRows == Rows)
+    rep.release()
+  }
+
+  test("JDBC e2e: one mutated row is reported from both sides (reference worked example)") {
+    // the reference's `update t_test ... where a=50` mutation
+    val conn = DriverManager.getConnection(url("tgtdb"))
+    try conn.createStatement().executeUpdate(
+      "UPDATE t_test SET b = b + 10, c = c || ' changed' WHERE a = 50")
+    finally conn.close()
+    val rep = Main.run(spark, yamlSpec)
+    assert(!rep.identical)
+    assert(rep.orphanSrc == 1 && rep.orphanTgt == 1)
+    val o = rep.orphans.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(o.toSet == Set(("source", 50, 50), ("target", 50, 60)))
+    rep.release()
+  }
+
+  test("JDBC e2e: the remote query itself is pushed down (projection + filter run in Derby)") {
+    val spec0 = yamlSpec
+    val filtered = spec0.copy(
+      source = spec0.source.copy(source = spec0.source.source match {
+        case j: graft.config.SourceSpec.Jdbc => j.copy(qry = "SELECT a, b FROM t_test WHERE a <= 100")
+        case other => other
+      }),
+      target = spec0.target.copy(source = spec0.target.source match {
+        case j: graft.config.SourceSpec.Jdbc => j.copy(qry = "SELECT a, b FROM t_test WHERE a <= 49")
+        case other => other
+      }))
+    val rep = Main.run(spark, filtered)
+    assert(rep.srcRows == 100 && rep.tgtRows == 49)
+    assert(rep.orphanSrc == 51 && rep.orphanTgt == 0)
+    rep.release()
+  }
+}
