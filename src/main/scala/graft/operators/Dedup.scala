@@ -101,7 +101,12 @@ object Dedup {
       case Some(f) =>
         val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .where(col("df") > f).select(col("shingle"))
-        all.join(broadcast(hot), Seq("shingle"), "left_anti")
+        // no broadcast hint: the hot-shingle set is usually tiny but is
+        // corpus-dependent (a pathological corpus can have millions of
+        // stop-shingles), so let AQE pick broadcast vs shuffle anti-join
+        // from the RUNTIME size instead of forcing an unbounded driver
+        // broadcast
+        all.join(hot, Seq("shingle"), "left_anti")
       case None => all
     }
     // serialized storage: the shingle table is cached only to avoid
