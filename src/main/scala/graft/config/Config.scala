@@ -48,12 +48,19 @@ final case class CompareSpec(
     maxDelta: Long = 0L,
     searchDiff: Boolean = true,
     numBuckets: Option[Int] = None,
-    schemaCheck: SchemaCheck = SchemaCheck.Positional) {
+    schemaCheck: SchemaCheck = SchemaCheck.Positional,
+    persistScans: Option[Boolean] = None) {
+  private def hasJdbcSide: Boolean =
+    source.source.isInstanceOf[SourceSpec.Jdbc] || target.source.isInstanceOf[SourceSpec.Jdbc]
   def options: CompareOptions = CompareOptions(
     numBuckets = numBuckets.getOrElse(4096),
     maxDelta = maxDelta,
     fetchRows = searchDiff,
-    schemaCheck = schemaCheck)
+    schemaCheck = schemaCheck,
+    // JDBC sides default to persisting the first scan: a re-scan
+    // re-runs the remote query, and a live database may not return the
+    // same rows twice (see CompareOptions.persistScans)
+    persistScans = persistScans.getOrElse(hasJdbcSide))
 }
 
 /** YAML → CompareSpec. Fail-fast with precise messages — the analog of
@@ -90,6 +97,7 @@ object ConfigLoader {
       maxDelta = opt(root, "max_delta").map(_.asLong(0L)).getOrElse(0L),
       searchDiff = opt(root, "search_diff").forall(_.asBoolean(true)),
       numBuckets = opt(root, "num_buckets").map(_.asInt),
+      persistScans = opt(root, "persist_scans").map(_.asBoolean),
       schemaCheck = opt(root, "schema_check").map(_.asText) match {
         case Some("arity")      => SchemaCheck.ArityOnly
         case Some("positional") | None => SchemaCheck.Positional

@@ -27,6 +27,20 @@ class ConfigSpec extends SparkSpec {
        |num_buckets: 64
        |""".stripMargin
 
+  test("persist_scans: explicit YAML wins; JDBC sides default to true, files to false") {
+    val fileSpec = ConfigLoader.fromYaml(validYaml)
+    assert(!fileSpec.options.persistScans)
+    assert(ConfigLoader.fromYaml(validYaml + "persist_scans: true\n").options.persistScans)
+    val jdbcSpec = ConfigLoader.fromYaml(
+      """source:
+        |  db: {type: jdbc, url: "jdbc:derby:memory:x", qry: SELECT 1 FROM t}
+        |target:
+        |  db: {type: jdbc, url: "jdbc:derby:memory:y", qry: SELECT 1 FROM t}
+        |""".stripMargin)
+    assert(jdbcSpec.options.persistScans)
+    assert(!jdbcSpec.copy(persistScans = Some(false)).options.persistScans)
+  }
+
   test("missing config file raises") {
     intercept[IllegalArgumentException](ConfigLoader.load("/nonexistent/x.yaml"))
   }
