@@ -19,7 +19,8 @@ object Main {
       configPath: String = "compare.yaml",
       logLevel: String = "WARN",
       searchDiff: Option[Boolean] = None,
-      master: String = "local[*]")
+      master: String = "local[*]",
+      estimate: Boolean = false)
 
   def parseArgs(argv: Array[String]): CliArgs = {
     def loop(acc: CliArgs, rest: List[String]): CliArgs = rest match {
@@ -29,11 +30,19 @@ object Main {
       case ("-s" | "--search-diff") :: t   => loop(acc.copy(searchDiff = Some(true)), t)
       case "--no-search-diff" :: t         => loop(acc.copy(searchDiff = Some(false)), t)
       case ("-m" | "--master") :: v :: t   => loop(acc.copy(master = v), t)
+      case ("-e" | "--estimate") :: t      => loop(acc.copy(estimate = true), t)
       case other :: _ =>
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
     loop(CliArgs(), argv.toList)
   }
+
+  /** Estimate-only entry: plan and print, don't execute (the
+    * reference's estimate config fixture).
+    */
+  def estimate(spark: SparkSession, spec: CompareSpec): Comparator.ComparePlan =
+    Comparator.estimate(
+      Sources.resolve(spark, spec.source), Sources.resolve(spark, spec.target))
 
   /** Side-effect-free core (testable): resolve both sides, compare,
     * return the report.
@@ -69,6 +78,10 @@ object Main {
     val spark = GraftSession.build(cli.master)
     spark.sparkContext.setLogLevel(cli.logLevel)
     try {
+      if (cli.estimate) {
+        println(estimate(spark, spec).describe)
+        sys.exit(0)
+      }
       // per-stage progress to stderr (the reference's per-chunk OK/NOK
       // lines, /root/reference/main.py:227-247), verdict to stdout
       val rep = run(spark, spec, cli.searchDiff, progress = s => System.err.println(s"[compare] $s"))

@@ -316,6 +316,34 @@ object Comparator {
     (delta, rows)
   }
 
+  /** Estimate-only plan: what [[compareAuto]] WOULD run (the analog of
+    * the reference's estimate-only config fixture,
+    * /root/reference/tests/yaml/default_config_estimate.yaml — plan and
+    * report, don't execute).
+    */
+  final case class ComparePlan(
+      srcRows: Long, tgtRows: Long, numBuckets: Int, avgRowsPerBucket: Long) {
+    def describe: String =
+      s"plan: $numBuckets buckets (~$avgRowsPerBucket rows/bucket) " +
+        s"over src=$srcRows rows, tgt=$tgtRows rows; not executed"
+  }
+
+  private def bucketsFor(rows: Long, targetRowsPerBucket: Long): Int =
+    math.max(64L, math.min(1L << 21, rows / math.max(1L, targetRowsPerBucket) + 1)).toInt
+
+  /** Count both sides and report the planned compare shape without
+    * executing it. The only actions are the two counts.
+    */
+  def estimate(
+      src: DataFrame,
+      tgt: DataFrame,
+      targetRowsPerBucket: Long = 100000L): ComparePlan = {
+    val (s, t) = (src.count(), tgt.count())
+    val rows = math.max(s, t)
+    val buckets = bucketsFor(rows, targetRowsPerBucket)
+    ComparePlan(s, t, buckets, rows / buckets)
+  }
+
   /** O13/O14 analog — the reference calibrates a per-chunk row budget
     * with timed probes and plans `loops = ceil(max(rows)/min(bucket))`
     * (/root/reference/scribedb/base.py:108-154,
@@ -330,8 +358,7 @@ object Comparator {
       targetRowsPerBucket: Long = 100000L,
       opts: CompareOptions = CompareOptions()): DiffReport = {
     val rows = math.max(src.count(), tgt.count())
-    val buckets = math.max(64L, math.min(1L << 21, rows / math.max(1L, targetRowsPerBucket) + 1)).toInt
-    compare(src, tgt, opts.copy(numBuckets = buckets))
+    compare(src, tgt, opts.copy(numBuckets = bucketsFor(rows, targetRowsPerBucket)))
   }
 
   /** Key-uniqueness validation (SURVEY §7.4 hazard 2): the reference's

@@ -280,13 +280,17 @@ object Dedup {
       col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     l.join(r, Seq("t", "bucket"))
       .where(col("vec_a") < col("vec_b"))
-      // a pair colliding in several tables counts once; dedup on the
-      // pair KEYS before the dot product so each pair is scored once
-      .dropDuplicates("vec_a", "vec_b")
+      // score BEFORE deduping table collisions: the dot is a cheap
+      // codegen'd loop over the streamed join output, while a
+      // dropDuplicates first would shuffle every candidate WITH both
+      // embedding arrays (~1 KB/row) — scoring first means the dedup
+      // shuffle carries only (vec_a, vec_b, cos) for the pairs that
+      // survive the threshold
       .withColumn("cos",
         dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
   }
 
   /** Connected components over near-dup pairs — the step that turns
@@ -320,7 +324,12 @@ object Dedup {
 
     val sym = ckpt(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
-    var labels = ckpt(vertices.select(col("doc_id"), col("doc_id").as("label")))
+    // __chg rides inside each round's checkpoint so the convergence
+    // check is a block-local aggregate over the just-materialized
+    // checkpoint — not an extra shuffle join per round
+    var prev = ckpt(vertices.select(col("doc_id"), col("doc_id").as("label"),
+      lit(true).as("__chg")))
+    var labels = prev.select(col("doc_id"), col("label"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -336,11 +345,13 @@ object Dedup {
       val next = ckpt(propagated.as("p")
         .join(labels.select(col("doc_id").as("label"), col("label").as("label2")).as("l"),
           Seq("label"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("label2"), col("label"))).as("label")))
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .where(col("label") =!= col("old")).count()
-      release(labels) // superseded — next is materialized, changed computed
-      labels = next
+        .select(col("doc_id"), least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+        .join(labels.withColumnRenamed("label", "__old"), Seq("doc_id"))
+        .select(col("doc_id"), col("label"), (col("label") =!= col("__old")).as("__chg")))
+      changed = next.where(col("__chg")).count() // reads checkpoint blocks only
+      release(prev) // superseded — next is materialized, changed computed
+      prev = next
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     release(sym)

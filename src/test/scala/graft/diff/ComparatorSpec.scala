@@ -123,6 +123,15 @@ class ComparatorSpec extends SparkSpec {
     assert(rep.identical && rep.srcRows == 0)
   }
 
+  test("estimate-only mode plans without executing") {
+    val plan = Comparator.estimate(li, li)
+    assert(plan.srcRows == 6000 && plan.tgtRows == 6000)
+    assert(plan.numBuckets == 64) // floor at 64 for small inputs
+    assert(plan.describe.contains("not executed"))
+    assert(graft.Main.parseArgs(Array("-e")).estimate)
+    assert(graft.Main.parseArgs(Array("--estimate", "-f", "x.yaml")).estimate)
+  }
+
   test("compareSql entry over registered views") {
     GraftSession.registerAll(spark, Sf0001)
     val rep = Comparator.compareSql(spark,
