@@ -57,13 +57,18 @@ object Dedup {
         min(mh(3)).as("h3"), min(mh(4)).as("h4"), min(mh(5)).as("h5"),
         min(mh(6)).as("h6"), min(mh(7)).as("h7"))
 
-  /** LSH band keys: band b = md5(h(2b) ‖ h(2b+1)). */
+  /** LSH band keys: band b = md5(h(2b) ‖ h(2b+1)). One explode pass
+    * over the signature table — a per-band unionAll would read the
+    * signature exchange NumBands times (and 2×NumBands once both
+    * sides of the candidate self-join expand it).
+    */
   def lshBands(sig: DataFrame): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
     }
-    bands.reduce(_ unionAll _)
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
   /** Candidate pairs = docs sharing any band bucket. */
