@@ -97,7 +97,11 @@ object CompareQueries {
     // O15: hash-compare src vs mutated tgt at bucket granularity — the
     // mutated row's canon moves bucket, so up to 2 buckets differ.
     // 256 buckets (2 hex chars): the per-bucket collect+sort is the
-    // whole cost, and 16 groups can't use 32 cores.
+    // whole cost, and 16 groups can't use 32 cores. PARITY-PATH CAVEAT:
+    // collect_list materializes one bucket's canon strings in a single
+    // task, so bucket count must scale with data (rows/bucket bounded
+    // by task memory). The default comparator fingerprint (commutative
+    // hash sums) has no such limit and is the production path.
     "cmp_hash_detect" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       def fp(df: DataFrame, side: String) =

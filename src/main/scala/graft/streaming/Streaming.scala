@@ -106,6 +106,21 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * content-hash dedup ([[graft.operators.Dedup]] `dd_exact`): emit a
+    * row the FIRST time its key arrives, drop re-deliveries.
+    * `dropDuplicatesWithinWatermark` holds one state record per
+    * distinct key and EVICTS it once the watermark passes — bounded
+    * state, where a plain streaming `dropDuplicates` grows state
+    * forever. The contract is the at-least-once-delivery one: a
+    * duplicate is only guaranteed dropped while its first occurrence
+    * is inside the watermark horizon.
+    */
+  def dedupStream(rows: DataFrame, keys: Seq[String],
+      watermarkCol: String = "ts", delay: String = "2 hours"): DataFrame =
+    rows.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Incremental dataset fingerprint: the streaming twin of
     * [[graft.diff.Comparator.fingerprints]] — per-bucket running
     * (count, hash-sum) updated per micro-batch. Comparing two streams'

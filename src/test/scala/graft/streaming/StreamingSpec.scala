@@ -125,6 +125,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.subsetOf(want), s"got=${got.size} want=${want.size}")
   }
 
+  test("streaming dedup drops cross-batch re-deliveries within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      // time-ordered batches: the watermark advances to max(a.ts)-2h
+      // after the first trigger, so batch b's fresh rows stay live
+      val events = typedEvents.sortBy(_.ts.getTime)
+      val (a, b) = events.splitAt(events.size / 2)
+      // duplicates both inside a batch and across the batch boundary
+      mem.addData(a ++ a.take(20)); q.processAllAvailable()
+      mem.addData(b ++ a.takeRight(20) ++ b.take(20)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dedup")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    val batch = eventsDf.dropDuplicates("event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed=${streamed.size} batch=${batch.size}")
+    // emitted exactly once per key
+    assert(spark.table("dedup").count() ==
+      spark.table("dedup").select("event_id").distinct().count())
+  }
+
   test("incremental fingerprints converge to the batch fingerprints") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
