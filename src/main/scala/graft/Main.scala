@@ -42,7 +42,8 @@ object Main {
     */
   def estimate(spark: SparkSession, spec: CompareSpec): Comparator.ComparePlan =
     Comparator.estimate(
-      Sources.resolve(spark, spec.source), Sources.resolve(spark, spec.target))
+      Sources.resolve(spark, spec.source), Sources.resolve(spark, spec.target),
+      numBuckets = spec.numBuckets)
 
   /** Side-effect-free core (testable): resolve both sides, compare,
     * return the report.

@@ -87,28 +87,37 @@ object Canonicalizer {
     df.withColumn("__canon", canonRowStrict(df, cols))
       .withColumn("__h", xxhash64(col("__canon")))
 
-  /** True when hashing the native value with xxhash64 is either unsafe
-    * or impossible for this type, so the column must hash its canonical
+  /** True when hashing the native value with xxhash64 is unsafe or
+    * impossible for this type, so the column must hash its canonical
     * JSON text instead:
     *
     *   - MapType at ANY nesting depth: xxhash64's type check rejects it
     *     recursively (iteration order is undefined).
-    *   - a nullable array element or struct field at ANY depth:
-    *     xxhash64 SKIPS null values at every level (hash(null, seed) =
-    *     seed), and the comparator's null-flag prefix covers only the
-    *     top-level column — so array('x', null) vs array(null, 'x'),
-    *     or array('x') vs array('x', null), would hash identically and
-    *     the diff engine would silently report "identical".
+    *   - ArrayType/StructType at ANY depth: xxhash64 SKIPS null values
+    *     at every level (hash(null, seed) = seed), and the comparator's
+    *     null-flag prefix covers only the top-level column — so
+    *     array('x', null) vs array(null, 'x'), or array('x') vs
+    *     array('x', null), would hash identically and the diff engine
+    *     would silently report "identical".
     *
-    * Complex types whose internals are provably null-free (and map-free)
-    * stay on the fast native-hash path.
+    * The decision is a function of the TYPE SHAPE ONLY — never of
+    * nullability metadata. containsNull/nullable flags describe what a
+    * side could hold, not what it does: a parquet side (flags true) and
+    * a constructed side (flags false) carrying identical values must
+    * route identically, or equal data hashes unequal and the verdict
+    * depends on flags that carry no data. Only primitive columns take
+    * the fast native-hash path; top-level primitives are the hot case
+    * (every reference workload) and keep their full codegen speed.
     */
   private[graft] def needsJsonHash(dt: DataType): Boolean = dt match {
-    case _: MapType                  => true
-    case ArrayType(et, containsNull) => containsNull || needsJsonHash(et)
-    case StructType(fields) => fields.exists(f => f.nullable || needsJsonHash(f.dataType))
+    case _: MapType | _: ArrayType | _: StructType => true
     case _ => false
   }
+
+  /** Atomic (non-nested, orderable) type — AtomicType itself is not
+    * public API in Spark 4.
+    */
+  private def isAtomic(dt: DataType): Boolean = !needsJsonHash(dt)
 
   /** Direct row hash over the NATIVE column values — the comparator's
     * hot path. Same equivalence classes as hashing the strict canonical
@@ -123,10 +132,14 @@ object Canonicalizer {
     * its null flag as a long — the flag is never null, so the hashed
     * input stream uniquely encodes both the null pattern and the value
     * positions, for any column count. Nulls NESTED inside a complex
-    * value can't be flagged that way, so any column whose type admits
-    * them (see [[needsJsonHash]]) hashes its canonical JSON text —
-    * to_json keeps array nulls and drops null struct fields, both
-    * injective renderings for a fixed schema.
+    * value can't be flagged that way, so complex columns (see
+    * [[needsJsonHash]]) hash their canonical JSON text — to_json keeps
+    * array nulls and drops null struct fields, both injective
+    * renderings for a fixed schema. Top-level maps with atomic keys
+    * and values hash their SORTED entry list (entry order is not
+    * identity); maps nested deeper, or with complex values, hash in
+    * entry order — canonicalize those upstream if ingestion order is
+    * not stable.
     */
   def rowHash(df: DataFrame, seed: Long, cols: Seq[String] = Nil): Column = {
     val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
@@ -137,6 +150,11 @@ object Canonicalizer {
         // (the reference's whole point is comparing across engines)
         case ByteType | ShortType | IntegerType => df.col(n).cast(LongType)
         case FloatType                          => df.col(n).cast(DoubleType)
+        // sorted-entry form for top-level atomic maps: equal mappings
+        // hash equal regardless of entry order (to_json alone renders
+        // in iteration order, which is ingestion-dependent)
+        case MapType(k, v, _) if isAtomic(k) && isAtomic(v) =>
+          to_json(array_sort(map_entries(df.col(n))))
         case dt if needsJsonHash(dt)            => to_json(df.col(n))
         case _                                  => df.col(n)
       }

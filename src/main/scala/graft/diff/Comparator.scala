@@ -114,9 +114,10 @@ final case class DiffReport(
   *     (/root/reference/example.md:188-192). One shuffle of
   *     numBuckets×3 longs regardless of data size.
   *  3. full-outer join the two fingerprint sets on bucket_id (tiny);
-  *     only rows in mismatched buckets are then re-scanned and diffed
-  *     with `exceptAll` both directions (bag semantics — stricter than
-  *     the reference's Python set-diff which ignores multiplicity,
+  *     only rows in mismatched buckets are then re-scanned and
+  *     bag-diffed by per-row-hash multiplicity deltas (hashBagDiff —
+  *     bag semantics both directions, stricter than the reference's
+  *     Python set-diff which ignores multiplicity,
   *     /root/reference/main.py:116-137).
   *
   * At 100 TB: stage-2 output is O(numBuckets), independent of input;
@@ -125,6 +126,13 @@ final case class DiffReport(
   * collect), so nothing on this path is bounded by driver memory.
   */
 object Comparator {
+
+  // types compare MODULO nullability metadata: containsNull/nullable
+  // describe what a side could hold, not what it does — a parquet side
+  // and a constructed side carrying identical values must pass
+  private def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.graftshim.TypeBridge.sameTypeIgnoreNullability(a, b)
 
   def schemaGate(src: DataFrame, tgt: DataFrame, check: SchemaCheck): Unit = {
     val (s, t) = (src.schema, tgt.schema)
@@ -135,13 +143,13 @@ object Comparator {
       case SchemaCheck.ArityOnly => ()
       case SchemaCheck.Positional =>
         s.zip(t).zipWithIndex.foreach { case ((a, b), i) =>
-          if (a.dataType != b.dataType)
+          if (!sameType(a.dataType, b.dataType))
             throw new IllegalArgumentException(
               s"Schema type mismatch at position $i: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
         }
       case SchemaCheck.Exact =>
         s.zip(t).zipWithIndex.foreach { case ((a, b), i) =>
-          if (a.name != b.name || a.dataType != b.dataType)
+          if (a.name != b.name || !sameType(a.dataType, b.dataType))
             throw new IllegalArgumentException(
               s"Schema mismatch at position $i: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
         }
@@ -332,16 +340,19 @@ object Comparator {
     math.max(64L, math.min(1L << 21, rows / math.max(1L, targetRowsPerBucket) + 1)).toInt
 
   /** Count both sides and report the planned compare shape without
-    * executing it. The only actions are the two counts.
+    * executing it. The only actions are the two counts. A configured
+    * `numBuckets` (the YAML's num_buckets) overrides the heuristic —
+    * the printed plan must be the plan the real run would execute.
     */
   def estimate(
       src: DataFrame,
       tgt: DataFrame,
-      targetRowsPerBucket: Long = 100000L): ComparePlan = {
+      targetRowsPerBucket: Long = 100000L,
+      numBuckets: Option[Int] = None): ComparePlan = {
     val (s, t) = (src.count(), tgt.count())
     val rows = math.max(s, t)
-    val buckets = bucketsFor(rows, targetRowsPerBucket)
-    ComparePlan(s, t, buckets, rows / buckets)
+    val buckets = numBuckets.getOrElse(bucketsFor(rows, targetRowsPerBucket))
+    ComparePlan(s, t, buckets, rows / math.max(1, buckets))
   }
 
   /** O13/O14 analog — the reference calibrates a per-chunk row budget

@@ -99,6 +99,10 @@ object Dedup {
     * NOTE: jaccard is then computed over the FILTERED shingle sets
     * (documented approximation — the reason the unfiltered variant
     * remains the exactness baseline).
+    *
+    * Cache ownership: the returned plan retains a serialized cache of
+    * the shingle table (three branches read it) until
+    * `spark.catalog.clearCache()` or session end.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, maxDocFreq: Option[Int]): DataFrame = {
     val all = shingleDf(docs)
@@ -185,6 +189,11 @@ object Dedup {
     *     appears exactly once, and this stage's cost is proportional
     *     to the OUTPUT (the true near-dup pairs), which no correct
     *     algorithm can avoid.
+    *
+    * Cache ownership: the returned plan retains a serialized cache of
+    * the simhash table (it feeds three branches). The cache lives until
+    * `spark.catalog.clearCache()` or session end — pipelines calling
+    * this repeatedly in one session should clear between runs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val Bits = 16
@@ -316,16 +325,26 @@ object Dedup {
     * executor loss mid-loop recomputes from the checkpoint files, the
     * right trade at cluster scale. Otherwise `localCheckpoint()` (fast,
     * but blocks pin to executors). Either way each round RELEASES the
-    * superseded round's blocks once `changed` is computed, so block
-    * storage holds O(|V|), not O(rounds × |V|).
+    * superseded round's storage (cached blocks, and the checkpoint
+    * FILES in reliable mode) once `changed` is computed, so total
+    * footprint holds at O(|V|), not O(rounds × |V|).
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftshim.CheckpointBridge
     val sc = vertices.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    def release(df: DataFrame): Unit = if (!reliable) CheckpointBridge.release(df)
+      if (reliable) {
+        // persist first: RDD.checkpoint's file-write job otherwise
+        // RECOMPUTES the whole round's plan (compute once into cache,
+        // write from cache), then drop the pre-checkpoint cache — the
+        // checkpoint files are now the canonical copy
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
+    def release(df: DataFrame): Unit = CheckpointBridge.release(df)
 
     val sym = ckpt(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))

@@ -15,6 +15,20 @@ import org.apache.spark.sql.execution.LogicalRDD
   * hands the RDD back so the loop can `unpersist` retired rounds
   * deterministically.
   */
+/** Type comparison modulo nullability metadata. containsNull/nullable
+  * flags describe what a side COULD hold, not what it does — a parquet
+  * scan (flags true) and a constructed frame (flags false) with equal
+  * values must pass the schema gate. Spark's own
+  * `DataType.equalsIgnoreNullability` is not public API; this shim
+  * package (inside org.apache.spark.sql) can reach it.
+  */
+object TypeBridge {
+  def sameTypeIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
+}
+
 object CheckpointBridge {
   /** The checkpointed RDD backing `df`, when `df` is exactly a
     * (local)checkpoint result; None for any other plan shape.
@@ -25,10 +39,22 @@ object CheckpointBridge {
       case _             => None
     }
 
-  /** Release the blocks of a superseded checkpointed Dataset (no-op
-    * for non-checkpoint plans and for reliable checkpoints, whose
-    * files are managed by the context cleaner).
+  /** Release a superseded checkpointed Dataset: unpersist its blocks
+    * and, for RELIABLE checkpoints, delete its checkpoint files (the
+    * context cleaner only does that on GC, and only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set —
+    * deterministic deletion keeps the checkpoint dir at O(|V|), not
+    * O(rounds × |V|)). Only call once every consumer of `df` has been
+    * materialized into its own checkpoint. No-op for non-checkpoint
+    * plans.
     */
   def release(df: DataFrame): Unit =
-    checkpointedRdd(df).foreach(_.unpersist(blocking = false))
+    checkpointedRdd(df).foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(rdd.context.hadoopConfiguration)
+        fs.delete(path, true)
+      }
+    }
 }

@@ -128,6 +128,9 @@ class ComparatorSpec extends SparkSpec {
     assert(plan.srcRows == 6000 && plan.tgtRows == 6000)
     assert(plan.numBuckets == 64) // floor at 64 for small inputs
     assert(plan.describe.contains("not executed"))
+    // a configured num_buckets overrides the heuristic: the printed
+    // plan must match the plan the real run executes
+    assert(Comparator.estimate(li, li, numBuckets = Some(512)).numBuckets == 512)
     assert(graft.Main.parseArgs(Array("-e")).estimate)
     assert(graft.Main.parseArgs(Array("--estimate", "-f", "x.yaml")).estimate)
   }

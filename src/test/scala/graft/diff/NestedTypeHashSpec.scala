@@ -49,22 +49,38 @@ class NestedTypeHashSpec extends SparkSpec {
     assert(Comparator.compare(src, src, opts).identical)
   }
 
-  test("needsJsonHash: null-free complex internals keep the native-hash fast path") {
-    def arr(containsNull: Boolean) = ArrayType(StringType, containsNull)
-    assert(Canonicalizer.needsJsonHash(arr(containsNull = true)))
-    assert(!Canonicalizer.needsJsonHash(arr(containsNull = false)))
+  test("needsJsonHash routes on type SHAPE only, never nullability metadata") {
+    // complex types always route through JSON — regardless of flags
+    assert(Canonicalizer.needsJsonHash(ArrayType(StringType, containsNull = true)))
+    assert(Canonicalizer.needsJsonHash(ArrayType(StringType, containsNull = false)))
     assert(Canonicalizer.needsJsonHash(MapType(StringType, LongType)))
-    assert(Canonicalizer.needsJsonHash(ArrayType(MapType(StringType, LongType), false)))
-    val cleanStruct = StructType(Seq(StructField("a", LongType, nullable = false)))
-    assert(!Canonicalizer.needsJsonHash(cleanStruct))
-    assert(!Canonicalizer.needsJsonHash(ArrayType(cleanStruct, containsNull = false)))
     assert(Canonicalizer.needsJsonHash(
-      StructType(Seq(StructField("a", StringType, nullable = true)))))
-    assert(Canonicalizer.needsJsonHash(
-      StructType(Seq(StructField("a", arr(containsNull = true), nullable = false)))))
+      StructType(Seq(StructField("a", LongType, nullable = false)))))
     // atomic types never route through JSON
     assert(!Canonicalizer.needsJsonHash(StringType))
     assert(!Canonicalizer.needsJsonHash(DecimalType(12, 2)))
     assert(!Canonicalizer.needsJsonHash(TimestampType))
+  }
+
+  test("identical data with different containsNull flags hashes equal") {
+    import org.apache.spark.sql.Row
+    val data = java.util.Arrays.asList(Row(1L, Seq("x", "y")))
+    def df(cn: Boolean) = spark.createDataFrame(data,
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("a", ArrayType(StringType, containsNull = cn)))))
+    val rep = Comparator.compare(df(true), df(false), opts)
+    assert(rep.identical, "equal values must hash equal across nullability metadata")
+  }
+
+  test("top-level map entry order is not identity") {
+    import org.apache.spark.sql.functions._
+    val a = Seq(1).toDF("id")
+      .select(col("id"), map(lit("a"), lit(1), lit("b"), lit(2)).as("m"))
+    val b = Seq(1).toDF("id")
+      .select(col("id"), map(lit("b"), lit(2), lit("a"), lit(1)).as("m"))
+    val c = Seq(1).toDF("id")
+      .select(col("id"), map(lit("a"), lit(1), lit("b"), lit(3)).as("m"))
+    assert(Comparator.compare(a, b, opts).identical)
+    assert(!Comparator.compare(a, c, opts).identical)
   }
 }

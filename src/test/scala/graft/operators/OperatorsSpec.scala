@@ -146,14 +146,20 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val vertices = (1L to 7L).toDF("doc_id")
-    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
-      .toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(vertices, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc(3L) == 1L && cc(6L) == 4L && cc(7L) == 7L)
-    // reliable checkpoint files were actually written
-    assert(new java.io.File(dir).listFiles().nonEmpty)
+    try {
+      val vertices = (1L to 7L).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+        .toDF("doc_a", "doc_b")
+      val cc = Dedup.connectedComponents(vertices, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc(3L) == 1L && cc(6L) == 4L && cc(7L) == 7L)
+      // reliable checkpoint files were actually written
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      // the session is JVM-shared: leaving the dir set would silently
+      // flip every later connectedComponents call to reliable mode
+      spark.sparkContext.setCheckpointDir(null)
+    }
   }
 
   test("token stats: n_tokens matches manual split") {
