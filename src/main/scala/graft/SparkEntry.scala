@@ -27,10 +27,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ CompareQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
-      operators.Similarity.queries ++ operators.Multimodal.queries
+      operators.Similarity.queries ++ operators.Multimodal.queries ++
+      operators.Profiler.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ CompareQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
-      operators.Similarity.oracles ++ operators.Multimodal.oracles
+      operators.Similarity.oracles ++ operators.Multimodal.oracles ++
+      operators.Profiler.oracles
 }
