@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
   */
 sealed trait SourceSpec
 object SourceSpec {
-  /** type: parquet | csv | json. Optional `qry` runs Spark SQL over the
+  /** type: parquet | csv | json | orc. Optional `qry` runs Spark SQL over the
     * file registered as view `<name>`.
     */
   final case class File(format: String, path: String, qry: Option[String]) extends SourceSpec
@@ -113,7 +113,7 @@ object ConfigLoader {
     val db = require(node, "db", where)
     val tpe = require(db, "type", s"$where.db").asText
     val src = tpe match {
-      case "parquet" | "csv" | "json" =>
+      case "parquet" | "csv" | "json" | "orc" =>
         SourceSpec.File(tpe,
           require(db, "path", s"$where.db").asText,
           opt(db, "qry").map(_.asText))
@@ -142,7 +142,7 @@ object ConfigLoader {
         SourceSpec.Sql(require(db, "qry", s"$where.db").asText)
       case other =>
         throw new IllegalArgumentException(
-          s"$where.db.type must be parquet|csv|json|postgres|oracle|jdbc|sql, got '$other'")
+          s"$where.db.type must be parquet|csv|json|orc|postgres|oracle|jdbc|sql, got '$other'")
     }
     SideSpec(name, src)
   }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.DataFrame
 object Sinks {
 
   final case class SinkSpec(
-      format: String = "parquet",          // parquet | csv | json
+      format: String = "parquet",          // parquet | csv | json | orc
       mode: String = "overwrite",          // overwrite | append | error
       partitionBy: Seq[String] = Nil,
       maxRecordsPerFile: Option[Long] = None,

@@ -37,6 +37,16 @@ class SinksSpec extends SparkSpec {
     assert(fromJson.exceptAll(docs).isEmpty && docs.exceptAll(fromJson).isEmpty)
   }
 
+  test("orc sink round-trips through the config source path") {
+    import graft.config.{SideSpec, SourceSpec}
+    val base = Files.createTempDirectory("sink4").toString
+    val docs = GraftSession.table(spark, Sf0001, "documents").select("doc_id", "lang")
+    Sinks.write(docs, s"$base/orc", Sinks.SinkSpec(format = "orc"))
+    val back = Sources.resolve(spark,
+      SideSpec("orc_side", SourceSpec.File("orc", s"$base/orc", None)))
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("maxRecordsPerFile bounds output file size") {
     val dir = Files.createTempDirectory("sink3").toString + "/li"
     val li = GraftSession.table(spark, Sf0001, "lineitem").limit(1000)
