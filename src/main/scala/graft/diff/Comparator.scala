@@ -339,6 +339,30 @@ object Comparator {
   private def bucketsFor(rows: Long, targetRowsPerBucket: Long): Int =
     math.max(64L, math.min(1L << 21, rows / math.max(1L, targetRowsPerBucket) + 1)).toInt
 
+  /** Row-count estimate WITHOUT scanning: Catalyst plan statistics.
+    * Exact `rowCount` when the optimizer knows it; otherwise
+    * `sizeInBytes` (for file sources, the on-disk length — no I/O)
+    * divided by the schema's estimated row width. Only when stats are
+    * unusable (unknown size propagates as a Long.MaxValue sentinel)
+    * does this fall back to an actual `count()`. Order-of-magnitude
+    * accuracy is all bucket sizing needs: a few-× error moves
+    * rows/bucket the same few × off target, which the fingerprint
+    * aggregation absorbs (O(1) state per bucket either way) and AQE
+    * re-coalesces at runtime — while the saved full scan per side was
+    * the dominant planning cost at any real scale.
+    */
+  private[graft] def estimateRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val size = stats.sizeInBytes
+      if (size <= 0 || size >= BigInt(Long.MaxValue) / 2) df.count()
+      else {
+        val width = math.max(8, df.schema.map(_.dataType.defaultSize).sum)
+        math.max(1L, (size / width).toLong)
+      }
+    }
+  }
+
   /** Count both sides and report the planned compare shape without
     * executing it. The only actions are the two counts. A configured
     * `numBuckets` (the YAML's num_buckets) overrides the heuristic —
@@ -358,18 +382,52 @@ object Comparator {
   /** O13/O14 analog — the reference calibrates a per-chunk row budget
     * with timed probes and plans `loops = ceil(max(rows)/min(bucket))`
     * (/root/reference/scribedb/base.py:108-154,
-    * /root/reference/main.py:206-208). Here planning is two cheap
-    * counts: bucket count scales with the larger side so each bucket
-    * holds ~targetRowsPerBucket rows, bounded so the fingerprint join
-    * stays tiny; AQE handles residual skew at runtime.
+    * /root/reference/main.py:206-208). Here planning is SCAN-FREE
+    * ([[estimateRows]]: plan statistics, no job): bucket count scales
+    * with the larger side so each bucket holds ~targetRowsPerBucket
+    * rows, bounded so the fingerprint join stays tiny; AQE handles
+    * residual skew at runtime. Each side is then scanned exactly once
+    * on the identical-inputs path — the fingerprint pass — where the
+    * previous count-based planning scanned twice.
     */
   def compareAuto(
       src: DataFrame,
       tgt: DataFrame,
       targetRowsPerBucket: Long = 100000L,
-      opts: CompareOptions = CompareOptions()): DiffReport = {
-    val rows = math.max(src.count(), tgt.count())
-    compare(src, tgt, opts.copy(numBuckets = bucketsFor(rows, targetRowsPerBucket)))
+      opts: CompareOptions = CompareOptions()): DiffReport =
+    compare(src, tgt,
+      opts.copy(numBuckets = planBuckets(src, tgt, targetRowsPerBucket)))
+
+  /** The bucket count [[compareAuto]] will use — exposed so tests can
+    * assert planning runs zero Spark jobs.
+    */
+  private[graft] def planBuckets(
+      src: DataFrame, tgt: DataFrame, targetRowsPerBucket: Long): Int =
+    bucketsFor(math.max(estimateRows(src), estimateRows(tgt)), targetRowsPerBucket)
+
+  /** Time-budget calibration — the honest Spark analog of the
+    * reference's timed-probe chunk sizing
+    * (/root/reference/scribedb/base.py:108-154: probe queries against a
+    * 5,000 ms budget decide rows per chunk). Spark jobs are whole-stage,
+    * so "rows per bucket" doesn't bound job TIME — what it bounds is the
+    * re-scan granularity on mismatch; this converts an operator's
+    * time-budget mental model into that knob: run the real
+    * scan→hash→fingerprint path over a bounded sample, measure rows/sec,
+    * and return the rows-per-bucket that keeps one bucket's worth of
+    * work under `budgetMs` at the measured rate. Feed the result to
+    * [[compareAuto]]'s `targetRowsPerBucket`.
+    */
+  def calibrateRowsPerBucket(
+      df: DataFrame,
+      budgetMs: Long = 5000L,
+      sampleRows: Long = 50000L): Long = {
+    val sample = df.limit(math.max(1L, sampleRows).toInt)
+    val t0 = System.nanoTime()
+    val counted = fingerprints(withBuckets(sample, 64))
+      .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val elapsedMs = math.max(1L, (System.nanoTime() - t0) / 1000000L)
+    val rowsPerMs = math.max(1.0, counted.toDouble / elapsedMs)
+    math.max(1000L, (rowsPerMs * budgetMs).toLong)
   }
 
   /** Key-uniqueness validation (SURVEY §7.4 hazard 2): the reference's

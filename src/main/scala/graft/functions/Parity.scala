@@ -44,6 +44,55 @@ object Parity {
     concat(lit("("), concat_ws(",", fields: _*), lit(")"))
   }
 
+  /** Per-bucket md5 over the newline-joined SORTED canonical rows —
+    * byte-identical to `md5(string_agg(canon, chr(10) ORDER BY canon))`
+    * but computed as a streaming fold: hash-partition by bucket so each
+    * bucket lands wholly in one partition, sort within partitions by
+    * (bucket, canon), then stream every row through one incremental
+    * `MessageDigest.update`. Memory per bucket is O(1) — the digest
+    * state — regardless of bucket size, so bucket count no longer has
+    * to scale with data the way the previous `collect_list` +
+    * `array_sort` form required (one bucket's full canon text in a
+    * single task). Returns (bucket, fingerprint, n).
+    */
+  def sortedMd5(rows: DataFrame, bucket: Column, canon: Column): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val prepared = rows
+      .select(bucket.cast(StringType).as("bucket"), canon.cast(StringType).as("canon"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "canon")
+    prepared.as[(String, String)].mapPartitions { it =>
+      val hexDigits = "0123456789abcdef".toCharArray
+      def hex(b: Array[Byte]): String = {
+        val out = new Array[Char](b.length * 2)
+        var i = 0
+        while (i < b.length) {
+          out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+          out(2 * i + 1) = hexDigits(b(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nl = Array[Byte]('\n')
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var cur: String = null
+      var n = 0L
+      for ((b, c) <- it) {
+        if (b != cur) {
+          if (cur != null) out += ((cur, hex(md.digest()), n)) // digest() resets
+          cur = b; n = 0L
+        }
+        if (n > 0L) md.update(nl)
+        md.update(c.getBytes("UTF-8"))
+        n += 1
+      }
+      if (cur != null) out += ((cur, hex(md.digest()), n))
+      out.iterator
+    }.toDF("bucket", "fingerprint", "n")
+  }
+
   /** Ordered chained-MD5 fingerprint per bucket — the reference's exact
     * aggregate semantics: state ← `upper(md5(state ‖ rowText))`, init
     * `''`, folded in canonical-text order

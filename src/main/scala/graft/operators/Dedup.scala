@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word 3-gram shingles, distinct per doc. */
-  private def shingleDf(docs: DataFrame): DataFrame = {
+  private[operators] def shingleDf(docs: DataFrame): DataFrame = {
     val withToks = docs.select(col("doc_id"), split(trim(col("text")), " +").as("ts"))
     withToks
       .select(col("doc_id"), col("ts"), posexplode(col("ts")).as(Seq("i", "t0")))
@@ -127,6 +127,39 @@ object Dedup {
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact jaccard with the hot-shingle self-join SALTED — the
+    * skew-bound form of the exactness baseline. [[jaccardPairs]]'
+    * unfiltered self-join puts a shingle shared by f docs into ONE join
+    * group of f² candidate work; here the left side's shingle rows get
+    * a pseudo-random salt in [0, salts), the right side replicates
+    * `salts` times, and the equi-join key becomes (shingle, salt) — the
+    * hot shingle's work spreads over `salts` tasks, bounding the
+    * largest group at ~f²/salts. Row-identical to [[jaccardPairs]]
+    * (asserted in OperatorsSpec on a deliberately hot-shingle corpus;
+    * oracle-gated as dd_jaccard_salted against the SAME SQL as
+    * dd_jaccard). The price is ×salts shuffle volume on the replicated
+    * side — worth it only when the corpus has hot shingles you must
+    * keep; when dropping them is acceptable, the prefiltered variant
+    * (maxDocFreq) is strictly cheaper AND more informative per pair.
+    */
+  def jaccardPairsSalted(docs: DataFrame, threshold: Double, salts: Int = 16): DataFrame = {
+    val sh = shingleDf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val l = sh.select(col("doc_id").as("ida"), col("shingle"))
+    val r = sh.select(col("doc_id").as("idb"), col("shingle").as("shingle_r"))
+    val common = Skew.saltedJoin(l, r, "shingle", "shingle_r", salts)
+      .where(col("ida") < col("idb"))
+      .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
@@ -354,6 +387,16 @@ object Dedup {
     var prev = ckpt(vertices.select(col("doc_id"), col("doc_id").as("label"),
       lit(true).as("__chg")))
     var labels = prev.select(col("doc_id"), col("label"))
+    // ONE-ROUND GRACE on release: round N-1 is released only after round
+    // N+1 has materialized AND counted — never while any job that could
+    // still read it is in flight. (Round-3 bench tail logged a
+    // `locally checkpointed … cannot be recomputed after unpersisting`
+    // error under heavy concurrent load: eager-checkpoint materialization
+    // overlapping an immediate release of its input round is the only
+    // window where a released block could still be wanted. The grace
+    // closes that window at the cost of one extra retained round —
+    // footprint O(2|V|), still constant in rounds.)
+    var grace: DataFrame = null
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -373,11 +416,13 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "__old"), Seq("doc_id"))
         .select(col("doc_id"), col("label"), (col("label") =!= col("__old")).as("__chg")))
       changed = next.where(col("__chg")).count() // reads checkpoint blocks only
-      release(prev) // superseded — next is materialized, changed computed
+      if (grace != null) release(grace) // round N-2: no consumer can remain
+      grace = prev
       prev = next
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    if (grace != null) release(grace)
     release(sym)
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_keeper"))
@@ -405,6 +450,11 @@ object Dedup {
     // stop-shingle prefiltered variant (maxDocFreq = 20)
     "dd_jaccard_prefiltered" -> ((s, dir) =>
       jaccardPairs(table(s, dir, "documents"), 0.1, Some(20)).orderBy("doc_a", "doc_b")),
+
+    // skew-bound salted variant — same results as dd_jaccard, hot
+    // shingles spread over 8 join groups
+    "dd_jaccard_salted" -> ((s, dir) =>
+      jaccardPairsSalted(table(s, dir, "documents"), 0.1, 8).orderBy("doc_a", "doc_b")),
 
     "dd_simhash" -> ((s, dir) =>
       simhash(table(s, dir, "documents")).orderBy("doc_id")),
@@ -488,6 +538,20 @@ object Dedup {
          |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_jaccard" ->
+      s"""WITH sh AS ($shingleSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+         |FROM common
+         | JOIN cnt ca ON ca.doc_id = doc_a
+         | JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // salted join is result-identical to the naive self-join — same oracle
+    "dd_jaccard_salted" ->
       s"""WITH sh AS ($shingleSql),
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |common AS (

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * resize / frame-sampling pipelines.
   *
   * The Spark-side plumbing is real — binary schema, per-partition
-  * batched iteration, explode shapes, codegen'd expressions. The codec
-  * itself is a clearly-marked DETERMINISTIC STUB (this container has no
-  * image/audio libraries): "decoding" derives features from md5 of the
-  * payload, so every pipeline has an exact cross-engine oracle and
-  * swapping in a real codec only replaces [[StubCodec]].
+  * batched iteration, explode shapes, codegen'd expressions. Image
+  * payloads decode for REAL through [[ImageCodec]] (`javax.imageio`,
+  * JDK built-in): true dimensions and pixel-mean features. Payloads
+  * that are not decodable images (and audio/video, for which this
+  * container has no libraries) fall back to [[StubCodec]], a
+  * clearly-marked DETERMINISTIC stand-in that derives features from
+  * md5 of the payload — so every pipeline keeps an exact cross-engine
+  * oracle regardless of payload contents.
   *
   * Scale notes: all operators are narrow (no shuffle) over the payload
   * column; at 100 TB the binary column dominates scan cost, so
@@ -23,10 +26,52 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed decoded-media record (the mapPartitions pipeline output). */
+  /** Typed decoded-media record (the mapPartitions pipeline output).
+    * `width`/`height` are the REAL decoded dimensions when the payload
+    * is a decodable image, 0/0 otherwise (stub fallback).
+    */
   final case class DecodedMedia(
       media_id: Long, kind: String, n_bytes: Long, checksum: String,
-      features: Array[Float])
+      width: Int, height: Int, features: Array[Float])
+
+  /** ======================= REAL CODEC =======================
+    * Actual image decoding via `javax.imageio` — JDK built-in, no new
+    * dependencies. Returns None when the payload is not a decodable
+    * image (wrong magic bytes, truncated, or a non-image kind), in
+    * which case the pipeline falls back to [[StubCodec]] so every row
+    * still produces deterministic, oracle-able output.
+    *
+    * Features (FeatureDim floats in [0,1)): mean R, mean G, mean B,
+    * mean luma — each /256. The per-pixel loop runs on the executor
+    * inside mapPartitions; at scale swap `getRGB` for a raster bulk
+    * read, the seam stays identical.
+    */
+  object ImageCodec {
+    final case class Decoded(width: Int, height: Int, features: Array[Float])
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          .map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (r, g, b) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            val luma = (0.299 * r + 0.587 * g + 0.114 * b) / n / 256.0
+            Decoded(w, h, Array(
+              (r / n / 256.0).toFloat, (g / n / 256.0).toFloat,
+              (b / n / 256.0).toFloat, luma.toFloat))
+          }
+      } catch { case _: java.io.IOException => None }
+  }
 
   /** ======================= STUB CODEC =======================
     * Stands in for a real image/audio/video codec. Deterministic:
@@ -82,8 +127,12 @@ object Multimodal {
 
   /** The typed per-partition decode pipeline — the Scala analog of a
     * batched decode UDF: one codec instance per partition, rows
-    * streamed through it, typed output. Equality with
-    * [[extractFeatures]] is asserted in the test suite.
+    * streamed through it, typed output. Payloads that are REAL images
+    * decode through [[ImageCodec]] (true width/height, pixel-mean
+    * features); everything else falls back to the deterministic
+    * [[StubCodec]], whose equality with [[extractFeatures]] is asserted
+    * in the test suite (the gate corpus carries text payloads, so the
+    * oracle path is always the stub path).
     */
   def decodePipeline(catalog: DataFrame): Dataset[DecodedMedia] = {
     val spark = catalog.sparkSession
@@ -94,8 +143,11 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition setup (real codecs amortize init here)
         it.map { case (id, kind, payload) =>
+          val real = ImageCodec.decode(payload)
           DecodedMedia(id, kind, payload.length.toLong,
-            StubCodec.md5hex(payload), StubCodec.decode(payload))
+            StubCodec.md5hex(payload),
+            real.map(_.width).getOrElse(0), real.map(_.height).getOrElse(0),
+            real.map(_.features).getOrElse(StubCodec.decode(payload)))
         }
       }
   }

@@ -26,6 +26,15 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("c")).as("n"))
 
+  /** Pseudo-random row salt in [0, salts) — deterministic per physical
+    * row within one evaluation (a pure function of partition id ×
+    * position), uniform enough to spread a hot key across `salts`
+    * reducers. Shared by [[saltedJoin]] and the skew tests so the test
+    * can assert the actual group-size bound the join relies on.
+    */
+  def rowSalt(salts: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()), lit(salts))
+
   /** Salted shuffle join for a skewed LEFT side against a small-ish
     * right side that is still too big to broadcast: left rows get a
     * random salt in [0, salts); the right side is replicated `salts`
@@ -36,8 +45,7 @@ object Skew {
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()), lit(salts)))
+    val saltedLeft = left.withColumn("__salt", rowSalt(salts))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(replicatedRight,

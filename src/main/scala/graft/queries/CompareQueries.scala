@@ -82,33 +82,35 @@ object CompareQueries {
     // O8/O9 bucket fingerprint, parity form: per-bucket MD5 over the
     // sorted canonical rows. Order-insensitive by construction
     // (explicit sort inside the bucket) — fixing the reference's
-    // order-source ambiguity (SURVEY §4 hazards).
+    // order-source ambiguity (SURVEY §4 hazards). Computed as the
+    // Parity.sortedMd5 streaming fold (repartition + sort-within-
+    // partitions + incremental digest): O(1) memory per bucket, so the
+    // parity form itself now survives arbitrary bucket sizes — no
+    // collect_list materialization anywhere (PlanShapeSpec asserts).
     "cmp_fingerprint" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
-      li.select(liCanon.as("canon"))
-        .withColumn("bucket", substring(md5(col("canon")), 1, 1))
-        .groupBy(col("bucket"))
-        .agg(
-          md5(concat_ws("\n", array_sort(collect_list(col("canon"))))).as("fingerprint"),
-          count(lit(1)).as("n"))
+      val c = li.select(liCanon.as("canon"))
+      graft.functions.Parity
+        .sortedMd5(c, substring(md5(col("canon")), 1, 1), col("canon"))
         .orderBy("bucket")
     }),
 
     // O15: hash-compare src vs mutated tgt at bucket granularity — the
     // mutated row's canon moves bucket, so up to 2 buckets differ.
-    // 256 buckets (2 hex chars): the per-bucket collect+sort is the
-    // whole cost, and 16 groups can't use 32 cores. PARITY-PATH CAVEAT:
-    // collect_list materializes one bucket's canon strings in a single
-    // task, so bucket count must scale with data (rows/bucket bounded
-    // by task memory). The default comparator fingerprint (commutative
-    // hash sums) has no such limit and is the production path.
+    // 256 buckets (2 hex chars). Same streaming-fold fingerprint as
+    // cmp_fingerprint: each side is one repartition+sort pass with O(1)
+    // digest state per bucket, then the two O(256)-row fingerprint sets
+    // full-outer join. (The default comparator fingerprint — commutative
+    // hash sums — remains the production path; this is the byte-parity
+    // twin.)
     "cmp_hash_detect" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
-      def fp(df: DataFrame, side: String) =
-        df.select(liCanon.as("canon"))
-          .withColumn("bucket", substring(md5(col("canon")), 1, 2))
-          .groupBy(col("bucket"))
-          .agg(md5(concat_ws("\n", array_sort(collect_list(col("canon"))))).as(s"${side}_fp"))
+      def fp(df: DataFrame, side: String) = {
+        val c = df.select(liCanon.as("canon"))
+        graft.functions.Parity
+          .sortedMd5(c, substring(md5(col("canon")), 1, 2), col("canon"))
+          .select(col("bucket"), col("fingerprint").as(s"${side}_fp"))
+      }
       fp(li, "src").join(fp(mutated(li), "tgt"), Seq("bucket"), "full_outer")
         .where(col("src_fp") =!= col("tgt_fp") ||
           col("src_fp").isNull || col("tgt_fp").isNull)

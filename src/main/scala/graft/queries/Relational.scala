@@ -438,6 +438,24 @@ object Relational {
         .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
+
+    // Large-large shuffle join: at 100 TB BOTH sides of lineitem ⋈
+    // orders are fact-scale, so neither broadcasts — the dominant join
+    // is a shuffle (sort-merge) join on the key. The merge hint pins
+    // that strategy so the gate exercises the SMJ path even at test SFs
+    // where orders would fit under the broadcast threshold;
+    // PlanShapeSpec asserts SortMergeJoin appears and no broadcast does.
+    "q31_join_shuffle" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -641,6 +659,13 @@ object Relational {
         |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
         | MIN(k) AS min_k, MAX(k) AS max_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q31_join_shuffle" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q13_sessionize" ->
       """WITH e AS (
         | SELECT user_id, ts,

@@ -142,4 +142,41 @@ class ComparatorSpec extends SparkSpec {
       "SELECT * FROM lineitem WHERE l_orderkey < 100")
     assert(rep.identical)
   }
+
+  test("time-budget calibration: probe-derived rows-per-bucket feeds the planner") {
+    val a = Comparator.calibrateRowsPerBucket(li, budgetMs = 1000L, sampleRows = 2000L)
+    assert(a >= 1000L) // floor: never sillier than 1k rows per bucket
+    // a 10× budget at a similar measured rate must not SHRINK the
+    // bucket (rate jitter aside, the conversion is linear in budget)
+    val b = Comparator.calibrateRowsPerBucket(li, budgetMs = 10000L, sampleRows = 2000L)
+    assert(b >= a / 2, s"10x budget produced $b < half of $a")
+    val plan = Comparator.estimate(li, li, targetRowsPerBucket = a)
+    assert(plan.numBuckets >= 64)
+  }
+
+  test("compareAuto planning is scan-free: zero Spark jobs, estimate in range") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    // bind ONE df and resolve its plan first: `li` is a def, and each
+    // spark.read.parquet launches a tiny schema-inference job that has
+    // nothing to do with planning
+    val df = li
+    df.queryExecution.optimizedPlan
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val buckets = Comparator.planBuckets(df, df, 1000L)
+      Thread.sleep(1000) // listener bus is async; any planning job has finished by now
+      assert(jobs.get() == 0, s"planning ran ${jobs.get()} Spark jobs — it must be scan-free")
+      assert(buckets >= 64)
+      // the stats-based estimate is order-of-magnitude right for a
+      // parquet scan (file size / schema width), and is an ESTIMATE —
+      // an exact match would mean the count() fallback fired
+      val est = Comparator.estimateRows(df)
+      val actual = df.count()
+      assert(est > actual / 30 && est < actual * 30, s"est=$est actual=$actual")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

@@ -47,6 +47,34 @@ class ParitySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("sortedMd5 streaming fold equals the collect_list+array_sort form") {
+    val li = GraftSession.table(spark, Sf0001, "lineitem").limit(800)
+    val c = li.select(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag")).as("canon"))
+    val streamed = Parity
+      .sortedMd5(c, substring(md5(col("canon")), 1, 1), col("canon"))
+      .orderBy("bucket").as[(String, String, Long)].collect().toSeq
+    val collected = c
+      .withColumn("bucket", substring(md5(col("canon")), 1, 1))
+      .groupBy("bucket")
+      .agg(md5(concat_ws("\n", array_sort(collect_list(col("canon"))))).as("fingerprint"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket").as[(String, String, Long)].collect().toSeq
+    assert(streamed == collected && streamed.nonEmpty)
+  }
+
+  test("sortedMd5 is invariant under input partitioning and row order") {
+    val li = GraftSession.table(spark, Sf0001, "lineitem").limit(500)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val c = df.select(concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("canon"))
+      Parity.sortedMd5(c, substring(md5(col("canon")), 1, 1), col("canon"))
+        .orderBy("bucket").as[(String, String, Long)].collect().toSeq
+    }
+    val a = run(li.repartition(7))
+    val b = run(li.orderBy(desc("l_orderkey")).repartition(2))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("compareAuto plans buckets from row counts and still detects the mutation") {
     val li = GraftSession.table(spark, Sf0001, "lineitem")
     val rep = graft.diff.Comparator.compareAuto(

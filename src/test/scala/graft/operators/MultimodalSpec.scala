@@ -41,6 +41,33 @@ class MultimodalSpec extends SparkSpec {
     assert(d.features.forall(f => f >= 0f && f < 1f))
   }
 
+  test("real PNG payloads decode to true dimensions and pixel means; non-images fall back to the stub") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(8, 6, 0xff0000)
+    val blue = png(3, 5, 0x0000ff)
+    val text = "not an image at all".getBytes("UTF-8")
+    val cat = Seq((1L, "image", red), (2L, "image", blue), (3L, "audio", text))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodePipeline(cat).collect().map(d => d.media_id -> d).toMap
+    // real decoded dimensions and channel means
+    assert(out(1L).width == 8 && out(1L).height == 6)
+    assert(out(1L).features(0) > 0.99f && out(1L).features(1) == 0f && out(1L).features(2) == 0f)
+    assert(out(2L).width == 3 && out(2L).height == 5 && out(2L).features(2) > 0.99f)
+    // real decode output is NOT what the stub would fabricate
+    assert(out(1L).features.toSeq != Multimodal.StubCodec.decode(red).toSeq)
+    // non-image: no dims, exact stub features (the oracle-able path)
+    assert(out(3L).width == 0 && out(3L).height == 0)
+    assert(out(3L).features.toSeq == Multimodal.StubCodec.decode(text).toSeq)
+  }
+
   test("frame sampling: 4 frames per video payload, stable checksums") {
     val f = Multimodal.frameSample(catalog)
     val perMedia = f.groupBy("media_id").count().collect()

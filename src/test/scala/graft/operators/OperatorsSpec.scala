@@ -35,6 +35,33 @@ class OperatorsSpec extends SparkSpec {
     assert(j.agg(min("jaccard")).head().getDouble(0) == 1.0)
   }
 
+  test("salted jaccard is row-identical to the naive self-join on a hot-shingle corpus") {
+    import spark.implicits._
+    // 1,000 docs all sharing ONE 3-gram ("hot0 hot1 hot2") — the naive
+    // self-join puts 1000²/2 candidate pairs in a single join group —
+    // plus 40 exact-duplicate pairs that must survive the threshold
+    val hot = (1L to 1000L).map(i => (i, s"hot0 hot1 hot2 u${i}a u${i}b u${i}c"))
+    val dups = (1L to 40L).flatMap(i =>
+      Seq((2000L + i, s"dup$i w${i}a w${i}b w${i}c w${i}d"),
+          (3000L + i, s"dup$i w${i}a w${i}b w${i}c w${i}d")))
+    val corpus = (hot ++ dups).toDF("doc_id", "text")
+    // threshold 0.2: hot-only pairs score 1/7 and drop out; dup pairs 1.0
+    val naive = Dedup.jaccardPairs(corpus, 0.2)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val salted = Dedup.jaccardPairsSalted(corpus, 0.2, salts = 16)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(naive.size == 40)
+    assert(salted == naive)
+    // the structural bound the salted join relies on: with the same
+    // salt expression, the hot shingle's largest (shingle, salt) group
+    // is a fraction of its document frequency
+    val maxGroup = Dedup.shingleDf(corpus)
+      .withColumn("__salt", Skew.rowSalt(16))
+      .groupBy("shingle", "__salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxGroup < 300, s"hot shingle not spread: max group $maxGroup of 1000")
+  }
+
   test("simhash of identical docs is identical; hamming 0") {
     val two = docs.limit(2)
     val doubled = two.unionAll(two.withColumn("doc_id", col("doc_id") + 1000000))

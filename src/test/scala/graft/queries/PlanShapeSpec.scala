@@ -65,6 +65,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("large-large join runs as SortMergeJoin, never broadcast (q31)") {
+    val q = Relational.queries("q31_join_shuffle")(spark, Sf0001)
+    val plan = planString(q)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("parity fingerprints stream-fold — no collect_list materialization") {
+    for (q <- Seq("cmp_fingerprint", "cmp_hash_detect")) {
+      val df = CompareQueries.queries(q)(spark, Sf0001)
+      val plan = planString(df)
+      assert(!plan.contains("collect_list"), s"$q: $plan")
+    }
+  }
+
   test("q1 aggregation shuffles only once (partial agg before the exchange)") {
     val q = Relational.queries("q1_agg")(spark, Sf0001)
     val shuffles = initialPlan(q).collect { case s: ShuffleExchangeExec => s }
