@@ -37,13 +37,27 @@ object Main {
     loop(CliArgs(), argv.toList)
   }
 
+  /** Planning row count for a JDBC side: a pushed-down remote
+    * `SELECT COUNT(*) FROM (qry)` — one scalar over the wire — instead
+    * of letting the planner's count() fallback execute the full remote
+    * query just to size buckets. None for non-JDBC sides (their
+    * Catalyst stats are scan-free already).
+    */
+  private[graft] def planRows(spark: SparkSession, side: graft.config.SideSpec): Option[Long] =
+    side.source match {
+      case j: graft.config.SourceSpec.Jdbc => Some(Sources.countRemote(spark, j))
+      case _                               => None
+    }
+
   /** Estimate-only entry: plan and print, don't execute (the
     * reference's estimate config fixture).
     */
   def estimate(spark: SparkSession, spec: CompareSpec): Comparator.ComparePlan =
     Comparator.estimate(
       Sources.resolve(spark, spec.source), Sources.resolve(spark, spec.target),
-      numBuckets = spec.numBuckets)
+      numBuckets = spec.numBuckets,
+      srcRowsHint = planRows(spark, spec.source),
+      tgtRowsHint = planRows(spark, spec.target))
 
   /** Side-effect-free core (testable): resolve both sides, compare,
     * return the report.
@@ -59,7 +73,9 @@ object Main {
     val opts = searchDiff.fold(opts0)(s => opts0.copy(fetchRows = s)).copy(progress = progress)
     spec.numBuckets match {
       case Some(_) => Comparator.compare(src, tgt, opts)
-      case None    => Comparator.compareAuto(src, tgt, opts = opts)
+      case None    => Comparator.compareAuto(src, tgt, opts = opts,
+        srcRowsHint = planRows(spark, spec.source),
+        tgtRowsHint = planRows(spark, spec.target))
     }
   }
 

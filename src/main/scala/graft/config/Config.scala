@@ -24,13 +24,27 @@ object SourceSpec {
   /** type: postgres | oracle | jdbc. Password comes from the env var
     * named by `passwordEnv` — the reference's secret contract
     * (/root/reference/scribedb/postgres.py:51, Dockerfile env).
+    *
+    * `partitionColumn` + `numPartitions` (+ optional explicit
+    * `lowerBound`/`upperBound`) switch the read from a single remote
+    * cursor — the reference's posture
+    * (/root/reference/scribedb/base.py:58-69), and the biggest
+    * single-node bottleneck on a big remote table — to Spark's
+    * range-partitioned JDBC read: `numPartitions` concurrent
+    * connections each pulling one stride of the partition column.
+    * Bounds default to a pushed-down MIN/MAX round-trip (one scalar
+    * row over the wire).
     */
   final case class Jdbc(
       url: String,
       driver: Option[String],
       user: Option[String],
       passwordEnv: Option[String],
-      qry: String) extends SourceSpec
+      qry: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Option[Int] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None) extends SourceSpec
   /** type: sql — a query over views already registered in the session. */
   final case class Sql(qry: String) extends SourceSpec
 }
@@ -134,10 +148,21 @@ object ConfigLoader {
           case "oracle"   => Some("oracle.jdbc.OracleDriver")
           case _          => opt(db, "driver").map(_.asText)
         }
-        SourceSpec.Jdbc(url, driver,
+        val spec = SourceSpec.Jdbc(url, driver,
           opt(db, "user").map(_.asText),
           opt(db, "password_env").map(_.asText),
-          require(db, "qry", s"$where.db").asText)
+          require(db, "qry", s"$where.db").asText,
+          partitionColumn = opt(db, "partition_column").map(_.asText),
+          numPartitions = opt(db, "num_partitions").map(_.asInt),
+          lowerBound = opt(db, "lower_bound").map(_.asLong),
+          upperBound = opt(db, "upper_bound").map(_.asLong))
+        if (spec.numPartitions.exists(_ > 1) && spec.partitionColumn.isEmpty)
+          throw new IllegalArgumentException(
+            s"$where.db: num_partitions > 1 needs a partition_column")
+        if ((spec.lowerBound.isDefined || spec.upperBound.isDefined) && spec.partitionColumn.isEmpty)
+          throw new IllegalArgumentException(
+            s"$where.db: lower_bound/upper_bound need a partition_column")
+        spec
       case "sql" =>
         SourceSpec.Sql(require(db, "qry", s"$where.db").asText)
       case other =>

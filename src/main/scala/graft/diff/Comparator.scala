@@ -372,8 +372,13 @@ object Comparator {
       src: DataFrame,
       tgt: DataFrame,
       targetRowsPerBucket: Long = 100000L,
-      numBuckets: Option[Int] = None): ComparePlan = {
-    val (s, t) = (src.count(), tgt.count())
+      numBuckets: Option[Int] = None,
+      srcRowsHint: Option[Long] = None,
+      tgtRowsHint: Option[Long] = None): ComparePlan = {
+    // hints come from a pushed-down remote COUNT(*) (exact, one scalar
+    // over the wire) — counting a JDBC side locally would pull the full
+    // remote result just to print a plan
+    val (s, t) = (srcRowsHint.getOrElse(src.count()), tgtRowsHint.getOrElse(tgt.count()))
     val rows = math.max(s, t)
     val buckets = numBuckets.getOrElse(bucketsFor(rows, targetRowsPerBucket))
     ComparePlan(s, t, buckets, rows / math.max(1, buckets))
@@ -394,16 +399,29 @@ object Comparator {
       src: DataFrame,
       tgt: DataFrame,
       targetRowsPerBucket: Long = 100000L,
-      opts: CompareOptions = CompareOptions()): DiffReport =
+      opts: CompareOptions = CompareOptions(),
+      srcRowsHint: Option[Long] = None,
+      tgtRowsHint: Option[Long] = None): DiffReport =
     compare(src, tgt,
-      opts.copy(numBuckets = planBuckets(src, tgt, targetRowsPerBucket)))
+      opts.copy(numBuckets =
+        planBuckets(src, tgt, targetRowsPerBucket, srcRowsHint, tgtRowsHint)))
 
   /** The bucket count [[compareAuto]] will use — exposed so tests can
-    * assert planning runs zero Spark jobs.
+    * assert planning runs zero Spark jobs. `srcRowsHint`/`tgtRowsHint`
+    * bypass [[estimateRows]] entirely — for JDBC sides the caller
+    * supplies a pushed-down remote `COUNT(*)` (Sources.countRemote), so
+    * planning never executes the full remote query (its Catalyst stats
+    * are unusable — sizeInBytes unknown — and the estimateRows fallback
+    * would otherwise pull every remote row just to size buckets).
     */
   private[graft] def planBuckets(
-      src: DataFrame, tgt: DataFrame, targetRowsPerBucket: Long): Int =
-    bucketsFor(math.max(estimateRows(src), estimateRows(tgt)), targetRowsPerBucket)
+      src: DataFrame, tgt: DataFrame, targetRowsPerBucket: Long,
+      srcRowsHint: Option[Long] = None, tgtRowsHint: Option[Long] = None): Int =
+    bucketsFor(
+      math.max(
+        srcRowsHint.getOrElse(estimateRows(src)),
+        tgtRowsHint.getOrElse(estimateRows(tgt))),
+      targetRowsPerBucket)
 
   /** Time-budget calibration — the honest Spark analog of the
     * reference's timed-probe chunk sizing

@@ -79,10 +79,11 @@ class ConfigSpec extends SparkSpec {
         |  db: {type: sql, qry: SELECT 1}
         |""".stripMargin)
     spec.source.source match {
-      case SourceSpec.Jdbc(url, driver, user, pwEnv, qry) =>
-        assert(url == "jdbc:postgresql://h:5432/d")
-        assert(driver.contains("org.postgresql.Driver"))
-        assert(user.contains("u") && pwEnv.contains("PGPW") && qry == "SELECT 1")
+      case j: SourceSpec.Jdbc =>
+        assert(j.url == "jdbc:postgresql://h:5432/d")
+        assert(j.driver.contains("org.postgresql.Driver"))
+        assert(j.user.contains("u") && j.passwordEnv.contains("PGPW") && j.qry == "SELECT 1")
+        assert(j.partitionColumn.isEmpty && j.numPartitions.isEmpty)
       case other => fail(s"expected Jdbc, got $other")
     }
   }
