@@ -63,7 +63,9 @@ final case class CompareSpec(
     searchDiff: Boolean = true,
     numBuckets: Option[Int] = None,
     schemaCheck: SchemaCheck = SchemaCheck.Positional,
-    persistScans: Option[Boolean] = None) {
+    persistScans: Option[Boolean] = None,
+    maxMismatchFraction: Option[Double] = None,
+    breakerMinRows: Option[Long] = None) {
   private def hasJdbcSide: Boolean =
     source.source.isInstanceOf[SourceSpec.Jdbc] || target.source.isInstanceOf[SourceSpec.Jdbc]
   def options: CompareOptions = CompareOptions(
@@ -74,7 +76,11 @@ final case class CompareSpec(
     // JDBC sides default to persisting the first scan: a re-scan
     // re-runs the remote query, and a live database may not return the
     // same rows twice (see CompareOptions.persistScans)
-    persistScans = persistScans.getOrElse(hasJdbcSide))
+    persistScans = persistScans.getOrElse(hasJdbcSide),
+    // orphan-volume circuit breaker (CompareOptions.maxMismatchFraction);
+    // set 1.0 to force the row fetch on wildly different inputs
+    maxMismatchFraction = maxMismatchFraction.getOrElse(0.25),
+    breakerMinRows = breakerMinRows.getOrElse(1000000L))
 }
 
 /** YAML → CompareSpec. Fail-fast with precise messages — the analog of
@@ -112,6 +118,14 @@ object ConfigLoader {
       searchDiff = opt(root, "search_diff").forall(_.asBoolean(true)),
       numBuckets = opt(root, "num_buckets").map(_.asInt),
       persistScans = opt(root, "persist_scans").map(_.asBoolean),
+      maxMismatchFraction = opt(root, "max_mismatch_fraction").map { n =>
+        val v = n.asDouble
+        if (v < 0.0 || v > 1.0)
+          throw new IllegalArgumentException(
+            s"max_mismatch_fraction must be in [0, 1], got $v")
+        v
+      },
+      breakerMinRows = opt(root, "breaker_min_rows").map(_.asLong),
       schemaCheck = opt(root, "schema_check").map(_.asText) match {
         case Some("arity")      => SchemaCheck.ArityOnly
         case Some("positional") | None => SchemaCheck.Positional

@@ -42,12 +42,32 @@ object SchemaCheck {
   * engine runs O(1) dataflow stages, not O(chunks) round trips. No-op
   * by default; the CLI wires it to stderr.
   */
+/** `maxMismatchFraction`: orphan-volume circuit breaker. When more
+  * than this fraction of non-empty buckets mismatch, the inputs are
+  * not "one dataset with some drift" but materially different (the
+  * limit case: two unrelated 100 TB datasets mismatch EVERY bucket,
+  * and the "restricted" mismatch re-scan degenerates to re-reading
+  * both inputs in full). The row fetch is then skipped: the report
+  * carries the bucket-level verdict + per-bucket count table and
+  * signals `circuitBroken`/`countsUnknown` instead of silently
+  * launching a full-input diff. 1.0 disables the breaker (always
+  * fetch); 0.25 is the default guard.
+  *
+  * `breakerMinRows`: the breaker arms only when the projected fetch
+  * volume — (srcRows+tgtRows)·mismatchFraction — reaches this many
+  * rows. The breaker exists to stop a RE-SCAN-EVERYTHING accident, so
+  * a high mismatch fraction over a small input (where the fetch is
+  * trivially cheap — unit diffs, small tables, high-churn feeds)
+  * must not withhold counts.
+  */
 final case class CompareOptions(
     numBuckets: Int = 4096,
     maxDelta: Long = 0L,
     fetchRows: Boolean = true,
     schemaCheck: SchemaCheck = SchemaCheck.Positional,
     persistScans: Boolean = false,
+    maxMismatchFraction: Double = 0.25,
+    breakerMinRows: Long = 1000000L,
     progress: String => Unit = _ => ())
 
 /** Result of a comparison. `orphans` is lazy (a DataFrame over the
@@ -68,7 +88,8 @@ final case class DiffReport(
     maxDelta: Long,
     orphans: DataFrame,
     buckets: DataFrame,
-    private val retained: Seq[DataFrame] = Nil) {
+    private val retained: Seq[DataFrame] = Nil,
+    circuitBroken: Boolean = false) {
   /** Unpersist the small caches backing `orphans`/`buckets`. */
   def release(): Unit = retained.foreach(_.unpersist())
   /** True when row-level counts were not fetched (fetchRows=false with
@@ -85,6 +106,10 @@ final case class DiffReport(
     identical || (!countsUnknown && differences <= maxDelta)
   def verdict: String =
     if (identical) "Datasets are identical"
+    else if (circuitBroken)
+      s"Datasets are materially different: $mismatchedBuckets of $totalBuckets buckets " +
+        "mismatch — row fetch skipped (mismatch fraction over the circuit-breaker limit; " +
+        "see the per-bucket table, or rerun with a higher max_mismatch_fraction)"
     else if (countsUnknown)
       s"Datasets are different: $mismatchedBuckets mismatched buckets (row counts not fetched)"
     else s"Datasets are different: $orphanSrc source-only, $orphanTgt target-only rows" +
@@ -257,8 +282,22 @@ object Comparator {
             org.apache.spark.sql.types.StringType, false) +: src.schema.fields))
     }
 
+    // circuit breaker: when most buckets mismatch AND the inputs are
+    // big, the "restricted" row fetch approaches a full re-scan of
+    // both inputs — report the bucket-level verdict instead of quietly
+    // diffing everything
+    val projectedFetch =
+      if (buckets == 0) 0.0 else (srcRows + tgtRows).toDouble * bad / buckets
+    val broke = opts.fetchRows && bad > 0 &&
+      bad.toDouble > opts.maxMismatchFraction * buckets &&
+      projectedFetch >= opts.breakerMinRows
+    if (broke) opts.progress(
+      s"circuit breaker: $bad/$buckets buckets NOK exceeds " +
+        s"maxMismatchFraction=${opts.maxMismatchFraction} " +
+        s"(~${projectedFetch.toLong} rows to fetch) — skipping row fetch")
+
     val (orphans: DataFrame, oSrc: Long, oTgt: Long, retained: Seq[DataFrame]) =
-      if (bad == 0 || !opts.fetchRows) {
+      if (bad == 0 || !opts.fetchRows || broke) {
         val counts = if (bad == 0) (0L, 0L) else (-1L, -1L) // unknown if !fetchRows
         (empty, counts._1, counts._2, Seq(joined))
       } else {
@@ -282,7 +321,7 @@ object Comparator {
     // with the report (DiffReport.release) so orphans/buckets stay cheap
     if (opts.persistScans) { sb.unpersist(); tb.unpersist() }
     DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta,
-      orphans, bucketTable, retained)
+      orphans, bucketTable, retained, circuitBroken = broke)
   }
 
   /** Bag diff keyed on the two independent 64-bit row hashes carried by

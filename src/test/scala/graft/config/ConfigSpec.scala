@@ -41,6 +41,16 @@ class ConfigSpec extends SparkSpec {
     assert(!jdbcSpec.copy(persistScans = Some(false)).options.persistScans)
   }
 
+  test("circuit-breaker YAML knobs decode, default, and validate") {
+    val defaults = ConfigLoader.fromYaml(validYaml).options
+    assert(defaults.maxMismatchFraction == 0.25 && defaults.breakerMinRows == 1000000L)
+    val tuned = ConfigLoader.fromYaml(
+      validYaml + "max_mismatch_fraction: 0.5\nbreaker_min_rows: 1000\n").options
+    assert(tuned.maxMismatchFraction == 0.5 && tuned.breakerMinRows == 1000L)
+    intercept[IllegalArgumentException](
+      ConfigLoader.fromYaml(validYaml + "max_mismatch_fraction: 1.5\n"))
+  }
+
   test("missing config file raises") {
     intercept[IllegalArgumentException](ConfigLoader.load("/nonexistent/x.yaml"))
   }

@@ -21,9 +21,12 @@ class ComparatorSpec extends SparkSpec {
     val tgt = li.withColumn("l_quantity",
       when(col("l_orderkey") < k && col("l_linenumber") === col("l_linenumber"),
         col("l_quantity") + 100).otherwise(col("l_quantity")))
-    // mutate all lines of the first k orderkeys — count them exactly
+    // mutate all lines of the first k orderkeys — count them exactly.
+    // maxMismatchFraction=1: with only 64 buckets this deliberate
+    // mutation volume exceeds the default orphan-volume breaker
     val expected = li.where(col("l_orderkey") < k).count()
-    val rep = Comparator.compare(li, tgt, CompareOptions(numBuckets = 64))
+    val rep = Comparator.compare(li, tgt,
+      CompareOptions(numBuckets = 64, maxMismatchFraction = 1.0))
     assert(!rep.identical)
     assert(rep.orphanSrc == expected)
     assert(rep.orphanTgt == expected)
@@ -43,6 +46,56 @@ class ComparatorSpec extends SparkSpec {
     val dup = li.limit(1)
     val rep = Comparator.compare(li, li.unionAll(dup), CompareOptions(numBuckets = 64))
     assert(rep.orphanTgt == 1)
+  }
+
+  test("orphan-volume circuit breaker: disjoint inputs skip the row fetch, bounded work") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val spark2 = spark
+    import spark2.implicits._
+    // two completely unrelated datasets — every non-empty bucket mismatches
+    val src = (1L to 20000L).toDF("id")
+    val tgt = (1000001L to 1020000L).toDF("id")
+    // bounded work: the broken path runs only the fingerprint summary
+    // job — no restricted-side jobs, no orphan-count jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (jobsBroken, rep) =
+      try {
+        val r = Comparator.compare(src, tgt,
+          CompareOptions(numBuckets = 64, breakerMinRows = 10000L))
+        org.apache.spark.graftshim.TestListenerBridge.waitUntilEmpty(spark.sparkContext)
+        (jobs.get(), r)
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(rep.circuitBroken, "disjoint inputs must trip the breaker")
+    assert(!rep.identical && rep.countsUnknown && rep.differences == -1L)
+    assert(!rep.withinTolerance) // unquantified can never be within tolerance
+    assert(rep.verdict.contains("materially different"))
+    // bucket-level sample is still available and complete
+    assert(rep.buckets.where(!col("ok")).count() == rep.mismatchedBuckets)
+    assert(rep.orphans.count() == 0) // row fetch skipped
+    rep.release()
+
+    // explicit opt-out fetches the full diff — and runs strictly more
+    // jobs than the broken path (the work the breaker saved)
+    val jobs2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l2 = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs2.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l2)
+    val full =
+      try {
+        val r = Comparator.compare(src, tgt,
+          CompareOptions(numBuckets = 64, maxMismatchFraction = 1.0))
+        org.apache.spark.graftshim.TestListenerBridge.waitUntilEmpty(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(l2)
+    assert(!full.circuitBroken && full.orphanSrc == 20000L && full.orphanTgt == 20000L)
+    assert(jobsBroken < jobs2.get(),
+      s"broken path ran $jobsBroken jobs, full path ${jobs2.get()} — the breaker must save work")
+    full.release()
   }
 
   test("result is invariant under repartitioning of either side") {

@@ -159,7 +159,10 @@ class JdbcE2ESpec extends SparkSpec {
 
   test("JDBC e2e: the remote query itself is pushed down (projection + filter run in Derby)") {
     val spec0 = yamlSpec
+    // the two sides differ in ~half their buckets BY DESIGN here —
+    // disable the orphan-volume breaker to force the row fetch
     val filtered = spec0.copy(
+      maxMismatchFraction = Some(1.0)).copy(
       source = spec0.source.copy(source = spec0.source.source match {
         case j: graft.config.SourceSpec.Jdbc => j.copy(qry = "SELECT a, b FROM t_test WHERE a <= 100")
         case other => other
