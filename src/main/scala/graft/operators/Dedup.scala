@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   *     order-independent, and cross-engine deterministic (no float
   *     accumulation-order hazard).
   */
+/** A dedup plan plus ownership of the caches it retains (the
+  * DiffReport.release pattern): `df` is the lazy result,
+  * `strategy` names the join shape the planner picked ("plain",
+  * "salted", "prefiltered", "banded"), and [[release]] drops the
+  * serialized intermediate caches (shingle/fingerprint tables) so a
+  * long-lived session running many dedup passes doesn't accumulate
+  * executor storage. After release the plan still computes — it just
+  * re-derives the intermediates from source.
+  */
+final case class DedupPlan(
+    df: DataFrame,
+    strategy: String,
+    private val retained: Seq[DataFrame] = Nil) {
+  def release(): Unit = retained.foreach(_.unpersist(blocking = false))
+}
+
 object Dedup {
 
   /** Word 3-gram shingles, distinct per doc. */
@@ -85,26 +101,75 @@ object Dedup {
   /** Exact n-gram jaccard over candidate pairs that share ≥1 shingle.
     * The shingle table feeds three plan branches (per-doc counts and
     * both sides of the self-join) — persisted so the tokenize/explode/
-    * distinct pass runs once, not three times.
+    * distinct pass runs once, not three times. SKEW-SAFE BY DEFAULT:
+    * delegates to [[jaccardPairsPlan]], which measures the hottest
+    * shingle from the already-computed per-shingle counts and switches
+    * the self-join to the salted form when a pathological corpus would
+    * otherwise put an unbounded f² group on one task. The returned
+    * plan's caches live until `spark.catalog.clearCache()` or session
+    * end — long-lived sessions should use [[jaccardPairsPlan]] and
+    * `release()`.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    jaccardPairs(docs, threshold, maxDocFreq = None)
+    jaccardPairsPlan(docs, threshold).df
 
-  /** `maxDocFreq`: drop shingles appearing in more than N documents
-    * before the self-join — the standard prefix-filtering/stop-shingle
-    * bound. A shingle in f docs contributes f² candidate pairs to the
-    * shuffle while only ever supporting low-jaccard matches, so hot
-    * shingles are both the skew hazard AND the least informative;
-    * dropping them bounds the largest join group at maxDocFreq².
-    * NOTE: jaccard is then computed over the FILTERED shingle sets
-    * (documented approximation — the reason the unfiltered variant
-    * remains the exactness baseline).
-    *
-    * Cache ownership: the returned plan retains a serialized cache of
-    * the shingle table (three branches read it) until
-    * `spark.catalog.clearCache()` or session end.
+  def jaccardPairs(docs: DataFrame, threshold: Double, maxDocFreq: Option[Int]): DataFrame =
+    jaccardPairsPlan(docs, threshold, maxDocFreq).df
+
+  /** Exact jaccard with the hot-shingle self-join SALTED — the
+    * skew-bound form of the exactness baseline. The plain unfiltered
+    * self-join puts a shingle shared by f docs into ONE join group of
+    * f² candidate work; here the left side's shingle rows get a
+    * pseudo-random salt in [0, salts), the right side replicates
+    * `salts` times, and the equi-join key becomes (shingle, salt) — the
+    * hot shingle's work spreads over `salts` tasks, bounding the
+    * largest group at ~f²/salts. Row-identical to [[jaccardPairs]]
+    * (asserted in OperatorsSpec on a deliberately hot-shingle corpus;
+    * oracle-gated as dd_jaccard_salted against the SAME SQL as
+    * dd_jaccard). The price is ×salts shuffle volume on the replicated
+    * side — worth it only when the corpus has hot shingles you must
+    * keep; when dropping them is acceptable, the prefiltered variant
+    * (maxDocFreq) is strictly cheaper AND more informative per pair.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double, maxDocFreq: Option[Int]): DataFrame = {
+  def jaccardPairsSalted(docs: DataFrame, threshold: Double, salts: Int = 16): DataFrame =
+    jaccardPairsPlan(docs, threshold, maxDocFreq = None,
+      autoSaltDocFreq = 0, salts = salts).df
+
+  /** Shingle-count hotness above which the UNFILTERED exact join
+    * auto-switches to the salted form. 256 shared docs ⇒ ~65k candidate
+    * rows from one shingle — well past "one task's fair share" while
+    * far above any healthy corpus's stop-shingle frequency (the test
+    * corpora peak at df=25).
+    */
+  val AutoSaltDocFreq = 256
+
+  /** Managed form of [[jaccardPairs]] — returns the plan, the join
+    * strategy the planner picked, and a release handle for the
+    * retained shingle cache.
+    *
+    * `maxDocFreq = Some(f)`: drop shingles appearing in more than f
+    * documents before the self-join — the standard prefix-filtering/
+    * stop-shingle bound. A shingle in f docs contributes f² candidate
+    * pairs to the shuffle while only ever supporting low-jaccard
+    * matches, so hot shingles are both the skew hazard AND the least
+    * informative; dropping them bounds the largest join group at
+    * maxDocFreq². NOTE: jaccard is then computed over the FILTERED
+    * shingle sets (documented approximation — the reason the
+    * unfiltered variant remains the exactness baseline).
+    *
+    * `maxDocFreq = None`: EXACT jaccard. The hottest shingle's doc
+    * frequency is read off the per-shingle counts (one tiny aggregate
+    * over the already-persisted shingle table); above
+    * `autoSaltDocFreq` the self-join runs salted (strategy "salted",
+    * results identical), otherwise plain. `autoSaltDocFreq = 0`
+    * forces salting; `Int.MaxValue` forces the plain join.
+    */
+  def jaccardPairsPlan(
+      docs: DataFrame,
+      threshold: Double,
+      maxDocFreq: Option[Int] = None,
+      autoSaltDocFreq: Int = AutoSaltDocFreq,
+      salts: Int = 8): DedupPlan = {
     val all = shingleDf(docs)
     val sh0 = maxDocFreq match {
       case Some(f) =>
@@ -123,50 +188,41 @@ object Dedup {
     // of millions of short strings is pure GC pressure
     val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
-  /** Exact jaccard with the hot-shingle self-join SALTED — the
-    * skew-bound form of the exactness baseline. [[jaccardPairs]]'
-    * unfiltered self-join puts a shingle shared by f docs into ONE join
-    * group of f² candidate work; here the left side's shingle rows get
-    * a pseudo-random salt in [0, salts), the right side replicates
-    * `salts` times, and the equi-join key becomes (shingle, salt) — the
-    * hot shingle's work spreads over `salts` tasks, bounding the
-    * largest group at ~f²/salts. Row-identical to [[jaccardPairs]]
-    * (asserted in OperatorsSpec on a deliberately hot-shingle corpus;
-    * oracle-gated as dd_jaccard_salted against the SAME SQL as
-    * dd_jaccard). The price is ×salts shuffle volume on the replicated
-    * side — worth it only when the corpus has hot shingles you must
-    * keep; when dropping them is acceptable, the prefiltered variant
-    * (maxDocFreq) is strictly cheaper AND more informative per pair.
-    */
-  def jaccardPairsSalted(docs: DataFrame, threshold: Double, salts: Int = 16): DataFrame = {
-    val sh = shingleDf(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val l = sh.select(col("doc_id").as("ida"), col("shingle"))
-    val r = sh.select(col("doc_id").as("idb"), col("shingle").as("shingle_r"))
-    val common = Skew.saltedJoin(l, r, "shingle", "shingle_r", salts)
-      .where(col("ida") < col("idb"))
-      .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
+    val strategy = maxDocFreq match {
+      case Some(_) => "prefiltered" // hot shingles already dropped — plain join is bounded
+      case None if autoSaltDocFreq <= 0 => "salted"
+      case None if autoSaltDocFreq == Int.MaxValue => "plain"
+      case None =>
+        // one O(#shingles) aggregate over the persisted table — the
+        // counts exist anyway; this is the skew probe
+        val maxDf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+        if (maxDf > autoSaltDocFreq) "salted" else "plain"
+    }
+
+    val common = strategy match {
+      case "salted" =>
+        val l = sh.select(col("doc_id").as("ida"), col("shingle"))
+        val r = sh.select(col("doc_id").as("idb"), col("shingle").as("shingle_r"))
+        Skew.saltedJoin(l, r, "shingle", "shingle_r", salts)
+          .where(col("ida") < col("idb"))
+          .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+      case _ =>
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+    }
+    val scored = common
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    DedupPlan(scored, strategy, Seq(sh))
   }
 
   private val Hex = "0123456789abcdef"
@@ -225,10 +281,16 @@ object Dedup {
     *
     * Cache ownership: the returned plan retains a serialized cache of
     * the simhash table (it feeds three branches). The cache lives until
-    * `spark.catalog.clearCache()` or session end — pipelines calling
-    * this repeatedly in one session should clear between runs.
+    * `spark.catalog.clearCache()` or session end — long-lived sessions
+    * should use [[simhashPairsPlan]] and `release()`.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsPlan(docs, maxHamming).df
+
+  /** Managed form of [[simhashPairs]]: the plan plus a release handle
+    * for the retained simhash cache (the DiffReport.release pattern).
+    */
+  def simhashPairsPlan(docs: DataFrame, maxHamming: Int): DedupPlan = {
     val Bits = 16
     val nb = maxHamming + 1
     require(nb >= 1 && nb <= Bits, s"maxHamming must be in [0, ${Bits - 1}]")
@@ -271,7 +333,8 @@ object Dedup {
             greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
         same.unionAll(diff)
       }
-    pairs.select(col("doc_a"), col("doc_b"), col("hamming"))
+    DedupPlan(pairs.select(col("doc_a"), col("doc_b"), col("hamming")),
+      "banded", Seq(sh))
   }
 
   /** Quantized embedding: float → round(x·10⁴) as int64. Integer dot

@@ -46,12 +46,25 @@ class OperatorsSpec extends SparkSpec {
           (3000L + i, s"dup$i w${i}a w${i}b w${i}c w${i}d")))
     val corpus = (hot ++ dups).toDF("doc_id", "text")
     // threshold 0.2: hot-only pairs score 1/7 and drop out; dup pairs 1.0
-    val naive = Dedup.jaccardPairs(corpus, 0.2)
-      .orderBy("doc_a", "doc_b").collect().toSeq
+    // forced-plain baseline (autoSaltDocFreq=MaxValue disables the probe)
+    val naivePlan = Dedup.jaccardPairsPlan(corpus, 0.2, autoSaltDocFreq = Int.MaxValue)
+    assert(naivePlan.strategy == "plain")
+    val naive = naivePlan.df.orderBy("doc_a", "doc_b").collect().toSeq
     val salted = Dedup.jaccardPairsSalted(corpus, 0.2, salts = 16)
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(naive.size == 40)
     assert(salted == naive)
+
+    // the DEFAULT entry point detects the hot shingle (df=1000 >
+    // AutoSaltDocFreq) and picks the salted join on its own — same rows
+    val auto = Dedup.jaccardPairsPlan(corpus, 0.2)
+    assert(auto.strategy == "salted",
+      s"hot corpus must auto-switch to the salted join, got ${auto.strategy}")
+    assert(auto.df.orderBy("doc_a", "doc_b").collect().toSeq == naive)
+    // while a healthy corpus keeps the plain join
+    val healthy = Dedup.jaccardPairsPlan(docs.limit(100), 0.1)
+    assert(healthy.strategy == "plain")
+    Seq(naivePlan, auto, healthy).foreach(_.release())
     // the structural bound the salted join relies on: with the same
     // salt expression, the hot shingle's largest (shingle, salt) group
     // is a fraction of its document frequency
@@ -60,6 +73,24 @@ class OperatorsSpec extends SparkSpec {
       .groupBy("shingle", "__salt").count()
       .agg(max("count")).head().getLong(0)
     assert(maxGroup < 300, s"hot shingle not spread: max group $maxGroup of 1000")
+  }
+
+  test("dedup plans release their caches: no retained RDDs accumulate across invocations") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 3).foreach { _ =>
+      val j = Dedup.jaccardPairsPlan(docs.limit(50), 0.1)
+      j.df.count()
+      val s = Dedup.simhashPairsPlan(docs.limit(50), 2)
+      s.df.count()
+      j.release(); s.release()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"released dedup plans must not retain RDD caches, leaked ids: $leaked")
+    // and the released plan still computes (re-derives from source)
+    val p = Dedup.jaccardPairsPlan(docs.limit(20), 0.1)
+    p.release()
+    assert(p.df.count() >= 0)
   }
 
   test("simhash of identical docs is identical; hamming 0") {
