@@ -28,11 +28,14 @@ object Multimodal {
 
   /** Typed decoded-media record (the mapPartitions pipeline output).
     * `width`/`height` are the REAL decoded dimensions when the payload
-    * is a decodable image, 0/0 otherwise (stub fallback).
+    * is a decodable image; `sample_rate`/`duration_ms` the REAL stream
+    * properties when it is decodable audio; 0 otherwise (stub
+    * fallback).
     */
   final case class DecodedMedia(
       media_id: Long, kind: String, n_bytes: Long, checksum: String,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, sample_rate: Int, duration_ms: Long,
+      features: Array[Float])
 
   /** ======================= REAL CODEC =======================
     * Actual image decoding via `javax.imageio` — JDK built-in, no new
@@ -71,6 +74,70 @@ object Multimodal {
               (b / n / 256.0).toFloat, luma.toFloat))
           }
       } catch { case _: java.io.IOException => None }
+  }
+
+  /** ======================= REAL AUDIO CODEC =======================
+    * Actual audio decoding via `javax.sound.sampled` — JDK built-in
+    * (WAV/AIFF/AU containers, PCM payloads), no new dependencies.
+    * Returns None when the payload is not a decodable audio stream, in
+    * which case the pipeline falls back to [[StubCodec]] — mirroring
+    * exactly how [[ImageCodec]] handles non-images.
+    *
+    * Features (FeatureDim floats in [0,1)): RMS amplitude, peak
+    * amplitude, zero-crossing rate, normalized sample rate (/192 kHz).
+    * The sample loop runs on the executor inside mapPartitions; frames
+    * stream through a bounded buffer, never materialized whole.
+    */
+  object AudioCodec {
+    final case class Decoded(
+        sampleRate: Int, durationMs: Long, features: Array[Float])
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          // restrict to the PCM_SIGNED 16-bit layout (the standard WAV
+          // payload); exotic encodings fall back to the stub
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val sr = fmt.getSampleRate.toInt
+            val frames = ais.getFrameLength
+            val durationMs = if (sr > 0 && frames >= 0) frames * 1000L / sr else 0L
+            val big = fmt.isBigEndian
+            val buf = new Array[Byte](8192)
+            var (sumSq, nSamples, zeroCross) = (0.0, 0L, 0L)
+            var (peak, prev) = (0, 0)
+            var read = ais.read(buf)
+            while (read > 0) {
+              var i = 0
+              while (i + 1 < read) {
+                val s =
+                  if (big) (buf(i) << 8) | (buf(i + 1) & 0xff)
+                  else (buf(i + 1) << 8) | (buf(i) & 0xff)
+                sumSq += s.toDouble * s; nSamples += 1
+                if (math.abs(s) > peak) peak = math.abs(s)
+                if ((s > 0 && prev < 0) || (s < 0 && prev > 0)) zeroCross += 1
+                prev = s
+                i += 2
+              }
+              read = ais.read(buf)
+            }
+            if (nSamples == 0) None
+            else {
+              val rms = math.sqrt(sumSq / nSamples) / 32768.0
+              val zcr = zeroCross.toDouble / nSamples
+              Some(Decoded(sr, durationMs, Array(
+                rms.toFloat, (peak / 32768.0).toFloat, zcr.toFloat,
+                math.min(0.999, sr / 192000.0).toFloat)))
+            }
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException                               => None
+      }
   }
 
   /** ======================= STUB CODEC =======================
@@ -129,10 +196,14 @@ object Multimodal {
     * batched decode UDF: one codec instance per partition, rows
     * streamed through it, typed output. Payloads that are REAL images
     * decode through [[ImageCodec]] (true width/height, pixel-mean
-    * features); everything else falls back to the deterministic
-    * [[StubCodec]], whose equality with [[extractFeatures]] is asserted
-    * in the test suite (the gate corpus carries text payloads, so the
-    * oracle path is always the stub path).
+    * features); real audio streams decode through [[AudioCodec]]
+    * (true sample rate/duration, RMS/peak/ZCR features); everything
+    * else falls back to the deterministic [[StubCodec]], whose
+    * equality with [[extractFeatures]] is asserted in the test suite
+    * (the gate corpus carries text payloads, so the oracle path is
+    * always the stub path). Video remains a declared stub: this
+    * container has no video libraries; the seam (binary column in,
+    * typed features out) is the productionization point.
     */
   def decodePipeline(catalog: DataFrame): Dataset[DecodedMedia] = {
     val spark = catalog.sparkSession
@@ -143,11 +214,18 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition setup (real codecs amortize init here)
         it.map { case (id, kind, payload) =>
-          val real = ImageCodec.decode(payload)
-          DecodedMedia(id, kind, payload.length.toLong,
-            StubCodec.md5hex(payload),
-            real.map(_.width).getOrElse(0), real.map(_.height).getOrElse(0),
-            real.map(_.features).getOrElse(StubCodec.decode(payload)))
+          val base = DecodedMedia(id, kind, payload.length.toLong,
+            StubCodec.md5hex(payload), 0, 0, 0, 0L, null)
+          ImageCodec.decode(payload) match {
+            case Some(img) =>
+              base.copy(width = img.width, height = img.height, features = img.features)
+            case None => AudioCodec.decode(payload) match {
+              case Some(a) =>
+                base.copy(sample_rate = a.sampleRate, duration_ms = a.durationMs,
+                  features = a.features)
+              case None => base.copy(features = StubCodec.decode(payload))
+            }
+          }
         }
       }
   }

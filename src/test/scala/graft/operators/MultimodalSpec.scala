@@ -68,6 +68,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).features.toSeq == Multimodal.StubCodec.decode(text).toSeq)
   }
 
+  test("real WAV payloads decode to true sample rate, duration and signal features; non-audio falls back to the stub") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 16-bit mono PCM WAV: a 440 Hz sine at full scale, plus silence
+    def wav(sampleRate: Int, seconds: Double, amplitude: Double, freqHz: Double): Array[Byte] = {
+      val n = (sampleRate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amplitude * 32767 * math.sin(2 * math.Pi * freqHz * i / sampleRate)).toInt
+        pcm(2 * i) = (s & 0xff).toByte          // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val sine = wav(16000, 0.5, 0.8, 440)     // 8000 frames, 500 ms
+    val silence = wav(8000, 0.25, 0.0, 440)  // all-zero samples
+    val text = "definitely not audio".getBytes("UTF-8")
+    val cat = Seq((1L, "audio", sine), (2L, "audio", silence), (3L, "video", text))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodePipeline(cat).collect().map(d => d.media_id -> d).toMap
+
+    // true stream properties
+    assert(out(1L).sample_rate == 16000 && out(1L).duration_ms == 500)
+    assert(out(2L).sample_rate == 8000 && out(2L).duration_ms == 250)
+    // signal features: full-scale sine RMS ≈ 0.8/√2, peak ≈ 0.8, ZCR ≈ 2f/sr
+    assert(math.abs(out(1L).features(0) - 0.8 / math.sqrt(2)) < 0.01)
+    assert(math.abs(out(1L).features(1) - 0.8) < 0.01)
+    assert(math.abs(out(1L).features(2) - 2.0 * 440 / 16000) < 0.01)
+    assert(out(2L).features(0) == 0f && out(2L).features(1) == 0f)
+    // real decode output is NOT what the stub would fabricate
+    assert(out(1L).features.toSeq != Multimodal.StubCodec.decode(sine).toSeq)
+    // non-audio: no stream properties, exact stub features (oracle path)
+    assert(out(3L).sample_rate == 0 && out(3L).duration_ms == 0L)
+    assert(out(3L).features.toSeq == Multimodal.StubCodec.decode(text).toSeq)
+    // and audio payloads don't get image dims (nor vice versa)
+    assert(out(1L).width == 0 && out(1L).height == 0)
+  }
+
   test("frame sampling: 4 frames per video payload, stable checksums") {
     val f = Multimodal.frameSample(catalog)
     val perMedia = f.groupBy("media_id").count().collect()
