@@ -32,7 +32,10 @@ object Profiler {
       Seq(
         count(lit(1)).as(s"__rows_$n"),
         count(c).as(s"__nonnull_$n"),
-        (if (exact) count_distinct(c) else approx_count_distinct(c)).as(s"__nd_$n"),
+        // rsd 0.01 (not the 0.05 default): ~1% expected error keeps a
+        // 5% accuracy contract with real margin at any cardinality,
+        // for 4× sketch state — still O(kB) per column
+        (if (exact) count_distinct(c) else approx_count_distinct(c, 0.01)).as(s"__nd_$n"),
         min(c).cast("string").as(s"__min_$n"),
         max(c).cast("string").as(s"__max_$n"))
     }
@@ -55,14 +58,38 @@ object Profiler {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> ((s, dir) =>
-      profile(table(s, dir, "orders")).orderBy("column_name")))
+      profile(table(s, dir, "orders")).orderBy("column_name")),
 
-  def oracles: Map[String, String] = Map(
-    "dq_profile" -> OrdersCols.map { c =>
+    // The 100 TB path (exact=false): HLL sketches keep the profile a
+    // genuine single pass with O(k) state. The sketch estimate is
+    // engine-private, so — like q22_approx_distinct — the gate row
+    // carries the EXACT distinct count plus a `sketch_ok` bit
+    // asserting the HLL estimate landed within 5% of it: hash-
+    // matchable cross-engine while still executing the sketch path.
+    "dq_profile_approx" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val approx = profile(o, exact = false)
+        .select(col("column_name"), col("n_distinct").as("nd_approx"))
+      profile(o)
+        .join(approx, Seq("column_name"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          (abs(col("nd_approx").cast("double") - col("n_distinct")) / col("n_distinct") <= 0.05)
+            .as("sketch_ok"))
+        .orderBy("column_name")
+    }))
+
+  private def profileSql(select: String): String =
+    OrdersCols.map { c =>
       s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
          | COUNT(*) - COUNT($c) AS n_nulls,
          | COUNT(DISTINCT $c) AS n_distinct,
          | CAST(MIN($c) AS VARCHAR) AS min_str,
          | CAST(MAX($c) AS VARCHAR) AS max_str FROM orders""".stripMargin
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"))
+    }.mkString(s"SELECT $select FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+
+  def oracles: Map[String, String] = Map(
+    "dq_profile" -> profileSql("*"),
+    "dq_profile_approx" -> profileSql(
+      "column_name, n_rows, n_nulls, n_distinct, TRUE AS sketch_ok"))
 }
