@@ -28,11 +28,11 @@ object SparkEntry {
     Relational.queries ++ CompareQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.Profiler.queries
+      operators.Profiler.queries ++ operators.Sampling.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ CompareQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      operators.Profiler.oracles
+      operators.Profiler.oracles ++ operators.Sampling.oracles
 }

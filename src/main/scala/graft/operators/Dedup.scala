@@ -491,6 +491,30 @@ object Dedup {
       (col("doc_id") === col("label")).as("is_keeper"))
   }
 
+  /** Quality-aware keeper election — the step after clustering that
+    * [[connectedComponents]]' min-doc_id keeper only approximates:
+    * inside each near-dup cluster keep the HIGHEST-QUALITY document
+    * (score column, deterministic tie-break on min doc_id), the policy
+    * a real curation pipeline wants (keep the longest/cleanest copy,
+    * not the earliest-ingested one).
+    *
+    * One join (clusters × scores, both keyed by doc_id — co-partitioned
+    * shuffle) + one max-struct aggregation per cluster: the argmax
+    * rides a single map-side-combinable `max(struct(score, -doc_id))`,
+    * no window over the full corpus. Output one row per cluster:
+    * (cluster_id, keeper, keeper_score, n_docs).
+    */
+  def keeperByQuality(clusters: DataFrame, scores: DataFrame): DataFrame =
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(scores, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("neg_id"), col("doc_id").as("id")))
+          .as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("best.id").as("keeper"),
+        col("best.score").as("keeper_score"), col("n_docs"))
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -535,6 +559,15 @@ object Dedup {
       val docs = table(s, dir, "documents")
       connectedComponents(docs, minhashCandidates(docs)).orderBy("doc_id")
     }),
+
+    // Clusters + quality scores → per-cluster keeper election (keep
+    // the longest copy, exact integer score, tie-break min doc_id).
+    "dd_keeper_quality" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val clusters = connectedComponents(docs, minhashCandidates(docs))
+      val scores = docs.select(col("doc_id"), length(col("text")).cast("long").as("score"))
+      keeperByQuality(clusters, scores).orderBy("cluster_id")
+    }),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
@@ -569,6 +602,28 @@ object Dedup {
       |SELECT doc_id,
       | CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, 15 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id""".stripMargin
+
+  /** Shared CTE chain: minhash signatures → LSH bands → candidate
+    * pairs → symmetric edges → transitive closure (`reach`). Callers
+    * prepend `WITH RECURSIVE `.
+    */
+  private val clustersCte =
+    s"""sig AS ($minhashSql),
+       |bands AS (
+       | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
+       | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
+       | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
+       | SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (
+       | SELECT doc_a AS u, doc_b AS v FROM pairs
+       | UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       | SELECT doc_id, doc_id FROM documents
+       | UNION
+       | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -636,24 +691,23 @@ object Dedup {
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_dedup_clusters" ->
-      s"""WITH RECURSIVE sig AS ($minhashSql),
-         |bands AS (
-         | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
-         | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
-         | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
-         | SELECT doc_id, 3, md5(h6 || h7) FROM sig),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |edges AS (
-         | SELECT doc_a AS u, doc_b AS v FROM pairs
-         | UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         | SELECT doc_id, doc_id FROM documents
-         | UNION
-         | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      s"""WITH RECURSIVE $clustersCte
          |SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "dd_keeper_quality" ->
+      s"""WITH RECURSIVE $clustersCte,
+         |clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |scored AS (
+         | SELECT c.cluster_id, c.doc_id, CAST(length(d.text) AS BIGINT) AS score
+         | FROM clusters c JOIN documents d USING (doc_id)),
+         |ranked AS (
+         | SELECT cluster_id, doc_id, score,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+         | FROM scored)
+         |SELECT cluster_id, doc_id AS keeper, score AS keeper_score,
+         | CAST(n_docs AS BIGINT) AS n_docs
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dd_embedding_pairs" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
          | FROM embeddings),

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling and frequency operators for training-data curation — the
+  * reproducibility layer a 100 TB pipeline needs around dedup/quality:
+  * deterministic dataset splits and corpus heavy-hitters.
+  *
+  * Everything is hash-deterministic (md5-derived, no engine-private
+  * seeds, no Math.random): the same row lands in the same split on any
+  * engine, any run, any partitioning — the property that makes
+  * train/test splits reproducible and leakage-auditable, which
+  * `DataFrame.randomSplit` (seed + partition-order dependent) cannot
+  * guarantee across engines or repartitioning.
+  *
+  * Scale: both operators are one narrow pass plus (for heavy hitters)
+  * one map-side-combinable aggregation; nothing materializes on the
+  * driver beyond top-k rows.
+  */
+object Sampling {
+
+  /** Uniform [0,1) hash of (salt, key): first 8 md5 hex digits / 2³².
+    * The salt decorrelates independent splits over the same keys
+    * (split for sampling ≠ split for sharding).
+    */
+  def hashFraction(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws("|", lit(salt), key)), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Deterministic weighted split assignment: each row gets the label
+    * of the first cumulative-weight band its hash fraction falls in.
+    * Weights need not sum to 1 — they are normalized. Assignment is a
+    * pure function of (salt, key): adding/removing OTHER rows never
+    * moves a row between splits (stable under incremental ingestion,
+    * unlike fraction-of-position schemes).
+    */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      weights: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _)
+    val f = hashFraction(key, salt)
+    // last band is the otherwise-branch: float cumsum never excludes 1.0
+    val expr = weights.init.zipWithIndex.foldRight(
+      lit(weights.last._1): Column) { case (((label, _), i), rest) =>
+      when(f < cuts(i + 1), label).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Exact corpus heavy-hitters: global top-k tokens by occurrence
+    * count (not per-doc distinct — frequency weighting is the point).
+    * One explode-and-count aggregation with map-side partial combine,
+    * then a driver-side top-k (TakeOrdered — no global sort shuffle).
+    * Deterministic tie-break: count desc, token asc.
+    *
+    * At 100 TB the exact count's shuffle carries one row per DISTINCT
+    * token (Zipf-bounded, not corpus-bounded) — this is the rare
+    * "exact is already the scale path" case; the CMS sketch variant
+    * ([[tokenSketch]]) exists for when even the distinct-token state
+    * must be constant.
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(split(trim(col("text")), " +")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Count-min sketch over the token stream — constant state per
+    * partition regardless of vocabulary, mergeable, one pass. Returns
+    * the serialized sketch (Spark's `count_min_sketch` aggregate);
+    * point estimates come from `CountMinSketch.readFrom`. Accuracy
+    * (estimate ≥ truth, ≤ truth + eps·N at the given confidence) is
+    * test-asserted against [[heavyHitters]]; the sketch bytes are
+    * engine-private, so no SQL oracle by design — same contract as the
+    * HLL gate rows.
+    */
+  def tokenSketch(docs: DataFrame, eps: Double = 0.001, conf: Double = 0.99): Array[Byte] =
+    docs
+      .select(explode(split(trim(col("text")), " +")).as("token"))
+      .agg(count_min_sketch(col("token"), lit(eps), lit(conf), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+
+  // ---------------------------------------------------------------- gate
+
+  private val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 80/10/10 train/val/test split keyed on doc_id — every row
+    // labeled, assignment a pure hash function of the key
+    "sa_split" -> ((s, dir) =>
+      hashSplit(table(s, dir, "documents"), col("doc_id"), GateWeights)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // split sizes land near the weights (checked exactly by the oracle
+    // re-deriving the same hash bands)
+    "sa_split_counts" -> ((s, dir) =>
+      hashSplit(table(s, dir, "documents"), col("doc_id"), GateWeights)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
+    "ta_top_tokens" -> ((s, dir) =>
+      heavyHitters(table(s, dir, "documents"), 20)),
+  )
+
+  /** DuckDB twin of [[hashFraction]]: first 8 md5 hex digits → BIGINT
+    * (DuckDB lacks base-16 conv; digit-fold instead).
+    */
+  private def hex8ToLong(expr: String): String =
+    s"""list_sum(list_transform(range(1, 9),
+       | i -> CAST((strpos('0123456789abcdef', substr($expr, i, 1)) - 1) AS BIGINT)
+       |      * CAST(POWER(16, 8 - i) AS BIGINT)))""".stripMargin.replaceAll("\\s+", " ")
+
+  private val splitSql = {
+    val f = s"CAST(${hex8ToLong("md5('split|' || doc_id)")} AS DOUBLE) / 4294967296.0"
+    // cut points come from the SAME double cumsum the Spark side uses
+    // (0.8+0.1 is 0.9000000000000001 in IEEE — a hand-written 0.9
+    // literal would disagree on hash fractions inside that ulp window);
+    // Scala's Double toString is shortest-roundtrip, so DuckDB parses
+    // the identical double
+    val total = GateWeights.map(_._2).sum
+    val cuts = GateWeights.map(_._2 / total).scanLeft(0.0)(_ + _)
+    val cases = GateWeights.init.zipWithIndex
+      .map { case ((label, _), i) => s"WHEN $f < ${cuts(i + 1)} THEN '$label'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+       | CASE $cases ELSE '${GateWeights.last._1}' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "sa_split" -> s"SELECT doc_id, split FROM ($splitSql) ORDER BY doc_id",
+    "sa_split_counts" ->
+      s"SELECT split, COUNT(*) AS n FROM ($splitSql) GROUP BY split ORDER BY split",
+    "ta_top_tokens" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+  )
+}
