@@ -43,8 +43,10 @@ object SourceSpec {
       qry: String,
       partitionColumn: Option[String] = None,
       numPartitions: Option[Int] = None,
-      lowerBound: Option[Long] = None,
-      upperBound: Option[Long] = None) extends SourceSpec
+      // strings, not longs: Spark's partitioned JDBC reader accepts
+      // numeric, DATE ("2024-01-01") and TIMESTAMP bounds
+      lowerBound: Option[String] = None,
+      upperBound: Option[String] = None) extends SourceSpec
   /** type: sql — a query over views already registered in the session. */
   final case class Sql(qry: String) extends SourceSpec
 }
@@ -168,8 +170,8 @@ object ConfigLoader {
           require(db, "qry", s"$where.db").asText,
           partitionColumn = opt(db, "partition_column").map(_.asText),
           numPartitions = opt(db, "num_partitions").map(_.asInt),
-          lowerBound = opt(db, "lower_bound").map(_.asLong),
-          upperBound = opt(db, "upper_bound").map(_.asLong))
+          lowerBound = opt(db, "lower_bound").map(_.asText),
+          upperBound = opt(db, "upper_bound").map(_.asText))
         if (spec.numPartitions.exists(_ > 1) && spec.partitionColumn.isEmpty)
           throw new IllegalArgumentException(
             s"$where.db: num_partitions > 1 needs a partition_column")

@@ -75,21 +75,32 @@ object Sources {
     toLong(remoteScalar(spark, j, "COUNT(*) AS n").get(0))
 
   /** MIN/MAX of the partition column over `(qry)`, for bounds not given
-    * in the config. None when the query yields no rows (NULL bounds) —
-    * the caller falls back to the single-connection read.
+    * in the config, rendered as the strings Spark's partitioned reader
+    * parses (numbers verbatim; java.sql.Date/Timestamp toString are the
+    * exact `yyyy-MM-dd [HH:mm:ss.f]` forms it expects). None when the
+    * query yields no rows (NULL bounds) or min==max — nothing to
+    * stride; the caller falls back to the single-connection read.
     */
   private def remoteBounds(
-      spark: SparkSession, j: SourceSpec.Jdbc, column: String): Option[(Long, Long)] = {
+      spark: SparkSession, j: SourceSpec.Jdbc, column: String): Option[(String, String)] = {
     val r = remoteScalar(spark, j,
       s"MIN($column) AS graft_lo, MAX($column) AS graft_hi")
-    if (r.isNullAt(0) || r.isNullAt(1)) None
-    else Some((toLong(r.get(0)), toLong(r.get(1))))
+    (r.get(0), r.get(1)) match {
+      case (null, _) | (_, null)    => None
+      case (lo, hi) if lo == hi     => None
+      case (lo: Number, hi: Number) =>
+        // integral truncation is safe: bounds are STRIDE hints — rows
+        // outside them still land in the unbounded first/last partition
+        val (l, h) = (lo.longValue(), hi.longValue())
+        if (h > l) Some((l.toString, h.toString)) else None
+      case (lo, hi)                 => Some((lo.toString, hi.toString))
+    }
   }
 
   private def toLong(v: Any): Long = v match {
     case n: Number => n.longValue()
     case other => throw new IllegalArgumentException(
-      s"partition_column must be numeric, got ${other.getClass.getSimpleName}")
+      s"COUNT(*) must be numeric, got ${other.getClass.getSimpleName}")
   }
 
   def resolve(spark: SparkSession, side: SideSpec): DataFrame = side.source match {
@@ -121,9 +132,9 @@ object Sources {
                 .option("partitionColumn", pc)
                 .option("numPartitions", n)
                 .option("lowerBound", lo)
-                .option("upperBound", math.max(hi, lo + 1))
+                .option("upperBound", hi)
                 .load()
-            case None => // empty result set: nothing to parallelize
+            case None => // empty or single-valued: nothing to stride
               baseReader(spark, j).option("query", j.qry).load()
           }
         case _ =>

@@ -86,4 +86,35 @@ class PlanShapeSpec extends SparkSpec {
     // one for groupBy, one for the final orderBy (range partitioning)
     assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles")
   }
+
+  test("hash split is a pure narrow projection — zero shuffles") {
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+    val s = graft.operators.Sampling.hashSplit(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val shuffles = initialPlan(s).collect { case x: ShuffleExchangeExec => x }
+    assert(shuffles.isEmpty, s"split must not shuffle, got ${shuffles.size}")
+  }
+
+  test("heavy hitters: one count shuffle, top-k never a global sort") {
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+    val hh = graft.operators.Sampling.heavyHitters(docs, 20)
+    val plan = planString(hh)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count"), plan)
+    val shuffles = initialPlan(hh).collect { case x: ShuffleExchangeExec => x }
+    assert(shuffles.size == 1, s"expected 1 shuffle (token counts), got ${shuffles.size}")
+  }
+
+  test("keeper election: single max-struct aggregation, no window over the corpus") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val clusters = (1L to 100L).map(i => (i, i % 10)).toDF("doc_id", "cluster_id")
+    val scores = (1L to 100L).map(i => (i, i * 7 % 13)).toDF("doc_id", "score")
+    val k = graft.operators.Dedup.keeperByQuality(clusters, scores)
+    val plan = planString(k)
+    assert(!plan.contains("Window"), plan) // argmax via max(struct), not row_number
+    assert(plan.contains("partial_max") || plan.contains("partial_count"), plan)
+  }
 }
