@@ -28,11 +28,13 @@ object SparkEntry {
     Relational.queries ++ CompareQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.Profiler.queries ++ operators.Sampling.queries
+      operators.Profiler.queries ++ operators.Sampling.queries ++
+      operators.Curation.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ CompareQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      operators.Profiler.oracles ++ operators.Sampling.oracles
+      operators.Profiler.oracles ++ operators.Sampling.oracles ++
+      operators.Curation.oracles
 }

@@ -607,7 +607,7 @@ object Dedup {
     * pairs → symmetric edges → transitive closure (`reach`). Callers
     * prepend `WITH RECURSIVE `.
     */
-  private val clustersCte =
+  private[operators] val clustersCte =
     s"""sig AS ($minhashSql),
        |bands AS (
        | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL

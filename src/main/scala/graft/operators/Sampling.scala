@@ -91,7 +91,7 @@ object Sampling {
 
   // ---------------------------------------------------------------- gate
 
-  private val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[operators] val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 80/10/10 train/val/test split keyed on doc_id — every row
@@ -120,22 +120,28 @@ object Sampling {
        | i -> CAST((strpos('0123456789abcdef', substr($expr, i, 1)) - 1) AS BIGINT)
        |      * CAST(POWER(16, 8 - i) AS BIGINT)))""".stripMargin.replaceAll("\\s+", " ")
 
-  private val splitSql = {
-    val f = s"CAST(${hex8ToLong("md5('split|' || doc_id)")} AS DOUBLE) / 4294967296.0"
-    // cut points come from the SAME double cumsum the Spark side uses
-    // (0.8+0.1 is 0.9000000000000001 in IEEE — a hand-written 0.9
-    // literal would disagree on hash fractions inside that ulp window);
-    // Scala's Double toString is shortest-roundtrip, so DuckDB parses
-    // the identical double
-    val total = GateWeights.map(_._2).sum
-    val cuts = GateWeights.map(_._2 / total).scanLeft(0.0)(_ + _)
-    val cases = GateWeights.init.zipWithIndex
+  /** DuckDB twin of the [[hashSplit]] CASE over an arbitrary key
+    * expression. Cut points come from the SAME double cumsum the Spark
+    * side uses (0.8+0.1 is 0.9000000000000001 in IEEE — a hand-written
+    * 0.9 literal would disagree on hash fractions inside that ulp
+    * window); Scala's Double toString is shortest-roundtrip, so DuckDB
+    * parses the identical double.
+    */
+  private[operators] def splitCaseSql(
+      keyExpr: String, weights: Seq[(String, Double)], salt: String = "split"): String = {
+    val f = s"CAST(${hex8ToLong(s"md5('$salt|' || $keyExpr)")} AS DOUBLE) / 4294967296.0"
+    val total = weights.map(_._2).sum
+    val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _)
+    val cases = weights.init.zipWithIndex
       .map { case ((label, _), i) => s"WHEN $f < ${cuts(i + 1)} THEN '$label'" }
       .mkString(" ")
-    s"""SELECT doc_id,
-       | CASE $cases ELSE '${GateWeights.last._1}' END AS split
-       |FROM documents""".stripMargin
+    s"CASE $cases ELSE '${weights.last._1}' END"
   }
+
+  private val splitSql =
+    s"""SELECT doc_id,
+       | ${splitCaseSql("doc_id", GateWeights)} AS split
+       |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "sa_split" -> s"SELECT doc_id, split FROM ($splitSql) ORDER BY doc_id",
