@@ -37,6 +37,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("curation front-end (quality scores + split assignment) runs unchanged on a stream") {
+    // the stateless stages of the curation pipeline are pure narrow
+    // projections, so the SAME operator code must run on a stream with
+    // no modification and produce the batch answer — documents arrive,
+    // get scored and split-labeled, no state, no watermark
+    implicit val sq = spark.sqlContext
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.as[(Long, String)].collect().toSeq)
+    val labeled = graft.operators.Sampling.hashSplit(
+      graft.operators.TextAnalysis.qualityScores(
+        mem.toDF().toDF("doc_id", "text")),
+      col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("n_chars"), col("passes_filter"), col("split"))
+    assert(labeled.isStreaming)
+    val q = labeled.writeStream.format("memory").queryName("cur")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("cur").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3))).toSet
+    val batch = graft.operators.Sampling.hashSplit(
+      graft.operators.TextAnalysis.qualityScores(docs),
+      col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("n_chars"), col("passes_filter"), col("split"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3))).toSet
+    assert(streamed == batch && streamed.size == 500)
+  }
+
   test("streaming sessionization equals batch sessionization (sentinel-closed)") {
     implicit val sq = spark.sqlContext
     val events = typedEvents
