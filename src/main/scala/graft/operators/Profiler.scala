@@ -51,6 +51,58 @@ object Profiler {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Equi-width histogram of a numeric column over [lo, hi): `bins`
+    * buckets plus underflow (-1) and overflow (`bins`) rows when
+    * present. ONE map-side-combinable aggregation — the 100 TB shape;
+    * an exact-quantile histogram would need a sort. Bucket math is
+    * integer floor over exact arithmetic: bit-identical cross-engine.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val x = col(c).cast("double")
+    val bucket = when(x < lo, lit(-1L))
+      .when(x >= hi, lit(bins.toLong))
+      .otherwise(floor((x - lo) / width).cast("long"))
+    df.where(x.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
+        col("n"))
+  }
+
+  /** Exact numeric stats per column: min/max/mean with the mean
+    * derived from a DECIMAL(38,6) sum — no float accumulation order in
+    * the aggregate, so the result is bit-identical across engines and
+    * partitionings (a plain avg() is not). Long format like
+    * [[profile]].
+    */
+  def numericStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val aggs = cols.flatMap { n =>
+      val c = col(n).cast("double")
+      Seq(
+        count(c).as(s"__n_$n"),
+        min(c).as(s"__min_$n"),
+        max(c).as(s"__max_$n"),
+        sum(c.cast(dec)).as(s"__sum_$n"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { n =>
+      struct(lit(n).as("column_name"),
+        col(s"__n_$n").as("n"),
+        col(s"__min_$n").as("min_val"),
+        col(s"__max_$n").as("max_val"),
+        // one double rounding (exact-decimal sum → double) then an
+        // exact division — engines agree; decimal division would
+        // diverge on quotient scale/rounding rules
+        (col(s"__sum_$n").cast("double") / col(s"__n_$n")).as("mean_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   // ---------------------------------------------------------------- gate
 
   private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -77,7 +129,19 @@ object Profiler {
           (abs(col("nd_approx").cast("double") - col("n_distinct")) / col("n_distinct") <= 0.05)
             .as("sketch_ok"))
         .orderBy("column_name")
-    }))
+    }),
+
+    // Equi-width histogram over order value: one aggregation, fixed
+    // bounds (the streaming/100 TB-friendly shape — no quantile sort)
+    "dq_histogram" -> ((s, dir) =>
+      histogram(table(s, dir, "orders"), "o_totalprice", 0.0, 600000.0, 12)
+        .orderBy("bucket")),
+
+    // Exact numeric stats: mean via DECIMAL(38,6) sums — deterministic
+    // across engines and partitionings, unlike a float avg()
+    "dq_numeric" -> ((s, dir) =>
+      numericStats(table(s, dir, "orders"), Seq("o_custkey", "o_totalprice"))
+        .orderBy("column_name")))
 
   private def profileSql(select: String): String =
     OrdersCols.map { c =>
@@ -91,5 +155,23 @@ object Profiler {
   def oracles: Map[String, String] = Map(
     "dq_profile" -> profileSql("*"),
     "dq_profile_approx" -> profileSql(
-      "column_name, n_rows, n_nulls, n_distinct, TRUE AS sketch_ok"))
+      "column_name, n_rows, n_nulls, n_distinct, TRUE AS sketch_ok"),
+    "dq_histogram" ->
+      """WITH b AS (
+        | SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN CAST(-1 AS BIGINT)
+        |             WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN CAST(12 AS BIGINT)
+        |             ELSE CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0) AS BIGINT)
+        |        END AS bucket
+        | FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bucket,
+        | CAST(0.0 AS DOUBLE) + bucket * CAST(50000.0 AS DOUBLE) AS bucket_lo,
+        | CAST(0.0 AS DOUBLE) + (bucket + 1) * CAST(50000.0 AS DOUBLE) AS bucket_hi,
+        | COUNT(*) AS n
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dq_numeric" -> Seq("o_custkey", "o_totalprice").map { c =>
+      s"""SELECT '$c' AS column_name, COUNT($c) AS n,
+         | MIN(CAST($c AS DOUBLE)) AS min_val, MAX(CAST($c AS DOUBLE)) AS max_val,
+         | CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT($c) AS mean_val
+         |FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"))
 }
