@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.GraftSession.table
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end curation pipeline — the composition the individual
@@ -37,9 +37,60 @@ object Curation {
     Sampling.hashSplit(keepers, col("doc_id"), Sampling.GateWeights)
   }
 
+  /** PII patterns. Deliberately RE2-compatible (no backreferences, no
+    * lookaround) so the SAME pattern text means the same thing in
+    * Spark's `java.util.regex` and the oracle's RE2 — and would in any
+    * other engine a user cross-checks against.
+    */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[operators] val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the compliance pass a training corpus gets before
+    * anything else sees it: emails, IPv4 addresses and phone-shaped
+    * numbers replaced by typed placeholder tags, with per-category
+    * match counts for audit reporting.
+    *
+    * Pure `regexp_replace`/`regexp_count` expressions: shuffle-free,
+    * whole-stage codegen'd, linear in input. Each category counts on
+    * the output of the PREVIOUS redaction (email → IP → phone) so a
+    * span never tallies in two categories and counts always equal the
+    * placeholders actually inserted.
+    */
+  def redactPii(df: DataFrame, text: Column): DataFrame = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    df.withColumn("n_pii_email", regexp_count(text, lit(EmailRe)).cast("long"))
+      .withColumn("n_pii_ip", regexp_count(afterEmail, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_pii_phone", regexp_count(afterIp, lit(PhoneRe)).cast("long"))
+      .withColumn("text_redacted", regexp_replace(afterIp, PhoneRe, "<PHONE>"))
+  }
+
   // ---------------------------------------------------------------- gate
 
+  /** The synthetic corpus carries no real PII, so the gate plants some
+    * deterministically from table values — same construction on both
+    * engines — then asserts the redaction's counts and exact output
+    * text (as md5).
+    */
+  private def plantedPii(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 10.2."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 ext 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc bob@corp.io")).otherwise(lit("")))
+        .as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_pii" -> ((s, dir) =>
+      redactPii(plantedPii(s, dir), col("text"))
+        .select(col("doc_id"), col("n_pii_email"), col("n_pii_ip"),
+          col("n_pii_phone"), md5(col("text_redacted")).as("redacted_hash"))
+        .orderBy("doc_id")),
     // per-split keeper counts + exact char volume — the dataset-card
     // summary a curation run ends with
     "pipe_curation" -> ((s, dir) =>
@@ -50,6 +101,27 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "cur_pii" -> {
+      val email = EmailRe
+      s"""WITH planted AS (SELECT doc_id,
+         |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |   || '@mail.example.com or 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+         |   || '.7 ext 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |   || CASE WHEN doc_id % 3 = 0 THEN ' cc bob@corp.io' ELSE '' END AS text
+         | FROM documents),
+         |r AS (SELECT doc_id, text,
+         |  regexp_replace(text, '$email', '<EMAIL>', 'g') AS after_email
+         | FROM planted),
+         |r2 AS (SELECT doc_id, text, after_email,
+         |  regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS after_ip
+         | FROM r)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_pii_email,
+         | CAST(len(regexp_extract_all(after_email, '$Ipv4Re')) AS BIGINT) AS n_pii_ip,
+         | CAST(len(regexp_extract_all(after_ip, '$PhoneRe')) AS BIGINT) AS n_pii_phone,
+         | md5(regexp_replace(after_ip, '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+         |FROM r2 ORDER BY doc_id""".stripMargin
+    },
     "pipe_curation" ->
       s"""WITH RECURSIVE ${Dedup.clustersCte},
          |clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),

@@ -89,9 +89,78 @@ object Sampling {
       .agg(count_min_sketch(col("token"), lit(eps), lit(conf), lit(42)).as("sk"))
       .head().getAs[Array[Byte]](0)
 
+  /** Sequence packing — assign documents to fixed-token-capacity
+    * training sequences (context windows). Documents are sharded by
+    * key hash, then packed greedily within each shard in key order:
+    * a document opens a new bin when the bin's running token total has
+    * reached capacity. A document longer than the capacity overflows
+    * its bin (never dropped, never split — truncation is the trainer's
+    * call) and the next document starts a fresh bin further along, so
+    * bin ids within a shard are increasing but may skip.
+    *
+    * Scale: the ONLY ordering is per-shard (window partitioned by
+    * `shard`), so parallelism = number of shards and no global sort
+    * exists anywhere. Assignment is a pure function of (salt, key,
+    * weights-in-shard): rerunning on the same corpus reproduces the
+    * same bins on any cluster layout.
+    */
+  def packSequences(
+      df: DataFrame,
+      key: Column,
+      tokens: Column,
+      capacity: Long,
+      shards: Int,
+      salt: String = "pack"): DataFrame = {
+    require(capacity > 0 && shards > 0, "capacity and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard = floor(hashFraction(key, salt) * shards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("bin",
+        floor(coalesce(sum(tokens).over(w), lit(0L)) / capacity).cast("long"))
+  }
+
+  /** Domain-mixture sampling — downsample groups so the kept corpus
+    * matches target mixture weights, keeping as many rows as feasible:
+    * the binding group (smallest n_g/w_g) is kept whole and every other
+    * group is hash-thresholded down to proportion. Groups absent from
+    * `weights` are dropped (weight 0). Deterministic: keep/drop is a
+    * pure function of (salt, key), so the same row survives on every
+    * engine and any partitioning.
+    *
+    * Scale: one map-side-combinable count per group (group cardinality
+    * rows — tiny), broadcast back; the data pass itself is a
+    * shuffle-free filter.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      weights: Seq[(String, Double)],
+      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val counts = df.groupBy(group.as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", weights.tail.foldLeft(
+        when(col("__g") === weights.head._1, weights.head._2)) {
+        case (acc, (g, wgt)) => acc.when(col("__g") === g, wgt)
+      })
+      .where(col("__w").isNotNull)
+    val scale = counts.agg(min(col("__n") / col("__w")).as("__s"))
+    val keepP = broadcast(counts.crossJoin(broadcast(scale)))
+      .select(col("__g"), (col("__s") * col("__w") / col("__n")).as("__p"))
+    df.join(broadcast(keepP), group === col("__g"), "inner")
+      .where(hashFraction(key, salt) < col("__p"))
+      .drop("__g", "__p")
+  }
+
   // ---------------------------------------------------------------- gate
 
   private[operators] val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[operators] val MixWeights =
+    Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 80/10/10 train/val/test split keyed on doc_id — every row
@@ -110,6 +179,23 @@ object Sampling {
 
     "ta_top_tokens" -> ((s, dir) =>
       heavyHitters(table(s, dir, "documents"), 20)),
+
+    // per-(shard, bin) packing summary: how many docs and tokens each
+    // 2048-token training sequence got, across 8 hash shards
+    "sa_pack" -> ((s, dir) =>
+      packSequences(table(s, dir, "documents"), col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long"), 2048L, 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), " +")).cast("long")).as("n_tokens"))
+        .orderBy("shard", "bin")),
+
+    // mixture resampling to 4:2:1:1 over four sources (all others
+    // dropped); gate checks the exact surviving rows, not just counts
+    "sa_mixture" -> ((s, dir) =>
+      mixtureSample(table(s, dir, "documents"), col("source"), col("doc_id"), MixWeights)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB twin of [[hashFraction]]: first 8 md5 hex digits → BIGINT
@@ -151,5 +237,31 @@ object Sampling {
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "sa_pack" -> {
+      val frac = s"CAST(${hex8ToLong("md5('pack|' || doc_id)")} AS DOUBLE) / 4294967296.0"
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tok,
+         |  CAST(FLOOR($frac * 8) AS INT) AS shard
+         | FROM documents),
+         |b AS (SELECT shard, tok,
+         |  CAST(FLOOR(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+         | FROM t)
+         |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+    },
+    "sa_mixture" -> {
+      val frac = s"CAST(${hex8ToLong("md5('mix|' || doc_id)")} AS DOUBLE) / 4294967296.0"
+      val cases = MixWeights
+        .map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+      s"""WITH g AS (SELECT source AS grp, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT grp, n, CASE grp $cases END AS wgt FROM g),
+         |w2 AS (SELECT * FROM w WHERE wgt IS NOT NULL),
+         |s AS (SELECT MIN(n / wgt) AS s FROM w2),
+         |p AS (SELECT grp, (s.s * wgt / n) AS p FROM w2, s)
+         |SELECT d.doc_id, d.source FROM documents d JOIN p ON d.source = p.grp
+         |WHERE $frac < p.p ORDER BY d.doc_id""".stripMargin
+    },
   )
 }

@@ -80,6 +80,43 @@ object TextAnalysis {
     docs.select(outCols: _*)
   }
 
+  /** Gopher-style repetition metrics — the "is this document mostly the
+    * same thing over and over" signal every web-scale curation run
+    * filters on (boilerplate, keyword stuffing, template spam):
+    *
+    *   - `distinct_ratio`   distinct tokens / tokens (low ⇒ repetitive)
+    *   - `top_token_frac`   occurrences of the most frequent token / tokens
+    *   - `top_bigram_frac`  occurrences of the most frequent bigram / bigrams
+    *   - `passes_repetition` the composite keep verdict
+    *
+    * Everything is computed per row with higher-order functions over the
+    * token array — NO explode, NO shuffle, stays inside whole-stage
+    * codegen. Per-row cost is O(distinct·n) which is bounded by document
+    * length, the right trade at 100 TB where an explode+groupBy(doc,
+    * token) alternative would shuffle one row per (doc, token).
+    * Single-token docs define `top_bigram_frac = 0` (nothing repeats).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ts = toks
+    def topFrac(arr: Column, n: Column): Column = when(n > 0,
+      array_max(transform(array_distinct(arr), t =>
+        size(filter(arr, x => x === t)))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val bigrams = zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val dr = (size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
+    val tt = topFrac(ts, size(ts))
+    val tb = topFrac(bigrams, size(ts) - 1)
+    docs.select(
+      col("doc_id"),
+      size(ts).cast("long").as("n_tokens"),
+      dr.as("distinct_ratio"),
+      tt.as("top_token_frac"),
+      tb.as("top_bigram_frac"),
+      (dr >= 0.4 && tt <= 0.12 && tb <= 0.08).as("passes_repetition"))
+  }
+
   /** Document fingerprints: md5 of the whitespace-normalized text plus
     * a winnowing-style min-shingle hash (the smallest 3-gram md5 — a
     * 1-of-k MinHash, cheap near-dup prefilter).
@@ -102,6 +139,7 @@ object TextAnalysis {
     "ta_quality" -> ((s, dir) => qualityScores(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_langid" -> ((s, dir) => langId(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_fingerprint" -> ((s, dir) => fingerprints(table(s, dir, "documents")).orderBy("doc_id")),
+    "ta_repetition" -> ((s, dir) => repetitionStats(table(s, dir, "documents")).orderBy("doc_id")),
   )
 
   private val toksSql = "string_split_regex(trim(text), ' +')"
@@ -149,5 +187,26 @@ object TextAnalysis {
          |             i -> md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))
          |      ELSE md5(array_to_string(ts, ' ')) END AS min_shingle_hash
          |FROM t ORDER BY doc_id""".stripMargin,
+    "ta_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |m AS (SELECT doc_id, ts,
+         |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg
+         | FROM t),
+         |r AS (SELECT doc_id,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS distinct_ratio,
+         |  CASE WHEN len(ts) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(ts),
+         |      t -> len(list_filter(ts, x -> x = t)))) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
+         |   ELSE 0.0 END AS top_token_frac,
+         |  CASE WHEN len(ts) - 1 > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(bg),
+         |      t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / CAST(len(ts) - 1 AS DOUBLE)
+         |   ELSE 0.0 END AS top_bigram_frac
+         | FROM m)
+         |SELECT doc_id, n_tokens, distinct_ratio, top_token_frac, top_bigram_frac,
+         | (distinct_ratio >= 0.4 AND top_token_frac <= 0.12 AND top_bigram_frac <= 0.08)
+         |   AS passes_repetition
+         |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -246,4 +246,53 @@ class OperatorsSpec extends SparkSpec {
     val f = TextAnalysis.fingerprints(d).select("norm_hash").distinct()
     assert(f.count() == 1)
   }
+
+  test("repetition stats: hand-computed fractions and the keep verdict") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a b"),          // top token a: 4/5, bigram "a a": 3/4
+      (2L, "v w x y z"),          // all distinct, every frac minimal
+      (3L, "solo")                // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(2) == 2.0 / 5)  // distinct_ratio
+    assert(r(1L).getDouble(3) == 4.0 / 5)  // top_token_frac
+    assert(r(1L).getDouble(4) == 3.0 / 4)  // top_bigram_frac
+    assert(!r(1L).getBoolean(5))
+    assert(r(2L).getDouble(2) == 1.0 && r(2L).getDouble(3) == 0.2 &&
+      r(2L).getDouble(4) == 0.25)
+    assert(r(3L).getDouble(4) == 0.0)      // bigram frac defined as 0
+    // a no-shuffle scan: the plan must contain no exchange
+    val plan = TextAnalysis.repetitionStats(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("pii redaction: each category replaced and counted once, text preserved otherwise") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail alice@example.org and bob.smith@corp.co.uk now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-0199 today"),
+      (4L, "clean text with no identifiers"),
+      (5L, "alice@example.org at 10.1.2.3 ext 555-0100")
+    ).toDF("doc_id", "text")
+    val r = Curation.redactPii(d, col("text")).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def counts(id: Long) = (
+      r(id).getAs[Long]("n_pii_email"),
+      r(id).getAs[Long]("n_pii_ip"),
+      r(id).getAs[Long]("n_pii_phone"))
+    def text(id: Long) = r(id).getAs[String]("text_redacted")
+    assert(counts(1L) == (2L, 0L, 0L))
+    assert(text(1L) == "mail <EMAIL> and <EMAIL> now")
+    assert(counts(2L) == (0L, 2L, 0L))
+    assert(text(2L) == "host <IP> and <IP> up")
+    assert(counts(3L) == (0L, 0L, 1L))
+    assert(text(3L) == "call <PHONE> today")
+    assert(counts(4L) == (0L, 0L, 0L))
+    assert(text(4L) == "clean text with no identifiers")
+    assert(counts(5L) == (1L, 1L, 1L))
+    assert(text(5L) == "<EMAIL> at <IP> ext <PHONE>")
+  }
 }

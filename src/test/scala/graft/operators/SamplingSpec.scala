@@ -88,4 +88,65 @@ class SamplingSpec extends SparkSpec {
     // cluster 70: tie (4,4) — min doc_id 7 wins
     assert(k(1).getLong(0) == 70L && k(1).getLong(1) == 7L)
   }
+
+  test("sequence packing: greedy bin invariant, coverage, determinism") {
+    val toks = size(split(trim(col("text")), " +")).cast("long")
+    val packed = Sampling.packSequences(docs, col("doc_id"), toks, 200L, 4)
+      .select(col("doc_id"), toks.as("tok"), col("shard"), col("bin"))
+    assert(packed.count() == docs.count()) // every doc lands in one bin
+    val rows = packed.orderBy("shard", "doc_id").collect()
+      .map(r => (r.getInt(2), r.getLong(3), r.getLong(1)))
+    // within each (shard, bin): every doc except the bin's last fits
+    // under capacity (the greedy boundary rule)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((sh, b), ds) =>
+      val tokens = ds.map(_._3)
+      assert(tokens.sum - tokens.last < 200L,
+        s"shard=$sh bin=$b spills before its last doc: ${tokens.mkString(",")}")
+    }
+    // bins increase in key order within a shard, starting at 0
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      val bins = ds.map(_._2)
+      assert(bins.head == 0L)
+      bins.sliding(2).foreach { w => if (w.length == 2) assert(w(0) <= w(1)) }
+    }
+    val again = Sampling.packSequences(docs, col("doc_id"), toks, 200L, 4)
+      .select("doc_id", "shard", "bin").orderBy("doc_id").collect()
+    assert(again.toSeq == packed.select("doc_id", "shard", "bin")
+      .orderBy("doc_id").collect().toSeq)
+  }
+
+  test("sequence packing: an oversized doc overflows its bin; later docs skip ahead") {
+    import spark.implicits._
+    val d = Seq((1L, 50L), (2L, 500L), (3L, 50L), (4L, 50L))
+      .toDF("doc_id", "tok")
+    val p = Sampling.packSequences(d, col("doc_id"), col("tok"), 100L, 1)
+      .select("doc_id", "bin").orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p(1L) == 0L) // prev_cum 0
+    assert(p(2L) == 0L) // prev_cum 50 — joins bin 0 and overflows it
+    assert(p(3L) == 5L) // prev_cum 550 — skips bins 1-4
+    assert(p(4L) == 6L) // prev_cum 600
+  }
+
+  test("mixture sampling: binding group kept whole, others near target, absent dropped") {
+    val kept = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weight-0 groups are dropped entirely
+    assert(bySrc.keySet == Set("src0", "src1", "src2"))
+    // the binding group (min n/w — src0 at weight 4) survives intact
+    assert(bySrc("src0") == n("src0"))
+    // others are hash-thresholded near s*w: s = n0/4
+    val s = n("src0") / 4.0
+    assert(math.abs(bySrc("src1") - 2.0 * s) <= 4, s"src1=${bySrc("src1")} target=${2 * s}")
+    assert(math.abs(bySrc("src2") - s) <= 4, s"src2=${bySrc("src2")} target=$s")
+    // deterministic
+    val again = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0))
+      .select("doc_id").orderBy("doc_id").collect()
+    assert(again.toSeq == kept.select("doc_id").orderBy("doc_id").collect().toSeq)
+  }
 }

@@ -67,6 +67,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 500)
   }
 
+  test("pii redaction into repetition scoring runs unchanged on a stream") {
+    // redact → score-the-redacted-text: both stages are stateless
+    // narrow projections, so the batch operator objects run on the
+    // stream verbatim and must give the batch answer
+    implicit val sq = spark.sqlContext
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    def pipelineOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.repetitionStats(
+        graft.operators.Curation.redactPii(df, col("text"))
+          .select(col("doc_id"), col("text_redacted").as("text")))
+        .select(col("doc_id"), col("n_tokens"), col("top_token_frac"),
+          col("passes_repetition"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.as[(Long, String)].collect().toSeq)
+    val st = pipelineOf(mem.toDF().toDF("doc_id", "text"))
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("pii_rep")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("pii_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val batch = pipelineOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(streamed == batch && streamed.size == 500)
+  }
+
   test("streaming sessionization equals batch sessionization (sentinel-closed)") {
     implicit val sq = spark.sqlContext
     val events = typedEvents
