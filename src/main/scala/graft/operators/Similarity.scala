@@ -133,7 +133,61 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Nearest-centroid assignment against a SMALL centroid list baked
+    * into the plan as literals (the [[lshSignature]] plane trick):
+    * a narrow, shuffle-free pass — no join, no window — which is the
+    * shape that survives 100 TB. Tie-break: cosine desc, centroid id
+    * asc, via the struct-max pattern.
+    */
+  def assignToCentroids(q: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val structs = array(cents.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("cos"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }: _*)
+    q.withColumn("cluster", array_max(structs).getField("cid"))
+  }
+
+  /** Lloyd's k-means over quantized integer embeddings — the semantic
+    * clustering primitive under IVF index building, cluster-balanced
+    * sampling and embedding-level dedup.
+    *
+    * Engine-reproducible by construction: init = the k lowest-id
+    * vectors; centroids stay INTEGER (element-wise floor-average of
+    * exact long sums) so no float accumulation order can perturb a
+    * round; assignment ties break deterministically. Empty clusters are
+    * dropped (never re-seeded) — same rule every engine can replicate.
+    *
+    * Per round: one narrow assignment pass (centroids are plan
+    * literals) + one map-side-combinable aggregation producing k·d
+    * longs. Only those k·d values ever reach the driver — bounded by
+    * (k, dim), independent of corpus size, the same driver state any
+    * k-means fit (e.g. Spark MLlib's) keeps between rounds.
+    */
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = quantized(emb).select(col("vec_id"), col("v"))
+    var cents: Seq[(Long, Seq[Long])] =
+      q.orderBy(col("vec_id")).limit(k).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+    var assigned = assignToCentroids(q, cents)
+    (1 to iters).foreach { _ =>
+      cents = assigned.groupBy(col("cluster"))
+        .agg(array((0 until Dim).map(j =>
+          floor(sum(element_at(col("v"), j + 1)) / count(lit(1))).cast("long")): _*).as("cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+        .sortBy(_._1)
+      assigned = assignToCentroids(q, cents)
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full k-means assignment after one Lloyd round from the
+    // deterministic k-lowest-id init — every vector's cluster checked
+    "ss_kmeans" -> ((s, dir) =>
+      kmeansFit(table(s, dir, "embeddings"), k = 4, iters = 1)
+        .orderBy("vec_id")),
     "ss_knn" -> ((s, dir) =>
       bruteForceTopK(table(s, dir, "embeddings"), numQueries = 5, k = 10)
         .orderBy("query_id", "rank")),
@@ -205,6 +259,24 @@ object Similarity {
        |tb AS (SELECT q.vec_id, q.v, sig.t, sig.bucket FROM q JOIN sig USING (vec_id))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "ss_kmeans" ->
+      s"""WITH q AS ($quantSql),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 4),
+         |a1 AS (SELECT vec_id, v, cid AS cluster FROM (
+         |  SELECT q.vec_id, q.v, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.cid) AS r
+         |  FROM q CROSS JOIN c0 c) WHERE r = 1),
+         |c1 AS (SELECT cluster AS cid, list(cj ORDER BY j) AS cv FROM (
+         |  SELECT cluster, j, CAST(FLOOR(SUM(v[j]) / COUNT(*)) AS BIGINT) AS cj
+         |  FROM a1, UNNEST(range(1, ${Dim + 1})) AS r(j) GROUP BY cluster, j)
+         | GROUP BY cluster),
+         |a2 AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT q.vec_id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.cid) AS r
+         |  FROM q CROSS JOIN c1 c) WHERE r = 1)
+         |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "ss_knn" ->
       s"""WITH q AS ($quantSql),
          |qs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 5),

@@ -247,6 +247,52 @@ class OperatorsSpec extends SparkSpec {
     assert(f.count() == 1)
   }
 
+  test("kmeans: two separated groups split exactly despite one-sided init") {
+    import spark.implicits._
+    def mk(axis: Int, mag: Double): Seq[Float] =
+      (0 until 64).map(j => if (j == axis) mag.toFloat else 0.01f)
+    val df = Seq(
+      (0L, mk(0, 1.0), 0), (1L, mk(0, 0.9), 0), (2L, mk(0, 1.1), 0),
+      (3L, mk(1, 1.0), 1), (4L, mk(1, 0.9), 1), (5L, mk(1, 1.1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val a = Similarity.kmeansFit(df, k = 2, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 6)
+    assert(a(0L) == a(1L) && a(1L) == a(2L))
+    assert(a(3L) == a(4L) && a(4L) == a(5L))
+    assert(a(0L) != a(3L), s"groups merged: $a")
+  }
+
+  test("kmeans on the corpus: full coverage, deterministic, objective improves with rounds") {
+    val fit = Similarity.kmeansFit(emb, k = 10, iters = 3)
+    val n = emb.count()
+    assert(fit.count() == n)
+    val again = Similarity.kmeansFit(emb, k = 10, iters = 3)
+      .orderBy("vec_id").collect().toSeq
+    assert(again == fit.orderBy("vec_id").collect().toSeq)
+    // Lloyd's objective: mean cosine of each vector to its assigned
+    // cluster's centroid must improve from the raw init to the fit
+    // (the labels are only weakly clustered in this corpus, so label
+    // purity is not a meaningful target — the objective is)
+    def meanCos(assign: org.apache.spark.sql.DataFrame): Double = {
+      val q = Similarity.quantized(emb).select(col("vec_id"), col("v"))
+        .join(assign, "vec_id")
+      val cent = q.groupBy(col("cluster")).agg(
+        array((0 until 64).map(j =>
+          floor(sum(element_at(col("v"), j + 1)) / count(lit(1))).cast("long")): _*).as("cv"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+      q.join(cent, "cluster")
+        .select((dot(col("v"), col("cv")).cast("double") /
+          (sqrt(dot(col("v"), col("v")).cast("double")) *
+            sqrt(dot(col("cv"), col("cv")).cast("double")))).as("c"))
+        .agg(avg("c")).head().getDouble(0)
+    }
+    val init = Similarity.kmeansFit(emb, k = 10, iters = 0)
+    assert(meanCos(fit) > meanCos(init),
+      s"fit=${meanCos(fit)} init=${meanCos(init)}")
+  }
+
   test("repetition stats: hand-computed fractions and the keep verdict") {
     import spark.implicits._
     val d = Seq(
