@@ -27,6 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 32 local executor threads share this one heap — 8g caused GC-bound
-  // variance (up to 9x) on cache-heavy queries at sf0.1
+  // variance (up to 9x) on cache-heavy queries at sf0.1. Deliberately
+  // NO -Xms pin: this sandbox provisions guest pages lazily at
+  // ~1.5 GiB/s (measured) and charges first-touch at host pressure,
+  // so pre-committing the full heap was measured to WORSEN tail
+  // latency (stalls moved into whatever query touched fresh pages)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // diagnosis aid: SPARK_GC_LOG=/path enables unified GC logging in the
+  // forked JVM (used to attribute rare slow bench reps to GC vs plan)
+  sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -210,7 +210,13 @@ object Dedup {
           .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
           .agg(count(lit(1)).as("c"))
       case _ =>
-        sh.as("a")
+        // pinned sort-merge: the shingle table's size ESTIMATE comes
+        // from the small pre-explode parquet scan, so the planner
+        // would otherwise broadcast the whole self-join side and build
+        // its hashed relation on one thread (measured 20-80 s stalls
+        // at sf0.1); at real scale a shingle table is never
+        // broadcastable, so SMJ is the only right strategy here
+        sh.as("a").hint("merge")
           .join(sh.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

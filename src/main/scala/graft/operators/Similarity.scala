@@ -182,11 +182,40 @@ object Similarity {
     assigned.select(col("vec_id"), col("cluster"))
   }
 
+  /** Cluster-balanced (diversity) sampling: k-means the embeddings,
+    * then keep `perCluster` hash-chosen vectors per cluster — the
+    * standard "cover the semantic space, don't let one mode dominate"
+    * downsampling step before training. Selection within a cluster is
+    * ordered by a salted hash fraction (deterministic, engine-free),
+    * so the sample is reproducible and unbiased within the cluster.
+    *
+    * Scale: the per-cluster pick is a window top-n — one shuffle
+    * partitioned by cluster. A cluster's partition holds only its OWN
+    * rows; k is the parallelism floor, so pick k ≫ executor count at
+    * real scale (or pre-filter with a hash threshold when clusters are
+    * huge and exactness of the per-cluster count isn't required).
+    */
+  def clusterBalancedSample(
+      emb: DataFrame, k: Int, iters: Int, perCluster: Int,
+      salt: String = "diverse"): DataFrame = {
+    val assigned = kmeansFit(emb, k, iters)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(Sampling.hashFraction(col("vec_id"), salt), col("vec_id"))
+    assigned.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= perCluster)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full k-means assignment after one Lloyd round from the
     // deterministic k-lowest-id init — every vector's cluster checked
     "ss_kmeans" -> ((s, dir) =>
       kmeansFit(table(s, dir, "embeddings"), k = 4, iters = 1)
+        .orderBy("vec_id")),
+    // 25 hash-chosen vectors from each of 4 k-means clusters
+    "ss_diverse_sample" -> ((s, dir) =>
+      clusterBalancedSample(table(s, dir, "embeddings"),
+        k = 4, iters = 1, perCluster = 25)
         .orderBy("vec_id")),
     "ss_knn" -> ((s, dir) =>
       bruteForceTopK(table(s, dir, "embeddings"), numQueries = 5, k = 10)
@@ -258,25 +287,39 @@ object Similarity {
        | FROM proj GROUP BY vec_id, p // $BitsPerTable),
        |tb AS (SELECT q.vec_id, q.v, sig.t, sig.bucket FROM q JOIN sig USING (vec_id))""".stripMargin
 
+  /** Shared oracle CTE chain for the k=4, iters=1 k-means gate fit:
+    * init c0 = 4 lowest ids → assign a1 → integer centroids c1 →
+    * final assignment a2(vec_id, cluster).
+    */
+  private def kmeansSqlCtes(k: Int): String =
+    s"""q AS ($quantSql),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $k),
+       |a1 AS (SELECT vec_id, v, cid AS cluster FROM (
+       |  SELECT q.vec_id, q.v, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |     ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.cid) AS r
+       |  FROM q CROSS JOIN c0 c) WHERE r = 1),
+       |c1 AS (SELECT cluster AS cid, list(cj ORDER BY j) AS cv FROM (
+       |  SELECT cluster, j, CAST(FLOOR(SUM(v[j]) / COUNT(*)) AS BIGINT) AS cj
+       |  FROM a1, UNNEST(range(1, ${Dim + 1})) AS r(j) GROUP BY cluster, j)
+       | GROUP BY cluster),
+       |a2 AS (SELECT vec_id, cid AS cluster FROM (
+       |  SELECT q.vec_id, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |     ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.cid) AS r
+       |  FROM q CROSS JOIN c1 c) WHERE r = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "ss_kmeans" ->
-      s"""WITH q AS ($quantSql),
-         |c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 4),
-         |a1 AS (SELECT vec_id, v, cid AS cluster FROM (
-         |  SELECT q.vec_id, q.v, c.cid,
-         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |     ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.cid) AS r
-         |  FROM q CROSS JOIN c0 c) WHERE r = 1),
-         |c1 AS (SELECT cluster AS cid, list(cj ORDER BY j) AS cv FROM (
-         |  SELECT cluster, j, CAST(FLOOR(SUM(v[j]) / COUNT(*)) AS BIGINT) AS cj
-         |  FROM a1, UNNEST(range(1, ${Dim + 1})) AS r(j) GROUP BY cluster, j)
-         | GROUP BY cluster),
-         |a2 AS (SELECT vec_id, cid AS cluster FROM (
-         |  SELECT q.vec_id, c.cid,
-         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |     ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.cid) AS r
-         |  FROM q CROSS JOIN c1 c) WHERE r = 1)
+      s"""WITH ${kmeansSqlCtes(4)}
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    "ss_diverse_sample" ->
+      s"""WITH ${kmeansSqlCtes(4)},
+         |r AS (SELECT vec_id, cluster,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY ${Sampling.hashFractionSql("vec_id", "diverse")}, vec_id) AS rk
+         | FROM a2)
+         |SELECT vec_id, cluster FROM r WHERE rk <= 25 ORDER BY vec_id""".stripMargin,
     "ss_knn" ->
       s"""WITH q AS ($quantSql),
          |qs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 5),

@@ -41,6 +41,15 @@ object Skew {
     * times; the join key becomes (key, salt). A hot left key spreads
     * over `salts` tasks instead of one. Result is row-identical to the
     * plain join (asserted in tests).
+    *
+    * The join strategy is PINNED to sort-merge: salting only helps a
+    * shuffle join, and the caller's contract is "too big to broadcast"
+    * — but Catalyst's size estimate for the replicated side derives
+    * from the pre-explode child (often a small parquet scan), so
+    * without the hint the planner can "promote" the join to broadcast
+    * and build a multi-million-row hashed relation on ONE thread
+    * (measured: 20-250 s stalls at sf0.1 where the pinned SMJ runs in
+    * seconds, the same single-threaded-build hazard at any scale).
     */
   def saltedJoin(
       left: DataFrame, right: DataFrame,
@@ -48,7 +57,7 @@ object Skew {
     val saltedLeft = left.withColumn("__salt", rowSalt(salts))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
-    saltedLeft.join(replicatedRight,
+    saltedLeft.hint("merge").join(replicatedRight,
       saltedLeft(leftKey) === replicatedRight(rightKey) &&
         saltedLeft("__salt") === replicatedRight("__salt"))
       .drop("__salt")

@@ -293,6 +293,38 @@ class OperatorsSpec extends SparkSpec {
       s"fit=${meanCos(fit)} init=${meanCos(init)}")
   }
 
+  test("jaccard self-joins pin sort-merge (no single-threaded broadcast build)") {
+    // Catalyst's size estimate for the shingle table derives from the
+    // tiny pre-explode parquet scan, so without the pin the planner
+    // broadcasts the multi-million-row self-join side (measured
+    // 20-250 s single-threaded hashed-relation builds at sf0.1)
+    val salted = Dedup.jaccardPairsSalted(docs, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(salted.contains("SortMergeJoin"), salted.take(800))
+    val plain = Dedup.jaccardPairsPlan(docs, 0.8, autoSaltDocFreq = Int.MaxValue).df
+      .queryExecution.executedPlan.toString
+    assert(plain.contains("SortMergeJoin"), plain.take(800))
+  }
+
+  test("cluster-balanced sample: min(perCluster, size) per cluster, subset, deterministic") {
+    val fit = Similarity.kmeansFit(emb, k = 10, iters = 1)
+    val sample = Similarity.clusterBalancedSample(emb, k = 10, iters = 1, perCluster = 20)
+    val sizes = fit.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = sample.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (c, n) =>
+      assert(got.getOrElse(c, 0L) == math.min(20L, n), s"cluster $c: ${got.get(c)} of $n")
+    }
+    // every sampled row carries its fit assignment (subset, not a re-fit)
+    val joined = sample.as("s").join(fit.as("f"), "vec_id")
+      .where(col("s.cluster") =!= col("f.cluster")).count()
+    assert(joined == 0)
+    val again = Similarity.clusterBalancedSample(emb, k = 10, iters = 1, perCluster = 20)
+      .orderBy("vec_id").collect().toSeq
+    assert(again == sample.orderBy("vec_id").collect().toSeq)
+  }
+
   test("repetition stats: hand-computed fractions and the keep verdict") {
     import spark.implicits._
     val d = Seq(
