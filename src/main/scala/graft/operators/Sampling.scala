@@ -156,6 +156,18 @@ object Sampling {
       .drop("__g", "__p")
   }
 
+  /** Quality-weighted sampling: keep each row with probability equal
+    * to its quality score in [0,1] — the soft alternative to a hard
+    * quality cutoff (low-quality docs are down-weighted, not banished,
+    * preserving distributional coverage). Deterministic: keep/drop is
+    * a pure function of (salt, key, score), reproducible across
+    * engines and partitionings. One shuffle-free filter pass.
+    */
+  def qualityWeightedSample(
+      df: DataFrame, key: Column, score: Column,
+      salt: String = "qw"): DataFrame =
+    df.where(hashFraction(key, salt) < score)
+
   // ---------------------------------------------------------------- gate
 
   private[operators] val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -196,6 +208,17 @@ object Sampling {
       mixtureSample(table(s, dir, "documents"), col("source"), col("doc_id"), MixWeights)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+
+    // keep-probability = alpha ratio (the ta_quality score): exact
+    // surviving rows checked
+    "sa_quality_weighted" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      qualityWeightedSample(d, col("doc_id"), alpha)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB twin of [[hashFraction]]: first 8 md5 hex digits → BIGINT
@@ -256,6 +279,11 @@ object Sampling {
          |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
          |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
     },
+    "sa_quality_weighted" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${hashFractionSql("doc_id", "qw")}
+         |  < CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+         |ORDER BY doc_id""".stripMargin,
     "sa_mixture" -> {
       val frac = s"CAST(${hex8ToLong("md5('mix|' || doc_id)")} AS DOUBLE) / 4294967296.0"
       val cases = MixWeights

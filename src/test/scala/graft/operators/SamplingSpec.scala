@@ -128,6 +128,25 @@ class SamplingSpec extends SparkSpec {
     assert(p(4L) == 6L) // prev_cum 600
   }
 
+  test("quality-weighted sampling: keep rate tracks the score, deterministic, shuffle-free") {
+    import spark.implicits._
+    // score 0 → never kept; score 1 → always kept; 0.5 → about half
+    val d = (0L until 300L).flatMap(i =>
+      Seq((i * 3, 0.0), (i * 3 + 1, 0.5), (i * 3 + 2, 1.0)))
+      .toDF("id", "score")
+    val kept = Sampling.qualityWeightedSample(d, col("id"), col("score"))
+    val by = kept.groupBy("score").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!by.contains(0.0))
+    assert(by(1.0) == 300L)
+    assert(math.abs(by(0.5) - 150L) < 45, s"half-score kept ${by(0.5)}")
+    val again = Sampling.qualityWeightedSample(d, col("id"), col("score"))
+      .orderBy("id").collect().toSeq
+    assert(again == kept.orderBy("id").collect().toSeq)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("mixture sampling: binding group kept whole, others near target, absent dropped") {
     val kept = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
       Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0))
