@@ -3,50 +3,64 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness — one JSON line per run, consumed by the driver.
   *
+  * Artifact-delivery constraints (learned the hard way in r5, where a
+  * timeout left the round with NO parsed bench at all):
+  *
+  *   - The driver keeps only the LAST ~2000 characters of output and
+  *     parses the JSON line out of that tail. So (a) the summary line
+  *     is kept COMPACT — per-query values rounded to 2 decimals, no
+  *     rep detail inline — and (b) the CUMULATIVE line is re-printed
+  *     after EVERY query, so however the run ends (success, driver
+  *     timeout, crash) the tail holds a current, parseable artifact
+  *     covering every query measured so far.
+  *   - The full-precision distribution (per-query min, median, every
+  *     rep, errors) is rewritten to `BENCH_DETAIL.json` in the working
+  *     directory after every query — a timeout still leaves a complete
+  *     partial artifact on disk.
+  *   - Log level is ERROR: WARN spam (e.g. unpersisting localCheckpoint
+  *     blocks) was flooding the 2000-char tail and evicting the JSON.
+  *
   * Noise robustness (the artifact is a grading signal, so it must not
   * lie):
   *
   *   - Each query runs one UNTIMED warm rep, then
   *     `SPARK_GRAFT_BENCH_REPS` timed reps (default 3) and reports the
-  *     MINIMUM; every rep is emitted in `reps_detail` so the full
-  *     distribution stays visible in the artifact. Min (not median):
-  *     this sandbox provisions guest memory pages lazily at a measured
-  *     ~1.5 GiB/s and host pressure intermittently inflates
-  *     otherwise-identical reps 10-50x (thread dumps show RUNNABLE
-  *     executor threads stalled in plain memory copies — page faults,
-  *     not GC, locks, or plan changes; isolated re-runs of the same
-  *     query are stable within ~2x). Under such one-sided environmental
-  *     noise the minimum is the consistent steady-state estimator —
-  *     the standard choice (JMH, hyperfine) — while a median is
-  *     poisoned whenever 2 of 3 reps catch a stall. The warm rep
-  *     absorbs per-query one-time cost (plan analysis, codegen, view
-  *     registration) that is not the steady-state signal.
+  *     MINIMUM; the median ships alongside in `BENCH_DETAIL.json` and
+  *     as `median_total` so rounds stay comparable. Min (not median)
+  *     as the headline: this sandbox provisions guest memory pages
+  *     lazily at a measured ~1.5 GiB/s and host pressure intermittently
+  *     inflates otherwise-identical reps 10-50x (thread dumps show
+  *     RUNNABLE executor threads stalled in plain memory copies — page
+  *     faults, not GC, locks, or plan changes). Under such one-sided
+  *     environmental noise the minimum is the consistent steady-state
+  *     estimator (JMH, hyperfine), while a median is poisoned whenever
+  *     2 of 3 reps catch a stall. The warm rep absorbs per-query
+  *     one-time cost (plan analysis, codegen, view registration).
+  *   - Wall budget: past `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 540)
+  *     of measuring, remaining queries degrade to ONE timed rep; a
+  *     query whose warm rep alone exceeds 20s also runs one rep. Better
+  *     a low-rep number for every query than no artifact at all.
   *   - `System.gc()` runs once per query BEFORE the warm rep — never
-  *     between timed reps: an explicit full GC on a large heap runs
-  *     concurrently into the next timed window and was measured
-  *     polluting whole-query medians (r4's q20 3.4 s vs 0.9 s warm).
-  *     Between reps only session caches are dropped: table/plan caches
-  *     via `clearCache()` plus explicit RDD-level persists
-  *     (localCheckpoint blocks from connectedComponents and comparator
-  *     report caches are invisible to the catalog).
+  *     between timed reps (a concurrent full GC was measured polluting
+  *     whole-query medians). Between reps only session caches are
+  *     dropped: table/plan caches via `clearCache()` plus explicit
+  *     RDD-level persists.
   *   - Failures are never swallowed into a fake wall time: a failed
   *     rep records its exception in `errors` and the REMAINING reps
-  *     still run (a transient failure costs one rep, not the query's
-  *     whole timing signal); the reported min is over successful reps.
+  *     still run; the reported min is over successful reps.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // default 5: the sandbox's host-pressure stalls can inflate 2 of 3
-    // reps 10-50x; five tries make a clean steady-state rep likely
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toInt
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
     GraftSession.commonConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // drop session-retained state a query may have left behind
     def dropCaches(): Unit = {
@@ -69,10 +83,17 @@ object Bench {
 
     def jsonSafe(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\r\\n\\t]", " ").take(300)
+        .replaceAll("[\\r\\n\\t]", " ").take(100) // tail budget: a long
+        // error string must not evict the JSON line from the 2000-char tail
+    def fmt2(d: Double): String = f"$d%.2f"
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val repDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // stall watchdog (diagnosis aid, SPARK_GRAFT_BENCH_DEBUG=1): a rep
     // that exceeds the threshold gets every live thread's stack dumped
@@ -106,7 +127,34 @@ object Bench {
       w.start()
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // cumulative artifact, re-emitted after every query (tail safety)
+    def emit(): Unit = {
+      val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+        .mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonSafe(v) + "\"" }
+        .mkString("{", ",", "}")
+      val total = mins.values.filter(_ >= 0).sum
+      val medTotal = repDetail.collect {
+        case (_, ts) if ts.nonEmpty => median(ts)
+      }.sum
+      println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      val qmin = repDetail.map { case (k, ts) =>
+        "\"" + k + "\":" + (if (ts.isEmpty) "-1" else ts.min) }
+        .mkString("{", ",", "}")
+      val qmed = repDetail.map { case (k, ts) =>
+        "\"" + k + "\":" + (if (ts.isEmpty) "-1" else median(ts)) }
+        .mkString("{", ",", "}")
+      val rd = repDetail.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+      val detail =
+        s"""{"reps":$reps,"total_min":$total,"total_median":$medTotal,"queries_min":$qmin,"queries_median":$qmed,"reps_detail":$rd,"errors":$es,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
+      catch { case _: Throwable => () }
+    }
+
+    val benchStart = System.nanoTime()
+    SparkEntry.queries.foreach { case (name, fn) =>
       // settle the session once per query, outside any timed window
       System.gc()
       def runOnce(): Either[String, Double] = {
@@ -124,9 +172,13 @@ object Bench {
         dropCaches()
         r
       }
-      runOnce().left.foreach(m => errors(name) = s"warmup: $m") // untimed warm rep
+      val warm = runOnce() // untimed warm rep
+      warm.left.foreach(m => errors(name) = s"warmup: $m")
+      val overBudget = (System.nanoTime() - benchStart) / 1e9 > budgetSec
+      val slowWarm = warm.exists(_ > 20.0)
+      val myReps = if (overBudget || slowWarm) 1 else reps
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (1 to reps).foreach { _ =>
+      (1 to myReps).foreach { _ =>
         runOnce() match {
           case Right(t) => times += t
           case Left(m)  => if (!errors.contains(name)) errors(name) = m
@@ -134,17 +186,10 @@ object Bench {
       }
       repDetail(name) = times.toSeq
       // min = steady-state under one-sided environmental noise (see
-      // scaladoc); the full rep distribution ships in reps_detail
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      // scaladoc); the full rep distribution ships in BENCH_DETAIL.json
+      mins(name) = if (times.isEmpty) -1.0 else times.min
+      emit()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + jsonSafe(v) + "\"" }
-      .mkString("{", ",", "}")
-    val rd = repDetail.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"reps_detail":$rd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
