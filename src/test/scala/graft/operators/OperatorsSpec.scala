@@ -373,4 +373,51 @@ class OperatorsSpec extends SparkSpec {
     assert(counts(5L) == (1L, 1L, 1L))
     assert(text(5L) == "<EMAIL> at <IP> ext <PHONE>")
   }
+
+  test("incremental candidates: cross pairs only, and exactly the full-corpus cross slice") {
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val corpusIdx = Dedup.minhashSignatures(docs.where(!isNew))
+    val inc = Dedup.incrementalCandidates(corpusIdx, docs.where(isNew)).collect()
+    // never pairs two corpus docs or two new docs
+    assert(inc.forall(r => r.getLong(0) % 5 == 0 && r.getLong(1) % 5 != 0))
+    // equals the cross-split slice of the full-corpus candidate set:
+    // the index path loses nothing vs re-pairing everything
+    val full = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    assert(inc.map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+  }
+
+  test("decontaminate flags exactly the docs sharing a 3-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the secret eval question about turtles")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "contains the secret eval question verbatim"),    // 2 shared shingles
+      (2L, "question about turtles appears here"),           // 1 shared shingle
+      (3L, "completely unrelated training text here")        // clean
+    ).toDF("doc_id", "text")
+    val r = Curation.decontaminate(cands, bench).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("tfidf: distinctive term ranks first, ubiquitous term scores low") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common common zebra"),
+      (2L, "common plain words"),
+      (3L, "common other stuff")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTop(d, k = 3)
+    val doc1 = r.where(col("doc_id") === 1).orderBy("rank").collect()
+    // zebra: tf=1, df=1 → score 3; common: tf=2, df=3 → score 2
+    assert(doc1.map(_.getString(2)).toSeq == Seq("zebra", "common"))
+    assert(doc1.head.getDouble(5) == 3.0)
+    assert(doc1(1).getDouble(5) == 2.0)
+    // ranks are dense from 1 within every doc
+    val ranks = r.groupBy("doc_id").agg(collect_list("rank").as("rs")).collect()
+    ranks.foreach(x => assert(
+      x.getSeq[Long](1).sorted == (1L to x.getSeq[Long](1).size)))
+  }
 }
