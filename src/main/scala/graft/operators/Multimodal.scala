@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * resize / frame-sampling pipelines.
   *
   * The Spark-side plumbing is real — binary schema, per-partition
-  * batched iteration, explode shapes, codegen'd expressions. Image
-  * payloads decode for REAL through [[ImageCodec]] (`javax.imageio`,
-  * JDK built-in): true dimensions and pixel-mean features. Payloads
-  * that are not decodable images (and audio/video, for which this
-  * container has no libraries) fall back to [[StubCodec]], a
-  * clearly-marked DETERMINISTIC stand-in that derives features from
-  * md5 of the payload — so every pipeline keeps an exact cross-engine
-  * oracle regardless of payload contents.
+  * batched iteration, explode shapes, codegen'd expressions. All three
+  * modalities decode for REAL with JDK built-ins: images through
+  * [[ImageCodec]] (`javax.imageio` — true dimensions, pixel-mean
+  * features), audio through [[AudioCodec]] (`javax.sound.sampled` —
+  * true sample rate/duration, RMS/peak/ZCR), and AVI/MJPEG video
+  * through [[VideoCodec]] (RIFF chunk walk + per-frame `ImageIO` —
+  * true dims/frame count/duration, luma/motion features). Payloads no
+  * codec recognizes fall back to [[StubCodec]], a clearly-marked
+  * DETERMINISTIC stand-in that derives features from md5 of the
+  * payload — so every pipeline keeps an exact cross-engine oracle
+  * regardless of payload contents.
   *
   * Scale notes: all operators are narrow (no shuffle) over the payload
   * column; at 100 TB the binary column dominates scan cost, so
@@ -35,7 +38,7 @@ object Multimodal {
   final case class DecodedMedia(
       media_id: Long, kind: String, n_bytes: Long, checksum: String,
       width: Int, height: Int, sample_rate: Int, duration_ms: Long,
-      features: Array[Float])
+      n_frames: Int, features: Array[Float])
 
   /** ======================= REAL CODEC =======================
     * Actual image decoding via `javax.imageio` — JDK built-in, no new
@@ -140,6 +143,121 @@ object Multimodal {
       }
   }
 
+  /** ======================= REAL VIDEO CODEC =======================
+    * Actual video container parsing for AVI (RIFF) with MJPEG frames —
+    * pure JDK: the RIFF/LIST chunk walk is ~60 lines of byte
+    * arithmetic, and each '00dc'/'00db' frame chunk is a JFIF JPEG that
+    * `javax.imageio` decodes like any other image. Returns None when
+    * the payload is not a parseable AVI, falling back to [[StubCodec]]
+    * exactly like the image and audio codecs.
+    *
+    * Decoded properties: true width/height/frame count from the `avih`
+    * header, duration from dwMicroSecPerFrame × frames. Features
+    * (FeatureDim floats in [0,1)): first-frame mean luma, last-frame
+    * mean luma, |Δluma| between them (a motion proxy), and normalized
+    * fps (/120). Only the FIRST and LAST frames are decoded — sampled
+    * features, O(1) decode work per payload regardless of length; the
+    * full per-frame path is [[videoFrames]].
+    */
+  object VideoCodec {
+    final case class Decoded(
+        width: Int, height: Int, nFrames: Int, durationMs: Long,
+        features: Array[Float])
+    final case class FrameRef(offset: Int, length: Int)
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def fourCc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** RIFF walk: returns (avih header bytes, frame chunk refs), or
+      * None if the payload is not an AVI. Bounds-checked throughout —
+      * a truncated or hostile payload returns None, never throws.
+      */
+    private def parseRiff(b: Array[Byte]): Option[(Array[Byte], Seq[FrameRef])] = {
+      if (b.length < 12 || fourCc(b, 0) != "RIFF" || fourCc(b, 8) != "AVI ")
+        return None
+      var avih: Option[Array[Byte]] = None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[FrameRef]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourCc(b, off)
+          val size = le32(b, off + 4).toInt
+          val dataStart = off + 8
+          if (size < 0 || dataStart + size > end) return // truncated
+          if (id == "LIST" && size >= 4) {
+            walk(dataStart + 4, dataStart + size) // descend past subtype
+          } else if (id == "avih" && size >= 40) {
+            avih = Some(java.util.Arrays.copyOfRange(b, dataStart, dataStart + 40))
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            frames += FrameRef(dataStart, size)
+          }
+          off = dataStart + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, b.length)
+      avih.map(h => (h, frames.toSeq))
+    }
+
+    private def lumaMean(img: java.awt.image.BufferedImage): Double = {
+      var (r, g, bl) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; bl += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      (0.299 * r + 0.587 * g + 0.114 * bl) / n / 256.0
+    }
+
+    private def decodeFrame(b: Array[Byte], f: FrameRef): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        b, f.offset, f.length)))
+      catch { case _: java.io.IOException => None }
+
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      parseRiff(payload).flatMap { case (avih, frames) =>
+        if (frames.isEmpty) None
+        else {
+          val usPerFrame = le32(avih, 0)
+          val w = le32(avih, 32).toInt
+          val h = le32(avih, 36).toInt
+          val n = frames.size
+          val durationMs = usPerFrame * n / 1000L
+          val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
+          for {
+            first <- decodeFrame(payload, frames.head)
+            last <- decodeFrame(payload, frames.last)
+          } yield {
+            val (l0, l1) = (lumaMean(first), lumaMean(last))
+            Decoded(w, h, n, durationMs, Array(
+              l0.toFloat, l1.toFloat, math.abs(l1 - l0).toFloat,
+              math.min(0.999, fps / 120.0).toFloat))
+          }
+        }
+      }
+
+    /** All frames decoded: (idx, width, height, md5, mean luma) per
+      * frame — the executor-side body of [[videoFrames]].
+      */
+    def decodeAllFrames(payload: Array[Byte]): Seq[(Int, Int, Int, String, Double)] =
+      parseRiff(payload).toSeq.flatMap { case (_, frames) =>
+        frames.zipWithIndex.flatMap { case (f, i) =>
+          decodeFrame(payload, f).map { img =>
+            val bytes = java.util.Arrays.copyOfRange(payload, f.offset, f.offset + f.length)
+            (i, img.getWidth, img.getHeight, StubCodec.md5hex(bytes), lumaMean(img))
+          }
+        }
+      }
+  }
+
   /** ======================= STUB CODEC =======================
     * Stands in for a real image/audio/video codec. Deterministic:
     * features are md5-derived from the payload bytes. Replace `decode`
@@ -198,12 +316,12 @@ object Multimodal {
     * decode through [[ImageCodec]] (true width/height, pixel-mean
     * features); real audio streams decode through [[AudioCodec]]
     * (true sample rate/duration, RMS/peak/ZCR features); everything
-    * else falls back to the deterministic [[StubCodec]], whose
-    * equality with [[extractFeatures]] is asserted in the test suite
-    * (the gate corpus carries text payloads, so the oracle path is
-    * always the stub path). Video remains a declared stub: this
-    * container has no video libraries; the seam (binary column in,
-    * typed features out) is the productionization point.
+    * real AVI/MJPEG containers decode through [[VideoCodec]] (true
+    * dimensions, frame count, duration, luma/motion features);
+    * everything else falls back to the deterministic [[StubCodec]],
+    * whose equality with [[extractFeatures]] is asserted in the test
+    * suite (the gate corpus carries text payloads, so the oracle path
+    * is always the stub path).
     */
   def decodePipeline(catalog: DataFrame): Dataset[DecodedMedia] = {
     val spark = catalog.sparkSession
@@ -215,7 +333,7 @@ object Multimodal {
         // per-partition setup (real codecs amortize init here)
         it.map { case (id, kind, payload) =>
           val base = DecodedMedia(id, kind, payload.length.toLong,
-            StubCodec.md5hex(payload), 0, 0, 0, 0L, null)
+            StubCodec.md5hex(payload), 0, 0, 0, 0L, 0, null)
           ImageCodec.decode(payload) match {
             case Some(img) =>
               base.copy(width = img.width, height = img.height, features = img.features)
@@ -223,11 +341,38 @@ object Multimodal {
               case Some(a) =>
                 base.copy(sample_rate = a.sampleRate, duration_ms = a.durationMs,
                   features = a.features)
-              case None => base.copy(features = StubCodec.decode(payload))
+              case None => VideoCodec.decode(payload) match {
+                case Some(v) =>
+                  base.copy(width = v.width, height = v.height,
+                    duration_ms = v.durationMs, n_frames = v.nFrames,
+                    features = v.features)
+                case None => base.copy(features = StubCodec.decode(payload))
+              }
             }
           }
         }
       }
+  }
+
+  /** REAL per-frame extraction for AVI/MJPEG payloads: one output row
+    * per decoded frame — (frame_idx, true dims, frame md5, mean luma).
+    * Non-video payloads produce no rows. The typed twin of
+    * [[frameSample]]'s byte-range sampling: same explode shape, frame
+    * BYTES never leave the executor (checksum + scalars only), so at
+    * scale nothing payload-sized shuffles.
+    */
+  def videoFrames(catalog: DataFrame): DataFrame = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        VideoCodec.decodeAllFrames(payload).map { case (i, w, h, md5, luma) =>
+          (id, i.toLong, w, h, md5, luma)
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "frame_md5", "mean_luma")
   }
 
   /** Frame sampling for video payloads: n equal byte-range "frames"

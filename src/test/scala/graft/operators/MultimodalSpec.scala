@@ -110,6 +110,81 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).width == 0 && out(1L).height == 0)
   }
 
+  // minimal MJPEG-in-AVI writer: RIFF('AVI ' LIST(hdrl avih) LIST(movi 00dc...))
+  private def mjpegAvi(frames: Seq[java.awt.image.BufferedImage], usPerFrame: Int,
+      w: Int, h: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(subtype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
+    val avih = new Array[Byte](40)
+    System.arraycopy(le32(usPerFrame.toLong), 0, avih, 0, 4)   // dwMicroSecPerFrame
+    System.arraycopy(le32(frames.size.toLong), 0, avih, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)           // dwWidth
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)           // dwHeight
+    val jpegs = frames.map { img =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", jpegs.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  private def solidFrame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("real AVI/MJPEG payloads decode to true dims, frame count, duration and luma features") {
+    import spark.implicits._
+    // 3 frames, 40 ms each: dark → dark → bright (motion from first to last)
+    val avi = mjpegAvi(
+      Seq(solidFrame(16, 12, 0x101010), solidFrame(16, 12, 0x101010),
+        solidFrame(16, 12, 0xf0f0f0)),
+      usPerFrame = 40000, w = 16, h = 12)
+    val text = "not a video container".getBytes("UTF-8")
+    val cat = Seq((1L, "video", avi), (2L, "video", text))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodePipeline(cat).collect().map(d => d.media_id -> d).toMap
+    // true container properties
+    assert(out(1L).width == 16 && out(1L).height == 12)
+    assert(out(1L).n_frames == 3 && out(1L).duration_ms == 120)
+    // luma features: first frame dark, last bright, visible motion delta
+    assert(out(1L).features(0) < 0.2f && out(1L).features(1) > 0.7f)
+    assert(out(1L).features(2) > 0.5f)
+    assert(math.abs(out(1L).features(3) - 25.0 / 120.0) < 0.01) // 25 fps
+    // real decode output is NOT what the stub would fabricate
+    assert(out(1L).features.toSeq != Multimodal.StubCodec.decode(avi).toSeq)
+    // non-video: stub features, no container properties
+    assert(out(2L).n_frames == 0 && out(2L).duration_ms == 0L)
+    assert(out(2L).features.toSeq == Multimodal.StubCodec.decode(text).toSeq)
+  }
+
+  test("videoFrames explodes every real frame with true dims and luma; non-video yields nothing") {
+    import spark.implicits._
+    val avi = mjpegAvi(
+      Seq(solidFrame(8, 8, 0x000000), solidFrame(8, 8, 0xffffff)),
+      usPerFrame = 33333, w = 8, h = 8)
+    val cat = Seq((1L, "video", avi),
+      (2L, "video", "nope".getBytes("UTF-8"))).toDF("media_id", "kind", "payload")
+    val rows = Multimodal.videoFrames(cat).orderBy("media_id", "frame_idx").collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(0) == 1L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(rows.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+    assert(rows(0).getDouble(5) < 0.1 && rows(1).getDouble(5) > 0.9) // luma
+    assert(rows.forall(_.getString(4).matches("[0-9a-f]{32}")))
+  }
+
   test("frame sampling: 4 frames per video payload, stable checksums") {
     val f = Multimodal.frameSample(catalog)
     val perMedia = f.groupBy("media_id").count().collect()
