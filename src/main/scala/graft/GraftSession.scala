@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSession {
 
   /** Confs shared by every entry point (build/Verify/Bench).
-    * nanosAsLong: the events table carries parquet TIMESTAMP(NANOS),
-    * which Spark 4 refuses to read natively; we read it as long and
-    * convert explicitly in [[table]].
+    * nanosAsLong: earlier driver-generated fixtures carried parquet
+    * TIMESTAMP(NANOS) in events.ts, which Spark 4 refuses to read
+    * natively; with the conf on we read that layout as long and
+    * convert explicitly in [[table]]. Harmless for µs fixtures.
     */
   val commonConfs: Map[String, String] = Map(
     "spark.sql.adaptive.enabled" -> "true",
@@ -44,12 +45,22 @@ object GraftSession {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts arrives as long nanos (see commonConfs): convert to a
-    // proper timestamp via integral ns→µs division (a double division
-    // would lose precision above 2^53 ns).
+    // events.ts has shipped in two fixture layouts: TIMESTAMP(NANOS)
+    // (read as long under nanosAsLong — integral ns→µs division keeps
+    // precision above 2^53 ns) and plain timestamp[us] (read as NTZ).
+    // Normalize both to session-TZ TimestampType (session TZ is UTC,
+    // so the NTZ→LTZ cast is value-preserving) so every downstream
+    // consumer — windows, watermarks, the java.sql.Timestamp Encoder
+    // in streaming — sees one stable type.
     if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
     else df
   }
 
