@@ -548,6 +548,39 @@ object Dedup {
       .select(col("cluster_id"), col("best.id").as("keeper"),
         col("best.score").as("keeper_score"), col("n_docs"))
 
+  /** Span-level exact dedup — C4/CCNet-style paragraph dedup
+    * re-expressed at fixed token-block granularity (the synthetic corpus
+    * has no newline paragraph boundaries): chop each document into
+    * consecutive `blockTokens`-word blocks and flag every block whose
+    * content already appeared in an earlier document (or earlier
+    * position of the same document). First-occurrence-wins makes the
+    * pass idempotent and ingestion-order-stable — the policy web-scale
+    * pipelines use to strip boilerplate shared across pages.
+    *
+    * Scale shape: blocks are keyed by md5(block) so the dedup shuffle
+    * carries a fixed 32-byte key, never block text; the
+    * first-occurrence window partitions by that hash (one tiny
+    * occurrence list per partition key, no global sort) and the per-doc
+    * rollup is map-side combinable. Outputs exact integer counts plus
+    * one division — cross-engine deterministic.
+    */
+  def spanDedup(docs: DataFrame, blockTokens: Int = 20): DataFrame = {
+    val ts = split(trim(col("text")), " +")
+    val nBlocks = ceil(size(ts).cast("double") / blockTokens).cast("int")
+    val blocks = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), greatest(nBlocks, lit(1)) - 1),
+        i => md5(concat_ws(" ", slice(ts, i * blockTokens + 1, lit(blockTokens))))))
+        .as(Seq("block_idx", "block_hash")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block_hash")).orderBy(col("doc_id"), col("block_idx"))
+    blocks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .withColumn("dup_frac", col("n_dup_blocks").cast("double") / col("n_blocks"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -612,6 +645,10 @@ object Dedup {
       incrementalCandidates(corpusIndex, newBatch)
         .orderBy("new_doc", "corpus_doc")
     }),
+
+    // Span-level (20-token block) exact dedup, first-occurrence-wins.
+    "dd_span" -> ((s, dir) =>
+      spanDedup(table(s, dir, "documents"), 20).orderBy("doc_id")),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
@@ -780,5 +817,19 @@ object Dedup {
          | FROM cand)
          |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_span" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts FROM documents),
+        |i AS (SELECT doc_id, ts,
+        |        UNNEST(range(0, GREATEST(CAST(ceil(len(ts)/20.0) AS BIGINT), 1))) AS block_idx
+        |      FROM t),
+        |b AS (SELECT doc_id, block_idx,
+        |        md5(array_to_string(ts[(block_idx*20+1):(block_idx*20+20)], ' ')) AS block_hash
+        |      FROM i),
+        |rn AS (SELECT doc_id, block_idx,
+        |        ROW_NUMBER() OVER (PARTITION BY block_hash ORDER BY doc_id, block_idx) AS rn FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

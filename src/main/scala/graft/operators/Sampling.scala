@@ -168,6 +168,27 @@ object Sampling {
       salt: String = "qw"): DataFrame =
     df.where(hashFraction(key, salt) < score)
 
+  /** Per-source cap — the "at most k documents per domain" rule
+    * web-scale corpora apply so one crawl host can't dominate the
+    * mixture. Docs within a source are ranked by (md5(text), doc_id) —
+    * a deterministic content-hash shuffle, so the kept set is unbiased
+    * by ingestion order and reproducible on any engine — and rows past
+    * the cap are dropped.
+    *
+    * Scale: one window partitioned by source (per-partition state is a
+    * single counter, no global sort anywhere); a pathologically hot
+    * source concentrates its rows on one partition, but those are
+    * exactly the rows the cap discards, and the window short-circuits
+    * after k rows of output per key.
+    */
+  def sourceCap(docs: DataFrame, group: Column, k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(md5(col("text")), col("doc_id"))
+    docs.withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .where(col("rank_in_source") <= k)
+  }
+
   // ---------------------------------------------------------------- gate
 
   private[operators] val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -219,6 +240,13 @@ object Sampling {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+
+    // at most 10 docs per source, content-hash ranked — exact kept set
+    // and ranks checked
+    "sa_source_cap" -> ((s, dir) =>
+      sourceCap(table(s, dir, "documents"), col("source"), 10)
+        .select(col("doc_id"), col("source"), col("rank_in_source"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB twin of [[hashFraction]]: first 8 md5 hex digits → BIGINT
@@ -297,5 +325,11 @@ object Sampling {
          |SELECT d.doc_id, d.source FROM documents d JOIN p ON d.source = p.grp
          |WHERE $frac < p.p ORDER BY d.doc_id""".stripMargin
     },
+    "sa_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rank_in_source
+        | FROM documents)
+        |SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+        |FROM r WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -117,6 +117,40 @@ object TextAnalysis {
       (dr >= 0.4 && tt <= 0.12 && tb <= 0.08).as("passes_repetition"))
   }
 
+  /** Lexical-diversity metrics — the "how varied is this document's
+    * vocabulary" signal used to down-weight template spam and up-weight
+    * information-dense text when mixing a training corpus:
+    *
+    *   - `gini_simpson`     1 − Σc²/N² over token counts c (0 = one token
+    *                        repeated, →1 = all tokens distinct)
+    *   - `effective_types`  N²/Σc² — the inverse-Simpson "effective
+    *                        vocabulary size" (equals the true type count
+    *                        when counts are uniform)
+    *
+    * Cross-engine determinism by construction: Σc² and N are EXACT
+    * integer aggregates (no float accumulation order to diverge), and
+    * each output is one correctly-rounded IEEE division (plus one exact
+    * subtraction) — bit-identical on any engine. This is why
+    * Gini–Simpson is preferred here over Shannon entropy, whose Σp·log p
+    * hits libm rounding and float-sum ordering on every engine
+    * differently.
+    *
+    * Same per-row higher-order-function shape as [[repetitionStats]]:
+    * no explode, no shuffle, whole-stage codegen'd.
+    */
+  def diversityStats(docs: DataFrame): DataFrame = {
+    val ts = toks
+    val counts = transform(array_distinct(ts), t => size(filter(ts, x => x === t)))
+    val sumSq = aggregate(counts, lit(0L), (a, c) => a + c.cast("long") * c.cast("long"))
+    val n = size(ts).cast("long")
+    docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      size(array_distinct(ts)).cast("long").as("n_types"),
+      (lit(1.0) - sumSq.cast("double") / (n * n)).as("gini_simpson"),
+      ((n * n).cast("double") / sumSq).as("effective_types"))
+  }
+
   /** Document fingerprints: md5 of the whitespace-normalized text plus
     * a winnowing-style min-shingle hash (the smallest 3-gram md5 — a
     * 1-of-k MinHash, cheap near-dup prefilter).
@@ -175,6 +209,7 @@ object TextAnalysis {
     "ta_langid" -> ((s, dir) => langId(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_fingerprint" -> ((s, dir) => fingerprints(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_repetition" -> ((s, dir) => repetitionStats(table(s, dir, "documents")).orderBy("doc_id")),
+    "ta_diversity" -> ((s, dir) => diversityStats(table(s, dir, "documents")).orderBy("doc_id")),
   )
 
   private val toksSql = "string_split_regex(trim(text), ' +')"
@@ -255,5 +290,15 @@ object TextAnalysis {
          | (distinct_ratio >= 0.4 AND top_token_frac <= 0.12 AND top_bigram_frac <= 0.08)
          |   AS passes_repetition
          |FROM r ORDER BY doc_id""".stripMargin,
+    "ta_diversity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |c AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS n_types,
+         |  list_sum(list_transform(list_distinct(ts),
+         |    u -> len(list_filter(ts, x -> x = u)) * len(list_filter(ts, x -> x = u)))) AS sumsq
+         | FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types,
+         | 1.0 - CAST(sumsq AS DOUBLE) / (n * n) AS gini_simpson,
+         | CAST(n * n AS DOUBLE) / sumsq AS effective_types
+         |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -456,6 +456,23 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     }),
+
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-(flag,status) detail plus per-flag and grand totals in ONE
+    // aggregation pass — Spark expands to a single Expand + hash-agg,
+    // not three scans. grouping_id disambiguates the NULL produced by
+    // set expansion from a NULL grouping value.
+    "q32_grouping_sets" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"), col("qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -679,5 +696,13 @@ object Relational {
         | FROM e)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, session_start""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
   )
 }

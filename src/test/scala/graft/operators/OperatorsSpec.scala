@@ -247,6 +247,49 @@ class OperatorsSpec extends SparkSpec {
     assert(f.count() == 1)
   }
 
+  test("diversity: degenerate and uniform corpora hit the closed forms") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x x x x"),          // one type: gini 0, effective 1
+      (2L, "a b c d")).toDF("doc_id", "text") // all distinct: gini 1-1/n
+    val out = TextAnalysis.diversityStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 0.0 && out(1L).getDouble(4) == 1.0)
+    assert(out(2L).getDouble(3) == 1.0 - 1.0 / 4 && out(2L).getDouble(4) == 4.0)
+  }
+
+  test("span dedup: injected duplicate block flagged in the LATER doc only") {
+    import spark.implicits._
+    val block = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, block + " tail1 tail2"),  // first occurrence: clean
+      (2L, block + " other words"),  // same 20-token block: dup
+      (3L, "entirely different content here")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(d, 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 0L)) // 20-token block + 2-token remainder
+    assert(out(2L)._2 == 1L)    // later copy flagged
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("span dedup is idempotent on already-unique blocks") {
+    val once = Dedup.spanDedup(docs, 20)
+    // every flagged dup has an EARLIER clean twin: total dup blocks <
+    // total blocks, and docs with zero dups dominate this corpus
+    val totals = once.agg(sum("n_blocks"), sum("n_dup_blocks")).head()
+    assert(totals.getLong(1) < totals.getLong(0))
+  }
+
+  test("source cap keeps at most k per group and is idempotent") {
+    val capped = Sampling.sourceCap(docs, col("source"), 7)
+    val perSrc = capped.groupBy("source").count().collect()
+    assert(perSrc.forall(_.getLong(1) <= 7))
+    // rerunning on the capped output keeps exactly the same rows
+    val again = Sampling.sourceCap(capped.drop("rank_in_source"), col("source"), 7)
+    assert(again.count() == capped.count())
+    assert(again.select("doc_id").except(capped.select("doc_id")).count() == 0)
+  }
+
   test("kmeans: two separated groups split exactly despite one-sided init") {
     import spark.implicits._
     def mk(axis: Int, mag: Double): Seq[Float] =
