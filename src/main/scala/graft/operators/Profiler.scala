@@ -103,6 +103,54 @@ object Profiler {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Pearson correlation between numeric column pairs — the
+    * "which columns move together" profile that catches derived/leaky
+    * columns before a training run, and drift between two drops when
+    * diffed.
+    *
+    * ONE aggregation pass for all pairs (five sums + a count each, all
+    * map-side combinable). Cross-engine determinism: inputs are
+    * quantized to exact integers (×`scale`, round — the same
+    * quantization contract the embedding operators use), the sums are
+    * exact DECIMAL(38,0) aggregates with no float accumulation order,
+    * each sum is converted ONCE (correctly rounded) to double, and
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) · √(n·Σy² − Σy·Σy))
+    * is a fixed tree of IEEE-correctly-rounded ops (+, −, ×, ÷, √ are
+    * all exactly rounded), so every engine computes the same bits.
+    * Zero variance ⇒ r = 0 by convention (avoids the 0/0 NULL-vs-NaN
+    * cross-engine trap). DECIMAL(38,0) headroom: cent-scale squares are
+    * ~10¹⁵ per row, so ~10²³ more rows fit before overflow — fine at
+    * 100 TB.
+    */
+  def correlation(
+      df: DataFrame, pairs: Seq[(String, String)], scale: Int = 100): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val aggs = pairs.zipWithIndex.flatMap { case ((xn, yn), i) =>
+      val both = col(xn).isNotNull && col(yn).isNotNull
+      val x = when(both, round(col(xn).cast("double") * scale).cast(dec))
+      val y = when(both, round(col(yn).cast("double") * scale).cast(dec))
+      Seq(
+        count(when(both, lit(1))).as(s"__n_$i"),
+        sum(x).as(s"__sx_$i"), sum(y).as(s"__sy_$i"),
+        sum(x * x).as(s"__sxx_$i"), sum(y * y).as(s"__syy_$i"),
+        sum(x * y).as(s"__sxy_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.zipWithIndex.map { case ((xn, yn), i) =>
+      val n = col(s"__n_$i").cast("double")
+      val sx = col(s"__sx_$i").cast("double"); val sy = col(s"__sy_$i").cast("double")
+      val sxx = col(s"__sxx_$i").cast("double"); val syy = col(s"__syy_$i").cast("double")
+      val sxy = col(s"__sxy_$i").cast("double")
+      val num = n * sxy - sx * sy
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      struct(lit(xn).as("x_col"), lit(yn).as("y_col"),
+        col(s"__n_$i").as("n"),
+        when(den > 0, num / den).otherwise(lit(0.0)).as("pearson_r"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   // ---------------------------------------------------------------- gate
 
   private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -141,7 +189,32 @@ object Profiler {
     // across engines and partitionings, unlike a float avg()
     "dq_numeric" -> ((s, dir) =>
       numericStats(table(s, dir, "orders"), Seq("o_custkey", "o_totalprice"))
-        .orderBy("column_name")))
+        .orderBy("column_name")),
+
+    // Pearson correlation over cent-quantized lineitem measures: one
+    // pass, exact integer sums, fixed double expression tree
+    "dq_corr" -> ((s, dir) =>
+      correlation(table(s, dir, "lineitem"), CorrPairs)
+        .orderBy("x_col", "y_col")))
+
+  private val CorrPairs = Seq(
+    "l_quantity" -> "l_extendedprice",
+    "l_extendedprice" -> "l_discount",
+    "l_quantity" -> "l_tax")
+
+  private def corrSql(x: String, y: String): String =
+    s"""SELECT '$x' AS x_col, '$y' AS y_col, n,
+       | CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS pearson_r
+       |FROM (SELECT n,
+       |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+       |  sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+       | FROM (SELECT COUNT(*) AS n,
+       |   SUM(qx) AS sx, SUM(qy) AS sy,
+       |   SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy, SUM(qx * qy) AS sxy
+       |  FROM (SELECT CAST(round(CAST($x AS DOUBLE) * 100) AS HUGEINT) AS qx,
+       |               CAST(round(CAST($y AS DOUBLE) * 100) AS HUGEINT) AS qy
+       |        FROM lineitem WHERE $x IS NOT NULL AND $y IS NOT NULL)))""".stripMargin
 
   private def profileSql(select: String): String =
     OrdersCols.map { c =>
@@ -173,5 +246,7 @@ object Profiler {
          | MIN(CAST($c AS DOUBLE)) AS min_val, MAX(CAST($c AS DOUBLE)) AS max_val,
          | CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT($c) AS mean_val
          |FROM orders""".stripMargin
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"))
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"),
+    "dq_corr" -> CorrPairs.map { case (x, y) => corrSql(x, y) }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY x_col, y_col"))
 }

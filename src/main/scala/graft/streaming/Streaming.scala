@@ -121,6 +121,29 @@ object Streaming {
     rows.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming span dedup — the streaming twin of
+    * [[graft.operators.Dedup.spanDedup]]'s block-level
+    * first-occurrence-wins: explode each arriving document into
+    * md5-keyed token blocks and keep only blocks whose hash has not
+    * been seen within the watermark horizon. The batch operator
+    * REPORTS per-doc dup fractions; the stream KEEPS the novel blocks
+    * (the ingest-time shape — dedup before paying storage). State is
+    * one record per distinct block hash inside the horizon,
+    * watermark-evicted, so it is bounded by the horizon's novel-block
+    * rate rather than corpus size.
+    */
+  def spanDedupStream(docs: DataFrame, blockTokens: Int = 20,
+      watermarkCol: String = "ts", delay: String = "2 hours"): DataFrame = {
+    val ts = split(trim(col("text")), " +")
+    val nBlocks = ceil(size(ts).cast("double") / blockTokens).cast("int")
+    docs.select(col(watermarkCol), col("doc_id"),
+        posexplode(transform(sequence(lit(0), greatest(nBlocks, lit(1)) - 1),
+          i => md5(concat_ws(" ", slice(ts, i * blockTokens + 1, lit(blockTokens))))))
+          .as(Seq("block_idx", "block_hash")))
+      .withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("block_hash"))
+  }
+
   /** Incremental dataset fingerprint: the streaming twin of
     * [[graft.diff.Comparator.fingerprints]] — per-bucket running
     * (count, hash-sum) updated per micro-batch. Comparing two streams'

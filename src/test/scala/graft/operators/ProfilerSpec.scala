@@ -46,4 +46,23 @@ class ProfilerSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile plan contains Expand:\n$plan")
   }
+
+  test("correlation hits the closed forms: r=1 on a linear map, r=-1 negated, 0 on constant") {
+    val d = Seq((1.0, 2.0, -2.0, 5.0), (2.0, 4.0, -4.0, 5.0),
+      (3.0, 6.0, -6.0, 5.0), (4.0, 8.0, -8.0, 5.0))
+      .toDF("x", "y2", "yn", "c")
+    val r = Profiler.correlation(d, Seq("x" -> "y2", "x" -> "yn", "x" -> "c"))
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row.getDouble(3)).toMap
+    assert(r(("x", "y2")) == 1.0)
+    assert(r(("x", "yn")) == -1.0)
+    assert(r(("x", "c")) == 0.0) // zero variance ⇒ 0 by convention, not NULL/NaN
+  }
+
+  test("correlation runs all pairs in one aggregation pass") {
+    val d = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
+    val plan = Profiler.correlation(d, Seq("a" -> "b", "b" -> "c", "a" -> "c"))
+      .queryExecution.executedPlan.toString
+    // one aggregate pair (partial+final), no join, no extra scans
+    assert(!plan.contains("Join"), s"correlation plan joins:\n$plan")
+  }
 }

@@ -94,6 +94,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 500)
   }
 
+  test("streaming span dedup keeps exactly the batch operator's first-occurrence blocks") {
+    implicit val sq = spark.sqlContext
+    val block = (1 to 20).map(i => s"s$i").mkString(" ")
+    // doc 1 owns the block; doc 2 (same batch) and doc 3 (LATER batch)
+    // re-deliver it — both copies must be dropped across the batch line
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val mk = (id: Long, text: String) => (id, text, t0)
+    val batch1 = Seq(mk(1L, block + " tail"), mk(2L, block + " noise words"))
+    val batch2 = Seq(mk(3L, block + " late copy"), mk(4L, "fresh distinct content here"))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val st = Streaming.spanDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), 20)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("span")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("span").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("block_hash"))).toSet
+    // batch twin over the union, doc order = arrival order
+    import spark.implicits._
+    val all = (batch1 ++ batch2).toDF("doc_id", "text", "ts")
+    val perDoc = graft.operators.Dedup.spanDedup(all, 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(perDoc(2L) == 1L && perDoc(3L) == 1L) // batch flags both copies
+    // streamed kept-set: every doc's non-dup blocks, none of the dups
+    val batchKeptCount = graft.operators.Dedup.spanDedup(all, 20)
+      .agg(sum(col("n_blocks") - col("n_dup_blocks"))).head().getLong(0)
+    assert(kept.size.toLong == batchKeptCount)
+    // no block hash survives twice — the shared block's keeper is doc 1
+    assert(kept.groupBy(_._2).forall(_._2.size == 1))
+    assert(kept.exists(_._1 == 1L) && kept.count(_._1 == 3L) == 1) // doc 3 keeps only its novel tail block
+  }
+
   test("streaming sessionization equals batch sessionization (sentinel-closed)") {
     implicit val sq = spark.sqlContext
     val events = typedEvents
