@@ -168,6 +168,40 @@ object TextAnalysis {
         .as("min_shingle_hash"))
   }
 
+  /** Compression-ratio quality proxy (deflate, fixed level 6):
+    * repetitive/templated text compresses far better than
+    * information-dense prose, so compressed/raw bytes is a cheap,
+    * language-agnostic quality signal used alongside the Gopher
+    * repetition rules ([[repetitionStats]]) — it catches structural
+    * repetition (templates, boilerplate markup) that token-level
+    * metrics miss.
+    *
+    * One JVM `Deflater` per PARTITION, reused across rows
+    * (allocation-free inner loop) via `mapPartitions` — the sanctioned
+    * seam for imperative per-row work no Catalyst expression covers.
+    * Deterministic for a fixed level/JVM, but zlib output bytes are
+    * library-private, so this is test-gated rather than oracle-gated —
+    * the same contract as the sketch operators.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          d.reset(); d.setInput(in); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+          (id, in.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed")
+      .withColumn("compression_ratio",
+        col("n_compressed").cast("double") / col("n_bytes"))
+  }
+
   /** Per-document top-k salient terms by TF-IDF — the classic
     * "what is this document about" signal used for topic balancing and
     * per-domain vocabulary audits over a training corpus.

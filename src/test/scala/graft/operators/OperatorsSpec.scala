@@ -280,6 +280,18 @@ class OperatorsSpec extends SparkSpec {
     assert(totals.getLong(1) < totals.getLong(0))
   }
 
+  test("compression ratio separates repetitive from diverse text") {
+    import spark.implicits._
+    val rep = ("spam " * 200).trim
+    val div = (1 to 200).map(i => s"tok${i}x${i * 7 % 97}").mkString(" ")
+    val d = Seq((1L, rep), (2L, div)).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) < 0.1)          // template spam crushes
+    assert(r(2L) > r(1L) * 3)    // diverse text resists
+    assert(r.values.forall(v => v > 0 && v < 1.2))
+  }
+
   test("source cap keeps at most k per group and is idempotent") {
     val capped = Sampling.sourceCap(docs, col("source"), 7)
     val perSrc = capped.groupBy("source").count().collect()
