@@ -457,6 +457,45 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Time-RANGE window frame: per user, how many events (and how much
+    // cent-exact value) landed in the trailing hour at each event —
+    // the batch form of a sliding window, expressed as a RANGE frame
+    // over epoch seconds. One shuffle on user_id, frame bounds applied
+    // by ordinal value (not row count), so bursty users and quiet
+    // users get the same time semantics. Sums are over exact cents:
+    // windowed double accumulation would be addition-order-dependent.
+    "q33_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_trailing_hour", count(lit(1)).over(w))
+        .withColumn("cents_trailing_hour", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("n_trailing_hour"),
+          col("cents_trailing_hour"))
+        .orderBy("event_id")
+    }),
+
+    // LATERAL correlated subquery in FROM: for each high-value order,
+    // its top-2 lineitems by price — the per-row top-n shape Catalyst
+    // decorrelates into a window + join rather than executing N
+    // subqueries.
+    "q34_lateral_topn" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("__ord")
+      table(s, dir, "lineitem").createOrReplaceTempView("__li")
+      s.sql(
+        """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+          |FROM __ord o,
+          | LATERAL (SELECT l_linenumber, l_extendedprice FROM __li l
+          |          WHERE l.l_orderkey = o.o_orderkey
+          |          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+          |WHERE o.o_totalprice > 400000
+          |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin)
+    }),
+
     // Explicit GROUPING SETS (the general form rollup/cube specialize):
     // per-(flag,status) detail plus per-flag and grand totals in ONE
     // aggregation pass — Spark expands to a single Expand + hash-agg,
@@ -696,6 +735,24 @@ object Relational {
         | FROM e)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, session_start""".stripMargin,
+    "q33_range_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch(ts) AS epoch_s,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        | COUNT(*) OVER w AS n_trailing_hour,
+        | CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q34_lateral_topn" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders o,
+        | LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+        |          WHERE l.l_orderkey = o.o_orderkey
+        |          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_totalprice > 400000
+        |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin,
     "q32_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
