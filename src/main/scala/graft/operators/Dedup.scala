@@ -581,6 +581,44 @@ object Dedup {
       .withColumn("dup_frac", col("n_dup_blocks").cast("double") / col("n_blocks"))
   }
 
+  /** The rewrite form of [[spanDedup]] — the actual C4 transform:
+    * duplicated blocks are REMOVED and each document's surviving
+    * blocks are reassembled in order (first-occurrence keeps its copy;
+    * a doc whose every block was seen earlier survives with empty
+    * text, mirroring C4's empty-page behavior — the caller decides
+    * whether to drop it).
+    *
+    * Unlike the report variant, a rewrite inherently moves block TEXT
+    * through the dedup shuffle (the survivor's content must reach its
+    * reassembly) — cost is one input-sized shuffle partitioned by
+    * block hash, then a doc-keyed reassembly aggregation whose
+    * collect_list is bounded by a single document's block count
+    * (order restored by array_sort on the (idx, block) structs — never
+    * relies on collect_list arrival order).
+    */
+  def spanDedupRewrite(docs: DataFrame, blockTokens: Int = 20): DataFrame = {
+    val ts = split(trim(col("text")), " +")
+    val nBlocks = ceil(size(ts).cast("double") / blockTokens).cast("int")
+    val blocks = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), greatest(nBlocks, lit(1)) - 1),
+        i => concat_ws(" ", slice(ts, i * blockTokens + 1, lit(blockTokens)))))
+        .as(Seq("block_idx", "block")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("block"))).orderBy(col("doc_id"), col("block_idx"))
+    val kept = blocks.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("block_idx"), col("block")))),
+            s => s.getField("block")), " ").as("text_deduped"),
+        count(lit(1)).as("n_blocks_kept"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,6 +687,10 @@ object Dedup {
     // Span-level (20-token block) exact dedup, first-occurrence-wins.
     "dd_span" -> ((s, dir) =>
       spanDedup(table(s, dir, "documents"), 20).orderBy("doc_id")),
+
+    // The rewrite form: duplicated blocks removed, text reassembled.
+    "dd_span_rewrite" -> ((s, dir) =>
+      spanDedupRewrite(table(s, dir, "documents"), 20).orderBy("doc_id")),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
@@ -831,5 +873,22 @@ object Dedup {
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_span_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts FROM documents),
+        |i AS (SELECT doc_id, ts,
+        |        UNNEST(range(0, GREATEST(CAST(ceil(len(ts)/20.0) AS BIGINT), 1))) AS block_idx
+        |      FROM t),
+        |b AS (SELECT doc_id, block_idx,
+        |        array_to_string(ts[(block_idx*20+1):(block_idx*20+20)], ' ') AS block
+        |      FROM i),
+        |rn AS (SELECT doc_id, block_idx, block,
+        |        ROW_NUMBER() OVER (PARTITION BY md5(block) ORDER BY doc_id, block_idx) AS rn FROM b),
+        |agg AS (SELECT doc_id, string_agg(block, ' ' ORDER BY block_idx) AS text_deduped,
+        |         CAST(COUNT(*) AS BIGINT) AS n_blocks_kept
+        |        FROM rn WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(agg.text_deduped, '') AS text_deduped,
+        |  COALESCE(agg.n_blocks_kept, 0) AS n_blocks_kept
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -272,6 +272,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L)
   }
 
+  test("span dedup rewrite removes the later copy and keeps token order") {
+    import spark.implicits._
+    val block = (1 to 20).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, block + " alpha beta"),       // owns the block
+      (2L, block + " other words"),      // same leading block: stripped
+      (3L, block)).toDF("doc_id", "text") // block-only doc: emptied
+    val out = Dedup.spanDedupRewrite(d, 20).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == block + " alpha beta" && out(1L)._2 == 2L)
+    assert(out(2L)._1 == "other words" && out(2L)._2 == 1L)
+    assert(out(3L)._1 == "" && out(3L)._2 == 0L) // fully-duplicated doc survives empty
+    // reassembly preserves within-doc order for every doc
+    val src = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (txt, _)) =>
+      val orig = src(id).split(" ")
+      val kept = if (txt.isEmpty) Array.empty[String] else txt.split(" ")
+      // kept tokens appear in original relative order
+      assert(kept.foldLeft(0) { (pos, tok) =>
+        val i = orig.indexOf(tok, pos); assert(i >= 0, s"$tok out of order in doc $id"); i + 1
+      } >= 0)
+    }
+  }
+
   test("span dedup is idempotent on already-unique blocks") {
     val once = Dedup.spanDedup(docs, 20)
     // every flagged dup has an EARLIER clean twin: total dup blocks <
