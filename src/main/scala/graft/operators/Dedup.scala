@@ -581,6 +581,37 @@ object Dedup {
       .withColumn("dup_frac", col("n_dup_blocks").cast("double") / col("n_blocks"))
   }
 
+  /** LSH candidates verified by EXACT jaccard — the standard two-stage
+    * near-dup pipeline at scale: the banded minhash join proposes a
+    * small candidate set (recall knob), then each candidate pair is
+    * verified with the true shingle-set jaccard (precision restored),
+    * so the quadratic exact computation runs over O(candidates), never
+    * O(corpus²).
+    *
+    * Cost shape: the verify join explodes each candidate pair by one
+    * side's shingle set and matches the other side keyed by (doc,
+    * shingle) — Σ_pairs |shingles| work, bounded by candidate count ×
+    * document length. Intersection and union sizes are exact integers;
+    * jaccard is one division (cross-engine deterministic).
+    */
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleDf(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = minhashCandidates(docs)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** The rewrite form of [[spanDedup]] — the actual C4 transform:
     * duplicated blocks are REMOVED and each document's surviving
     * blocks are reassembled in order (first-occurrence keeps its copy;
@@ -691,6 +722,11 @@ object Dedup {
     // The rewrite form: duplicated blocks removed, text reassembled.
     "dd_span_rewrite" -> ((s, dir) =>
       spanDedupRewrite(table(s, dir, "documents"), 20).orderBy("doc_id")),
+
+    // LSH candidates → exact-jaccard verification: the two-stage
+    // near-dup pipeline (exactness over O(candidates), never corpus²).
+    "dd_lsh_verified" -> ((s, dir) =>
+      lshVerifiedPairs(table(s, dir, "documents"), 0.1).orderBy("doc_a", "doc_b")),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
@@ -890,5 +926,30 @@ object Dedup {
         |  COALESCE(agg.n_blocks_kept, 0) AS n_blocks_kept
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "dd_lsh_verified" ->
+      s"""WITH sh AS ($shingleSql),
+         |sig AS ($minhashSql),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
+         | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
+         | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
+         | SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+         | FROM cand c
+         | JOIN sh sa ON sa.doc_id = c.doc_a
+         | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b,
+         | CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.doc_a
+         |JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

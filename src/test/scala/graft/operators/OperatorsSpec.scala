@@ -272,6 +272,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L)
   }
 
+  test("lsh-verified pairs report the TRUE jaccard for every surfaced pair") {
+    val verified = Dedup.lshVerifiedPairs(docs, 0.0)
+    val brute = Dedup.jaccardPairs(docs, 0.0)
+    // every verified pair's score equals the brute-force exact score
+    val joined = verified.as("v").join(brute.as("b"),
+      col("v.doc_a") === col("b.doc_a") && col("v.doc_b") === col("b.doc_b"))
+    assert(joined.where(col("v.jaccard") =!= col("b.jaccard")).count() == 0)
+    assert(verified.count() > 0 && verified.count() == joined.count())
+    // a duplicated doc is recalled by the bands and verified at 1.0
+    val two = docs.limit(2)
+    val doubled = two.unionAll(two.withColumn("doc_id", col("doc_id") + 1000000))
+    val dup = Dedup.lshVerifiedPairs(doubled, 0.99)
+    assert(dup.count() == 2 && dup.agg(min("jaccard")).head().getDouble(0) == 1.0)
+  }
+
   test("span dedup rewrite removes the later copy and keeps token order") {
     import spark.implicits._
     val block = (1 to 20).map(i => s"r$i").mkString(" ")
