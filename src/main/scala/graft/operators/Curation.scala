@@ -132,6 +132,10 @@ object Curation {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy("split")),
+
+    // the fused one-scan filter stack (quality ∧ repetition ∧ lang)
+    "cur_filter_stack" -> ((s, dir) =>
+      TextAnalysis.filterStack(table(s, dir, "documents")).orderBy("doc_id")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -181,5 +185,27 @@ object Curation {
          | FROM keepers)
          |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
          |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+    "cur_filter_stack" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS ts FROM documents),
+        |m AS (SELECT doc_id, ts,
+        |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg,
+        |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+        | FROM t),
+        |f AS (SELECT doc_id,
+        |  (len(ts) BETWEEN 10 AND 1000 AND alpha_ratio > 0.6) AS passes_quality,
+        |  (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.4
+        |   AND (CASE WHEN len(ts) > 0 THEN
+        |     CAST(list_max(list_transform(list_distinct(ts),
+        |       u -> len(list_filter(ts, x -> x = u)))) AS DOUBLE) / len(ts)
+        |     ELSE 0.0 END) <= 0.12
+        |   AND (CASE WHEN len(ts) - 1 > 0 THEN
+        |     CAST(list_max(list_transform(list_distinct(bg),
+        |       u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE) / (len(ts) - 1)
+        |     ELSE 0.0 END) <= 0.08) AS passes_repetition,
+        |  (len(list_filter(ts, u -> u IN ('the','a','and','of','is'))) > 0) AS lang_ok
+        | FROM m)
+        |SELECT doc_id, passes_quality, passes_repetition, lang_ok,
+        |  (passes_quality AND passes_repetition AND lang_ok) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -80,6 +80,41 @@ object TextAnalysis {
     docs.select(outCols: _*)
   }
 
+  /** The fused filter stack — every per-document keep/drop heuristic
+    * (quality ratios, Gopher repetition, language ID, length bounds)
+    * computed in ONE narrow pass over the corpus: at 100 TB each extra
+    * scan of the input is the dominant cost, so the production shape is
+    * one select with all flags, not a join of per-metric outputs
+    * (plan-asserted: single FileScan, no shuffle, no join).
+    * `keep` is the conjunction — the C4/Gopher-style verdict a
+    * curation run feeds to the sampler.
+    */
+  def filterStack(docs: DataFrame): DataFrame = {
+    val ts = toks
+    val len = length(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val alphaRatio = alpha.cast("double") / len
+    val passesQuality = size(ts) >= 10 && size(ts) <= 1000 && alphaRatio > lit(0.6)
+    def topFrac(arr: Column, n: Column): Column = when(n > 0,
+      array_max(transform(array_distinct(arr), t =>
+        size(filter(arr, x => x === t)))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val bigrams = zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val dr = size(array_distinct(ts)).cast("double") / size(ts).cast("double")
+    val passesRepetition = dr >= 0.4 &&
+      topFrac(ts, size(ts)) <= 0.12 && topFrac(bigrams, size(ts) - 1) <= 0.08
+    val enHits = size(filter(ts, t => t.isInCollection(langStopwords.head._2)))
+    val langOk = enHits > 0
+    docs.select(
+      col("doc_id"),
+      passesQuality.as("passes_quality"),
+      passesRepetition.as("passes_repetition"),
+      langOk.as("lang_ok"),
+      (passesQuality && passesRepetition && langOk).as("keep"))
+  }
+
   /** Gopher-style repetition metrics — the "is this document mostly the
     * same thing over and over" signal every web-scale curation run
     * filters on (boilerplate, keyword stuffing, template spam):

@@ -319,6 +319,20 @@ class OperatorsSpec extends SparkSpec {
     assert(totals.getLong(1) < totals.getLong(0))
   }
 
+  test("filter stack agrees with its component operators and stays one scan") {
+    val fused = TextAnalysis.filterStack(docs)
+    // flags equal the standalone operators' verdicts
+    val q = TextAnalysis.qualityScores(docs).select(col("doc_id"), col("passes_filter"))
+    val r = TextAnalysis.repetitionStats(docs).select(col("doc_id"), col("passes_repetition").as("pr"))
+    val j = fused.join(q, "doc_id").join(r, "doc_id")
+    assert(j.where(col("passes_quality") =!= col("passes_filter")).count() == 0)
+    assert(j.where(col("passes_repetition") =!= col("pr")).count() == 0)
+    // one scan, no shuffle, no join in the fused plan
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length == 2, s"expected one scan:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+  }
+
   test("compression ratio separates repetitive from diverse text") {
     import spark.implicits._
     val rep = ("spam " * 200).trim
