@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.GraftSession.table
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column-level data-quality profile — the natural companion to the
@@ -113,10 +113,17 @@ object Profiler {
     * quantized to exact integers (×`scale`, round — the same
     * quantization contract the embedding operators use), the sums are
     * exact DECIMAL(38,0) aggregates with no float accumulation order,
-    * each sum is converted ONCE (correctly rounded) to double, and
+    * each sum is converted ONCE to double, and
     *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) · √(n·Σy² − Σy·Σy))
     * is a fixed tree of IEEE-correctly-rounded ops (+, −, ×, ÷, √ are
     * all exactly rounded), so every engine computes the same bits.
+    * The sum→double conversion goes THROUGH THE DECIMAL STRING
+    * (`cast(string)` then `cast(double)`): engine-native
+    * 128-bit→double casts are not guaranteed correctly rounded (a
+    * hugeint may convert hi·2⁶⁴+lo with TWO roundings — measured one
+    * ulp off at Σx²≈2.2e19, which catastrophic cancellation in
+    * n·Σx²−Σx² then amplified into the result), while every engine's
+    * string→double parse is correctly rounded by construction.
     * Zero variance ⇒ r = 0 by convention (avoids the 0/0 NULL-vs-NaN
     * cross-engine trap). DECIMAL(38,0) headroom: cent-scale squares are
     * ~10¹⁵ per row, so ~10²³ more rows fit before overflow — fine at
@@ -137,11 +144,12 @@ object Profiler {
         sum(x * y).as(s"__sxy_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    def viaString(c: Column): Column = c.cast("string").cast("double")
     val entries = pairs.zipWithIndex.map { case ((xn, yn), i) =>
       val n = col(s"__n_$i").cast("double")
-      val sx = col(s"__sx_$i").cast("double"); val sy = col(s"__sy_$i").cast("double")
-      val sxx = col(s"__sxx_$i").cast("double"); val syy = col(s"__syy_$i").cast("double")
-      val sxy = col(s"__sxy_$i").cast("double")
+      val sx = viaString(col(s"__sx_$i")); val sy = viaString(col(s"__sy_$i"))
+      val sxx = viaString(col(s"__sxx_$i")); val syy = viaString(col(s"__syy_$i"))
+      val sxy = viaString(col(s"__sxy_$i"))
       val num = n * sxy - sx * sy
       val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
       struct(lit(xn).as("x_col"), lit(yn).as("y_col"),
@@ -206,9 +214,12 @@ object Profiler {
     s"""SELECT '$x' AS x_col, '$y' AS y_col, n,
        | CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS pearson_r
        |FROM (SELECT n,
-       |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-       |  sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-       |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+       |  CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+       |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS num,
+       |  sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+       |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+       |   * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+       |   - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) AS den
        | FROM (SELECT COUNT(*) AS n,
        |   SUM(qx) AS sx, SUM(qy) AS sy,
        |   SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy, SUM(qx * qy) AS sxy

@@ -465,12 +465,16 @@ object Relational {
     // users get the same time semantics. Sums are over exact cents:
     // windowed double accumulation would be addition-order-dependent.
     "q33_range_window" -> ((s, dir) => {
+      // epoch MICROSECONDS, not seconds: unix_timestamp() truncates
+      // sub-second parts while an oracle's epoch() keeps them — the
+      // trailing-hour frame must mean the same instant set on every
+      // engine, so the ordering key is the exact integer micros.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("epoch_s"))
-        .rangeBetween(-3600L, 0L)
+        .orderBy(col("epoch_us"))
+        .rangeBetween(-3600L * 1000 * 1000, 0L)
       table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
-          unix_timestamp(col("ts")).as("epoch_s"),
+          unix_micros(col("ts")).as("epoch_us"),
           round(col("value") * 100).cast("long").as("cents"))
         .withColumn("n_trailing_hour", count(lit(1)).over(w))
         .withColumn("cents_trailing_hour", sum(col("cents")).over(w))
@@ -736,14 +740,14 @@ object Relational {
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, session_start""".stripMargin,
     "q33_range_window" ->
-      """WITH e AS (SELECT event_id, user_id, epoch(ts) AS epoch_s,
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS epoch_us,
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT event_id, user_id,
         | COUNT(*) OVER w AS n_trailing_hour,
         | CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing_hour
         |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
-        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q34_lateral_topn" ->
       """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
