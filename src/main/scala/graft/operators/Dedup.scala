@@ -67,8 +67,15 @@ object Dedup {
     * same map-side-combinable groupBy.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleDf(docs)
-      .groupBy(col("doc_id"))
+    signaturesFromShingles(shingleDf(docs))
+
+  /** Signatures from an ALREADY-COMPUTED shingle table — lets callers
+    * that need both the shingles and the signatures (e.g.
+    * [[lshVerifiedPairs]]) pay the tokenize/explode/distinct pass
+    * once.
+    */
+  private def signaturesFromShingles(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(min(mh(0)).as("h0"), min(mh(1)).as("h1"), min(mh(2)).as("h2"),
         min(mh(3)).as("h3"), min(mh(4)).as("h4"), min(mh(5)).as("h5"),
         min(mh(6)).as("h6"), min(mh(7)).as("h7"))
@@ -595,9 +602,19 @@ object Dedup {
     * jaccard is one division (cross-engine deterministic).
     */
   def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // ONE tokenize/explode/distinct pass feeds all four consumers
+    // (signatures, sizes, and both sides of the verify join) —
+    // persisted like the jaccard plans; cache lives until
+    // clearCache()/session end
     val sh = shingleDf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = minhashCandidates(docs)
+    val b = lshBands(signaturesFromShingles(sh))
+    val cand = b.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(b.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))

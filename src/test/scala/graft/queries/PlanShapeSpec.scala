@@ -106,6 +106,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size == 1, s"expected 1 shuffle (token counts), got ${shuffles.size}")
   }
 
+  test("lateral top-n decorrelates: partial WindowGroupLimit below the shuffle, no per-row subquery") {
+    val df = graft.SparkEntry.queries("q34_lateral_topn")(spark, Sf0001)
+    val plan = planString(df)
+    assert(plan.contains("WindowGroupLimit"), plan) // top-2 pushed below the exchange
+    assert(plan.contains("Partial"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("range window frame: one user shuffle, RangeFrame in the window spec") {
+    val df = graft.SparkEntry.queries("q33_range_window")(spark, Sf0001)
+    val plan = planString(df)
+    assert(plan.contains("RangeFrame"), plan)
+    val shuffles = initialPlan(df).collect { case s: ShuffleExchangeExec => s }
+    // one hash exchange for the window + one range exchange for the output sort
+    assert(shuffles.size == 2, s"expected 2 shuffles, got ${shuffles.size}:\n$plan")
+  }
+
+  test("lsh-verified pairs: banded bucket join only, no cartesian anywhere") {
+    val df = graft.operators.Dedup.lshVerifiedPairs(
+      GraftSession.table(spark, Sf0001, "documents"), 0.1)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("keeper election: single max-struct aggregation, no window over the corpus") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
