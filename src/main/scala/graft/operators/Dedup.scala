@@ -146,21 +146,30 @@ object Dedup {
   /** Exact jaccard with the hot-shingle self-join SALTED — the
     * skew-bound form of the exactness baseline. The plain unfiltered
     * self-join puts a shingle shared by f docs into ONE join group of
-    * f² candidate work; here the left side's shingle rows get a
-    * pseudo-random salt in [0, salts), the right side replicates
-    * `salts` times, and the equi-join key becomes (shingle, salt) — the
-    * hot shingle's work spreads over `salts` tasks, bounding the
-    * largest group at ~f²/salts. Row-identical to [[jaccardPairs]]
-    * (asserted in OperatorsSpec on a deliberately hot-shingle corpus;
-    * oracle-gated as dd_jaccard_salted against the SAME SQL as
-    * dd_jaccard). The price is ×salts shuffle volume on the replicated
-    * side — worth it only when the corpus has hot shingles you must
-    * keep; when dropping them is acceptable, the prefiltered variant
+    * f² candidate work; salting gives that shingle's rows a
+    * pseudo-random salt in [0, salts), replicates the other side
+    * `salts` times, and joins on (shingle, salt) — the hot shingle's
+    * work spreads over `salts` tasks, bounding the largest group at
+    * ~f²/salts.
+    *
+    * TWO-PATH: only shingles with doc frequency above `hotDocFreq` pay
+    * the ×salts replication; the cold stratum (the overwhelming bulk of
+    * shuffle volume at 100 TB — cold keys dominate any healthy corpus)
+    * takes the plain merge join, and the two strata's shared-shingle
+    * counts union before the pair rollup. Each shingle lands in exactly
+    * one stratum, so the union is partition-exact and the result is
+    * row-identical to [[jaccardPairs]] (asserted in OperatorsSpec on a
+    * deliberately hot-shingle corpus; oracle-gated as dd_jaccard_salted
+    * against the SAME SQL as dd_jaccard). `hotDocFreq <= 0` replicates
+    * everything (the pre-two-path form — pure salting overhead on cold
+    * keys, kept only as the degenerate case). When dropping hot
+    * shingles entirely is acceptable, the prefiltered variant
     * (maxDocFreq) is strictly cheaper AND more informative per pair.
     */
-  def jaccardPairsSalted(docs: DataFrame, threshold: Double, salts: Int = 16): DataFrame =
+  def jaccardPairsSalted(docs: DataFrame, threshold: Double, salts: Int = 16,
+      hotDocFreq: Int = AutoSaltDocFreq): DataFrame =
     jaccardPairsPlan(docs, threshold, maxDocFreq = None,
-      autoSaltDocFreq = 0, salts = salts).df
+      autoSaltDocFreq = 0, salts = salts, saltHotDocFreq = hotDocFreq).df
 
   /** Shingle-count hotness above which the UNFILTERED exact join
     * auto-switches to the salted form. 256 shared docs ⇒ ~65k candidate
@@ -190,13 +199,20 @@ object Dedup {
     * `autoSaltDocFreq` the self-join runs salted (strategy "salted",
     * results identical), otherwise plain. `autoSaltDocFreq = 0`
     * forces salting; `Int.MaxValue` forces the plain join.
+    *
+    * `saltHotDocFreq`: the salted strategy's hot/cold split point —
+    * only shingles with doc frequency above it are replicated ×salts;
+    * the rest take the plain merge join (see [[jaccardPairsSalted]]).
+    * `<= 0` replicates every shingle row (the degenerate uniform-tax
+    * form).
     */
   def jaccardPairsPlan(
       docs: DataFrame,
       threshold: Double,
       maxDocFreq: Option[Int] = None,
       autoSaltDocFreq: Int = AutoSaltDocFreq,
-      salts: Int = 8): DedupPlan = {
+      salts: Int = 8,
+      saltHotDocFreq: Int = AutoSaltDocFreq): DedupPlan = {
     val all = shingleDf(docs)
     val sh0 = maxDocFreq match {
       case Some(f) =>
@@ -228,8 +244,41 @@ object Dedup {
         if (maxDf > autoSaltDocFreq) "salted" else "plain"
     }
 
+    val extraRetained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val common = strategy match {
+      case "salted" if saltHotDocFreq > 0 =>
+        // two-path: the per-shingle doc frequencies come off the
+        // persisted shingle table (one aggregate), and ONLY the hot
+        // stratum pays the ×salts replication. Cold shingles — the
+        // bulk of the volume in any real corpus — take the plain
+        // pinned-merge join. The two strata partition the shingle
+        // space, so unioning their join outputs before the pair
+        // rollup reproduces the single-join counts exactly.
+        val hotKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .where(col("df") > saltHotDocFreq)
+          .select(col("shingle"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        extraRetained += hotKeys
+        // no broadcast hint on the semi/anti tags: |hotKeys| is bounded
+        // by rows/saltHotDocFreq but corpus-dependent — let AQE pick
+        // from the runtime size (the prefiltered path's argument)
+        val hotSh = sh.join(hotKeys, Seq("shingle"), "left_semi")
+        val coldSh = sh.join(hotKeys, Seq("shingle"), "left_anti")
+        val hotPairs = Skew.saltedJoin(
+          hotSh.select(col("doc_id").as("ida"), col("shingle")),
+          hotSh.select(col("doc_id").as("idb"), col("shingle").as("shingle_r")),
+          "shingle", "shingle_r", salts)
+          .where(col("ida") < col("idb"))
+          .select(col("ida"), col("idb"))
+        val coldPairs = coldSh.as("a").hint("merge")
+          .join(coldSh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        hotPairs.unionAll(coldPairs)
+          .groupBy(col("ida").as("doc_a"), col("idb").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
       case "salted" =>
+        // degenerate uniform form: every shingle row replicated ×salts
         val l = sh.select(col("doc_id").as("ida"), col("shingle"))
         val r = sh.select(col("doc_id").as("idb"), col("shingle").as("shingle_r"))
         Skew.saltedJoin(l, r, "shingle", "shingle_r", salts)
@@ -255,7 +304,7 @@ object Dedup {
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    DedupPlan(scored, strategy, Seq(sh))
+    DedupPlan(scored, strategy, sh +: extraRetained.toSeq)
   }
 
   private val Hex = "0123456789abcdef"
@@ -600,12 +649,27 @@ object Dedup {
     * shingle) — Σ_pairs |shingles| work, bounded by candidate count ×
     * document length. Intersection and union sizes are exact integers;
     * jaccard is one division (cross-engine deterministic).
+    *
+    * `threshold` must be > 0: the verify stage joins candidates on
+    * shared shingles (inner), so a pair with zero intersection —
+    * jaccard exactly 0 — never reaches the filter and cannot be
+    * emitted. A threshold of 0 would silently promise pairs this
+    * operator structurally cannot produce, so it is rejected.
     */
-  def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame =
+    lshVerifiedPairsPlan(docs, threshold).df
+
+  /** Managed form of [[lshVerifiedPairs]]: the plan plus a release
+    * handle for the retained shingle cache (the DiffReport.release
+    * pattern — long-lived sessions call `release()` after consuming
+    * the result instead of waiting for clearCache()/session end).
+    */
+  def lshVerifiedPairsPlan(docs: DataFrame, threshold: Double): DedupPlan = {
+    require(threshold > 0,
+      "lshVerifiedPairs: threshold must be > 0 — the inner verify join " +
+        "cannot emit zero-intersection (jaccard 0) pairs")
     // ONE tokenize/explode/distinct pass feeds all four consumers
-    // (signatures, sizes, and both sides of the verify join) —
-    // persisted like the jaccard plans; cache lives until
-    // clearCache()/session end
+    // (signatures, sizes, and both sides of the verify join)
     val sh = shingleDf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -620,13 +684,14 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
-    inter
+    val verified = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    DedupPlan(verified, "lsh-verified", Seq(sh))
   }
 
   /** The rewrite form of [[spanDedup]] — the actual C4 transform:
@@ -690,10 +755,12 @@ object Dedup {
     "dd_jaccard_prefiltered" -> ((s, dir) =>
       jaccardPairs(table(s, dir, "documents"), 0.1, Some(20)).orderBy("doc_a", "doc_b")),
 
-    // skew-bound salted variant — same results as dd_jaccard, hot
-    // shingles spread over 8 join groups
+    // skew-bound salted variant — same results as dd_jaccard; two-path:
+    // shingles with df > 8 spread over 8 join groups, cold shingles
+    // (the bulk) take the plain merge join with no replication tax
     "dd_jaccard_salted" -> ((s, dir) =>
-      jaccardPairsSalted(table(s, dir, "documents"), 0.1, 8).orderBy("doc_a", "doc_b")),
+      jaccardPairsSalted(table(s, dir, "documents"), 0.1, salts = 8, hotDocFreq = 8)
+        .orderBy("doc_a", "doc_b")),
 
     "dd_simhash" -> ((s, dir) =>
       simhash(table(s, dir, "documents")).orderBy("doc_id")),

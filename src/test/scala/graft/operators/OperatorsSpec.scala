@@ -75,6 +75,40 @@ class OperatorsSpec extends SparkSpec {
     assert(maxGroup < 300, s"hot shingle not spread: max group $maxGroup of 1000")
   }
 
+  test("two-path salted jaccard replicates only the hot stratum") {
+    import spark.implicits._
+    val hot = (1L to 100L).map(i => (i, s"hot0 hot1 hot2 u${i}a u${i}b u${i}c"))
+    val dups = (1L to 10L).flatMap(i =>
+      Seq((2000L + i, s"dup$i w${i}a w${i}b w${i}c w${i}d"),
+          (3000L + i, s"dup$i w${i}a w${i}b w${i}c w${i}d")))
+    val corpus = (hot ++ dups).toDF("doc_id", "text")
+    val plan = Dedup.jaccardPairsPlan(corpus, 0.2,
+      autoSaltDocFreq = 0, saltHotDocFreq = 8)
+    assert(plan.strategy == "salted")
+    val s = plan.df.queryExecution.executedPlan.toString
+    // exactly ONE salt-replicate Generate — the hot stratum's; the cold
+    // stratum must carry no salt-array replication. (The literal
+    // sequence(0, salts-1) constant-folds, so it renders as
+    // `Generate explode(<array>)` — distinct from the shingle pass's
+    // `Generate posexplode`.)
+    val saltGenerates = "Generate explode\\(".r.findAllMatchIn(s).size
+    assert(saltGenerates == 1,
+      s"expected 1 salt replicate (hot side only), got $saltGenerates:\n${s.take(1200)}")
+    // and the cold stratum still joins pinned sort-merge
+    assert(s.contains("SortMergeJoin"), s.take(800))
+    // row-identical to the forced-plain baseline
+    val plain = Dedup.jaccardPairsPlan(corpus, 0.2, autoSaltDocFreq = Int.MaxValue)
+    assert(plan.df.orderBy("doc_a", "doc_b").collect().toSeq ==
+      plain.df.orderBy("doc_a", "doc_b").collect().toSeq)
+    plan.release(); plain.release()
+  }
+
+  test("lshVerifiedPairs rejects threshold 0 (inner verify join cannot emit jaccard-0 pairs)") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshVerifiedPairs(docs.limit(10), 0.0)
+    }
+  }
+
   test("dedup plans release their caches: no retained RDDs accumulate across invocations") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     (1 to 3).foreach { _ =>
@@ -82,7 +116,13 @@ class OperatorsSpec extends SparkSpec {
       j.df.count()
       val s = Dedup.simhashPairsPlan(docs.limit(50), 2)
       s.df.count()
-      j.release(); s.release()
+      val v = Dedup.lshVerifiedPairsPlan(docs.limit(50), 0.1)
+      v.df.count()
+      // forced two-path salted: retains the hot-key table as well
+      val t = Dedup.jaccardPairsPlan(docs.limit(50), 0.1,
+        autoSaltDocFreq = 0, saltHotDocFreq = 2)
+      t.df.count()
+      j.release(); s.release(); v.release(); t.release()
     }
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty,
@@ -273,8 +313,11 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("lsh-verified pairs report the TRUE jaccard for every surfaced pair") {
-    val verified = Dedup.lshVerifiedPairs(docs, 0.0)
-    val brute = Dedup.jaccardPairs(docs, 0.0)
+    // threshold must be > 0 (the verify join cannot emit jaccard-0
+    // pairs); any pair sharing >= 1 shingle scores >= 1/(na+nb-1), so an
+    // epsilon threshold surfaces every pair the candidates admit
+    val verified = Dedup.lshVerifiedPairs(docs, 1e-12)
+    val brute = Dedup.jaccardPairs(docs, 1e-12)
     // every verified pair's score equals the brute-force exact score
     val joined = verified.as("v").join(brute.as("b"),
       col("v.doc_a") === col("b.doc_a") && col("v.doc_b") === col("b.doc_b"))
