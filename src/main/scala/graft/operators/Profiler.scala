@@ -151,7 +151,13 @@ object Profiler {
       val sxx = viaString(col(s"__sxx_$i")); val syy = viaString(col(s"__syy_$i"))
       val sxy = viaString(col(s"__sxy_$i"))
       val num = n * sxy - sx * sy
-      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      // clamp: double rounding can drive n·Σx²−(Σx)² epsilon-negative on
+      // a near-constant high-magnitude column; Spark's sqrt(-ε) is NaN
+      // (guarded to 0 below) but DuckDB's sqrt RAISES on negative input,
+      // so without the clamp the oracle aborts where Spark returns 0 —
+      // same clamp in corrSql keeps the expression trees identical
+      val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+        sqrt(greatest(n * syy - sy * sy, lit(0.0)))
       struct(lit(xn).as("x_col"), lit(yn).as("y_col"),
         col(s"__n_$i").as("n"),
         when(den > 0, num / den).otherwise(lit(0.0)).as("pearson_r"))
@@ -216,10 +222,10 @@ object Profiler {
        |FROM (SELECT n,
        |  CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
        |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS num,
-       |  sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-       |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
-       |   * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
-       |   - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) AS den
+       |  sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+       |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE), 0))
+       |   * sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+       |   - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE), 0)) AS den
        | FROM (SELECT COUNT(*) AS n,
        |   SUM(qx) AS sx, SUM(qy) AS sy,
        |   SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy, SUM(qx * qy) AS sxy

@@ -224,17 +224,24 @@ object TextAnalysis {
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
+        val out = it.map { case (id, text) =>
           val in = text.getBytes("UTF-8")
           d.reset(); d.setInput(in); d.finish()
           var n = 0L
           while (!d.finished()) n += d.deflate(buf, 0, buf.length)
           (id, in.length.toLong, n)
         }
+        // release the native zlib state when the partition completes
+        // (the ++ right side evaluates only after `out` is exhausted) —
+        // otherwise it is held until GC finalization
+        out ++ { d.end(); Iterator.empty }
       }
       .toDF("doc_id", "n_bytes", "n_compressed")
+      // empty text: 0 raw bytes but ~8 header bytes compressed — a
+      // ratio is undefined (was Infinity), so emit null
       .withColumn("compression_ratio",
-        col("n_compressed").cast("double") / col("n_bytes"))
+        when(col("n_bytes") > 0,
+          col("n_compressed").cast("double") / col("n_bytes")))
   }
 
   /** Per-document top-k salient terms by TF-IDF — the classic

@@ -24,6 +24,24 @@ object Relational {
 
   private val dec = DecimalType(18, 2)
 
+  /** Registers each DataFrame under a UNIQUE temp-view name, builds the
+    * SQL with the generated names, and drops the views as soon as the
+    * plan exists (`SparkSession.sql` analyzes eagerly, so the returned
+    * DataFrame no longer needs the catalog entries). Fixed view names
+    * mutate shared session state — a concurrent gate execution or an
+    * unlucky collision would silently rebind them mid-query.
+    */
+  private def withUniqueViews(s: SparkSession, dfs: (String, DataFrame)*)(
+      sql: Seq[String] => String): DataFrame = {
+    val names = dfs.map { case (prefix, df) =>
+      val n = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(n)
+      n
+    }
+    try s.sql(sql(names))
+    finally names.foreach(s.catalog.dropTempView(_))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single scan, map-side partial agg, one shuffle of
     // |groups| rows. At 100 TB this stays a two-stage job whose shuffle
@@ -267,15 +285,14 @@ object Relational {
     // Correlated scalar subquery: orders above their customer's average.
     // Catalyst decorrelates this into an aggregate + join — no
     // per-row subquery execution.
-    "q20_corr_subquery" -> ((s, dir) => {
-      table(s, dir, "orders").createOrReplaceTempView("__orders")
-      s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice
-          |FROM __orders o
-          |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM __orders i
-          |                            WHERE i.o_custkey = o.o_custkey)
-          |ORDER BY o_orderkey""".stripMargin)
-    }),
+    "q20_corr_subquery" -> ((s, dir) =>
+      withUniqueViews(s, "__orders" -> table(s, dir, "orders")) { case Seq(ord) =>
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM $ord o
+           |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM $ord i
+           |                            WHERE i.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin
+      }),
 
     // Unpivot (wide → long) via stack — the inverse of q16's pivot.
     "q21_unpivot" -> ((s, dir) =>
@@ -380,12 +397,12 @@ object Relational {
     "q28_weighted_avg" -> ((s, dir) => {
       import org.apache.spark.sql.functions.udaf
       s.udf.register("wavg", udaf(graft.functions.WeightedAvg))
-      table(s, dir, "lineitem").createOrReplaceTempView("__li_wavg")
       // rounded to 6 decimals: decimal→double conversion is not
       // guaranteed correctly-rounded on either engine (1-ulp skew)
-      s.sql(
-        """SELECT l_returnflag, round(wavg(l_extendedprice, l_quantity), 6) AS wavg_price
-          |FROM __li_wavg GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      withUniqueViews(s, "__li_wavg" -> table(s, dir, "lineitem")) { case Seq(li) =>
+        s"""SELECT l_returnflag, round(wavg(l_extendedprice, l_quantity), 6) AS wavg_price
+           |FROM $li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      }
     }),
 
     // Lateral view / table-generating explode: one row per word with
@@ -487,18 +504,18 @@ object Relational {
     // its top-2 lineitems by price — the per-row top-n shape Catalyst
     // decorrelates into a window + join rather than executing N
     // subqueries.
-    "q34_lateral_topn" -> ((s, dir) => {
-      table(s, dir, "orders").createOrReplaceTempView("__ord")
-      table(s, dir, "lineitem").createOrReplaceTempView("__li")
-      s.sql(
-        """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
-          |FROM __ord o,
-          | LATERAL (SELECT l_linenumber, l_extendedprice FROM __li l
-          |          WHERE l.l_orderkey = o.o_orderkey
-          |          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
-          |WHERE o.o_totalprice > 400000
-          |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin)
-    }),
+    "q34_lateral_topn" -> ((s, dir) =>
+      withUniqueViews(s,
+        "__ord" -> table(s, dir, "orders"),
+        "__li" -> table(s, dir, "lineitem")) { case Seq(ord, li) =>
+        s"""SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+           |FROM $ord o,
+           | LATERAL (SELECT l_linenumber, l_extendedprice FROM $li l
+           |          WHERE l.l_orderkey = o.o_orderkey
+           |          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+           |WHERE o.o_totalprice > 400000
+           |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin
+      }),
 
     // Explicit GROUPING SETS (the general form rollup/cube specialize):
     // per-(flag,status) detail plus per-flag and grand totals in ONE

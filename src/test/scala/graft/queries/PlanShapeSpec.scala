@@ -131,6 +131,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("source cap: partial WindowGroupLimit below the shuffle (hot source bounded map-side)") {
+    // Sampling.sourceCap documents that a hot domain doesn't flood one
+    // partition because the per-source top-k runs PARTIAL below the
+    // exchange — assert it like the q34 precedent instead of believing it
+    val df = graft.SparkEntry.queries("sa_source_cap")(spark, Sf0001)
+    val plan = planString(df)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
+  test("two-path salted jaccard: exactly one salt replicate, cold stratum merge-joined") {
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+    val plan = graft.operators.Dedup.jaccardPairsPlan(docs, 0.1,
+      autoSaltDocFreq = 0, saltHotDocFreq = 8)
+    val s = planString(plan.df)
+    val saltGenerates = "Generate explode\\(".r.findAllMatchIn(s).size
+    assert(saltGenerates == 1, s"cold stratum must not replicate: $saltGenerates salt Generates")
+    assert(s.contains("SortMergeJoin"), s.take(800))
+    plan.release()
+  }
+
   test("keeper election: single max-struct aggregation, no window over the corpus") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
