@@ -80,18 +80,52 @@ object Dedup {
         min(mh(3)).as("h3"), min(mh(4)).as("h4"), min(mh(5)).as("h5"),
         min(mh(6)).as("h6"), min(mh(7)).as("h7"))
 
+  /** Per-row MinHash signature — the SHUFFLE-FREE form of
+    * [[minhashSignatures]]: each document's shingle set is built as an
+    * array column and all 8 mins are `array_min` over per-element md5
+    * transforms, so the whole signature is one narrow projection. Same
+    * values as the aggregated form (min over a multiset ignores the
+    * distinct step; asserted in OperatorsSpec) — prefer this whenever
+    * the shingle TABLE isn't needed by other consumers, and always on
+    * a STREAM, where the aggregated form would demand watermarked
+    * state for what is logically a stateless per-row function.
+    * Documents with fewer than 3 tokens (no shingles) get NULL
+    * signature columns — the aggregated form omits them entirely; both
+    * yield no band keys downstream (md5 of NULL is NULL, and equi-joins
+    * drop NULL keys).
+    *
+    * Output: the input columns plus h0..h7.
+    */
+  def minhashSignaturesNarrow(docs: DataFrame): DataFrame = {
+    val ts = split(trim(col("text")), " +")
+    // 1-based window start j: tokens j, j+1, j+2 — the same 3-gram set
+    // shingleDf produces (guard: sequence(1, 0) would count DOWN)
+    val shingleArr = when(size(ts) >= 3,
+      transform(sequence(lit(1), size(ts) - 2), j =>
+        concat_ws(" ", element_at(ts, j), element_at(ts, j + 1), element_at(ts, j + 2))))
+    val withSh = docs.withColumn("__sh", shingleArr)
+    val hs = (0 until NumHashes).map { i =>
+      array_min(transform(col("__sh"),
+        s => md5(concat_ws("|", lit(i), s)))).as(s"h$i")
+    }
+    withSh.select(docs.columns.map(col) ++ hs: _*)
+  }
+
   /** LSH band keys: band b = md5(h(2b) ‖ h(2b+1)). One explode pass
     * over the signature table — a per-band unionAll would read the
     * signature exchange NumBands times (and 2×NumBands once both
-    * sides of the candidate self-join expand it).
+    * sides of the candidate self-join expand it). `keep` names extra
+    * columns carried through (e.g. a stream's event-time column).
     */
-  def lshBands(sig: DataFrame): DataFrame = {
+  def lshBands(sig: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val keepCols = keep.map(col)
+    sig.select(keepCols ++ Seq(col("doc_id"), explode(array(bandCols: _*)).as("b")): _*)
+      .select(keepCols ++ Seq(col("doc_id"),
+        col("b.band").as("band"), col("b.bkey").as("bkey")): _*)
   }
 
   /** Candidate pairs between NEW documents and an EXISTING corpus
@@ -374,15 +408,45 @@ object Dedup {
     */
   def simhashPairsPlan(docs: DataFrame, maxHamming: Int): DedupPlan = {
     val Bits = 16
-    val nb = maxHamming + 1
-    require(nb >= 1 && nb <= Bits, s"maxHamming must be in [0, ${Bits - 1}]")
+    require(maxHamming >= 0 && maxHamming < Bits,
+      s"maxHamming must be in [0, ${Bits - 1}]")
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = bandedFingerprintPairs(
+      sh.select(col("doc_id"), col("simhash").as("fp")), Bits, maxHamming)
+    DedupPlan(pairs, "banded", Seq(sh))
+  }
+
+  /** Banded hamming-distance pairs over an arbitrary fingerprint
+    * column — the machinery behind [[simhashPairs]] (16-bit text
+    * simhash) and [[Multimodal.imageNearDupPairs]] (64-bit image
+    * dHash). `fp` has columns (doc_id, fp: long); output is
+    * (doc_a, doc_b, hamming) with hamming ≤ maxHamming.
+    *
+    * Same two-level shape simhash documents: equal fingerprints pair
+    * through one equi-join; unequal ones collapse to DISTINCT values,
+    * band into maxHamming+1 disjoint bit ranges (pigeonhole: within
+    * the radius ⇒ exact agreement on ≥1 band), equi-join per band,
+    * then a bit_count post-filter — and value pairs expand back to doc
+    * pairs output-proportionally.
+    *
+    * Band values are extracted with SHIFT+MASK, not `%`: for a
+    * fingerprint with the sign bit set, `shiftright` sign-extends and
+    * a remainder would depend on the sign, so two values agreeing on a
+    * band's bits could band apart and a true near-pair would be MISSED
+    * (sign-bit case asserted in OperatorsSpec). The mask is the bit
+    * window regardless of sign.
+    */
+  private[operators] def bandedFingerprintPairs(
+      fp: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val nb = maxHamming + 1
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64]")
+    require(nb >= 1 && nb <= bits, s"maxHamming must be in [0, ${bits - 1}]")
 
     // same-fingerprint doc pairs: one equi-join, hamming 0
-    val same = sh.as("a")
-      .join(sh.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+    val same = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(0L).as("hamming"))
 
@@ -390,17 +454,20 @@ object Dedup {
       if (maxHamming == 0) same
       else {
         // distinct fingerprint VALUES, banded into nb disjoint bit ranges
-        val widths  = (0 until nb).map(i => Bits / nb + (if (i < Bits % nb) 1 else 0))
+        val widths  = (0 until nb).map(i => bits / nb + (if (i < bits % nb) 1 else 0))
         val offsets = widths.scanLeft(0)(_ + _)
         val bandCols = (0 until nb).map { i =>
+          // mask of widths(i) < 64 bits: maxHamming >= 1 means nb >= 2,
+          // so widths(i) <= 33 and the shift below never overflows
           struct(lit(i).as("band"),
-            (shiftright(col("simhash"), offsets(i)) % lit(1L << widths(i))).as("bval"))
+            shiftright(col("fp"), offsets(i))
+              .bitwiseAND(lit((1L << widths(i)) - 1)).as("bval"))
         }
-        val banded = sh.select(col("simhash")).distinct()
-          .select(col("simhash"), explode(array(bandCols: _*)).as("b"))
-          .select(col("simhash"), col("b.band").as("band"), col("b.bval").as("bval"))
-        val vp = banded.select(col("band"), col("bval"), col("simhash").as("fa"))
-          .join(banded.select(col("band"), col("bval"), col("simhash").as("fb")),
+        val banded = fp.select(col("fp")).distinct()
+          .select(col("fp"), explode(array(bandCols: _*)).as("b"))
+          .select(col("fp"), col("b.band").as("band"), col("b.bval").as("bval"))
+        val vp = banded.select(col("band"), col("bval"), col("fp").as("fa"))
+          .join(banded.select(col("band"), col("bval"), col("fp").as("fb")),
             Seq("band", "bval"))
           .where(col("fa") < col("fb"))
           .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
@@ -409,14 +476,13 @@ object Dedup {
           .distinct()
         // expand qualifying value pairs to doc pairs (output-proportional)
         val diff = vp
-          .join(sh.select(col("doc_id").as("ida"), col("simhash").as("fa")), Seq("fa"))
-          .join(sh.select(col("doc_id").as("idb"), col("simhash").as("fb")), Seq("fb"))
+          .join(fp.select(col("doc_id").as("ida"), col("fp").as("fa")), Seq("fa"))
+          .join(fp.select(col("doc_id").as("idb"), col("fp").as("fb")), Seq("fb"))
           .select(least(col("ida"), col("idb")).as("doc_a"),
             greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
         same.unionAll(diff)
       }
-    DedupPlan(pairs.select(col("doc_a"), col("doc_b"), col("hamming")),
-      "banded", Seq(sh))
+    pairs.select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Quantized embedding: float → round(x·10⁴) as int64. Integer dot

@@ -144,6 +144,40 @@ object Streaming {
       .dropDuplicatesWithinWatermark(Seq("block_hash"))
   }
 
+  /** Streaming incremental dedup candidates — the streaming twin of
+    * [[graft.operators.Dedup.incrementalCandidates]] and the true
+    * 100 TB ingest shape: documents ARRIVE as a stream and are banded
+    * against the persisted corpus signature `index` (a static
+    * snapshot, in production loaded from the fingerprint store), so
+    * the corpus is never re-paired against itself and each arriving
+    * doc costs one narrow signature projection plus a stream-static
+    * band join.
+    *
+    * Per-row signatures come from
+    * [[graft.operators.Dedup.minhashSignaturesNarrow]] — zero
+    * shuffles on the stream side; the only stateful stage is the
+    * final pair dedup (band collisions repeat a pair), which
+    * `dropDuplicatesWithinWatermark` bounds to one record per emitted
+    * pair inside the horizon. Contract matches [[dedupStream]]: a
+    * re-delivered pair is only guaranteed dropped while its first
+    * emission is inside the watermark.
+    */
+  def incrementalCandidatesStream(index: DataFrame, newDocs: DataFrame,
+      watermarkCol: String = "ts", delay: String = "2 hours"): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = Dedup.lshBands(index)
+      .select(col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
+    val fresh = Dedup.lshBands(
+        Dedup.minhashSignaturesNarrow(newDocs), keep = Seq(watermarkCol))
+      .withColumnRenamed("doc_id", "new_doc")
+      .withWatermark(watermarkCol, delay)
+    fresh.join(corpus, Seq("band", "bkey"))
+      .where(col("new_doc") =!= col("corpus_doc"))
+      .select(col(watermarkCol), col("new_doc"), col("corpus_doc"))
+      .dropDuplicatesWithinWatermark(Seq("new_doc", "corpus_doc"))
+      .select(col("new_doc"), col("corpus_doc"))
+  }
+
   /** Incremental dataset fingerprint: the streaming twin of
     * [[graft.diff.Comparator.fingerprints]] — per-bucket running
     * (count, hash-sum) updated per micro-batch. Comparing two streams'

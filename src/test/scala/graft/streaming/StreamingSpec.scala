@@ -245,6 +245,38 @@ class StreamingSpec extends SparkSpec {
       spark.table("dedup").select("event_id").distinct().count())
   }
 
+  test("streaming incremental dedup candidates equal the batch operator across batch lines") {
+    implicit val sq = spark.sqlContext
+    val d = GraftSession.table(spark, Sf0001, "documents")
+    // same split as the dd_incremental gate: corpus index = doc_id % 5 != 0
+    val corpusIndex = graft.operators.Dedup.minhashSignatures(
+      d.where(pmod(col("doc_id"), lit(5)) =!= 0))
+    val newDocs = d.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val arriving = newDocs.as[(Long, String)].collect().toSeq
+      .map { case (id, tx) => (id, tx, t0) }
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val st = Streaming.incrementalCandidatesStream(
+      corpusIndex, mem.toDF().toDF("doc_id", "text", "ts"))
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("inc_cand")
+      .outputMode("append").start()
+    try {
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("inc_cand").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.incrementalCandidates(corpusIndex, newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    // each pair emitted exactly once despite band collisions
+    assert(spark.table("inc_cand").count() == streamed.size)
+  }
+
   test("incremental fingerprints converge to the batch fingerprints") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
