@@ -91,6 +91,52 @@ object Curation {
       .agg(count(lit(1)).as("bench_hits"))
   }
 
+  /** Bloom-filter decontamination — the variant for benchmark suites
+    * too large for [[decontaminate]]'s exact build side: the benchmark
+    * shingles fold into a FIXED-SIZE bloom filter (a distributed
+    * `BloomFilterAggregate` — partials merge map-side, one
+    * numBits/8-byte sketch reaches the driver no matter how many
+    * benchmark items), and the corpus pass becomes a shuffle-free
+    * codegen'd membership test (`might_contain`) instead of a join.
+    * The only shuffle left is the final map-side-combinable per-doc
+    * count.
+    *
+    * ONE-SIDED error, the safe direction for decontamination: a true
+    * overlap is NEVER missed (no false negatives), while a false
+    * positive flags at most `fpp` extra shingles — so the flagged set
+    * is a small superset of the exact operator's (agreement asserted
+    * in OperatorsSpec at the configured size). Callers dropping flagged
+    * docs lose a bounded sliver of clean data; callers needing exact
+    * hit counts re-check flagged docs with [[decontaminate]] — a
+    * two-stage shape, like LSH-then-verify.
+    *
+    * The sketch ships to executors as a literal in the plan (one copy
+    * per task closure, same mechanism as a broadcast-hash-join's
+    * build side at this size). Default 2²³ bits = 1 MiB ≈ 1% fpp at a
+    * million benchmark shingles.
+    */
+  def decontaminateBloom(candidates: DataFrame, bench: DataFrame,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val benchHashes = Dedup.shingleDf(bench)
+      .select(xxhash64(col("shingle")).as("h"))
+    val bfAgg = column(new BloomFilterAggregate(
+      expression(col("h")), Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+    // one bounded binary value to the driver (the kmeans-centroid
+    // pattern) — NOT a per-row collect
+    val bf = benchHashes.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = column(new BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      expression(xxhash64(col("shingle")))))
+    Dedup.shingleDf(candidates)
+      .where(mightContain)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bench_hits"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   /** The synthetic corpus carries no real PII, so the gate plants some
