@@ -77,6 +77,51 @@ object Multimodal {
               (b / n / 256.0).toFloat, luma.toFloat))
           }
       } catch { case _: java.io.IOException => None }
+
+    /** 64-bit difference hash (dHash) — the standard perceptual image
+      * fingerprint: downsample to a 9×8 luma grid (area mean per cell,
+      * integer arithmetic — no resampling-library variance), then bit
+      * (y,x) = cell(y,x) brighter than cell(y,x+1). Near-identical
+      * images (re-encodes, small edits, minor crops) land within a few
+      * bits; unrelated images differ in ~32. None for images smaller
+      * than the grid.
+      */
+    def dhash(img: java.awt.image.BufferedImage): Option[Long] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 9 || h < 8) return None
+      // cell (gy, gx) = mean luma (×1000, integer) over its pixel block
+      val cell = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              sum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          cell(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        val (y, x) = (i / 8, i % 8)
+        if (cell(y)(x) > cell(y)(x + 1)) bits |= 1L << (63 - i)
+        i += 1
+      }
+      Some(bits)
+    }
   }
 
   /** ======================= REAL AUDIO CODEC =======================
@@ -374,6 +419,43 @@ object Multimodal {
       }
       .toDF("media_id", "frame_idx", "width", "height", "frame_md5", "mean_luma")
   }
+
+  /** Perceptual fingerprints for decodable image payloads: one
+    * (media_id, dhash) row per real image ([[ImageCodec.dhash]] —
+    * 64-bit difference hash over a 9×8 luma grid); non-image or
+    * sub-grid payloads produce no row. Narrow typed flatMap — payload
+    * bytes never leave the executor, only the 8-byte fingerprint.
+    */
+  def imageDHashes(catalog: DataFrame): DataFrame = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        (try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload)))
+         catch { case _: java.io.IOException => None })
+          .flatMap(ImageCodec.dhash)
+          .map(h => (id, h))
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs — first-class IMAGE dedup: dHash
+    * fingerprints fed through the same banded hamming machinery the
+    * text simhash path uses ([[Dedup.bandedFingerprintPairs]], 64-bit
+    * form), so candidate generation is a banded bucket join over
+    * DISTINCT fingerprint values — never an all-pairs comparison
+    * (no-cartesian plan-asserted in MultimodalSpec). `maxHamming` ≈ 10
+    * is the standard near-duplicate radius for dHash.
+    */
+  def imageNearDupPairs(catalog: DataFrame, maxHamming: Int = 10): DataFrame =
+    Dedup.bandedFingerprintPairs(
+      imageDHashes(catalog)
+        .select(col("media_id").as("doc_id"), col("dhash").as("fp")),
+      bits = 64, maxHamming = maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
   /** Frame sampling for video payloads: n equal byte-range "frames"
     * per payload (remainder dropped — sampling), exploded to one row

@@ -68,6 +68,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).features.toSeq == Multimodal.StubCodec.decode(text).toSeq)
   }
 
+  test("image near-dup pairs: re-encode and small edit within radius, unrelated image outside, no cartesian") {
+    import spark.implicits._
+    def mkPng(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // structured gradient (dhash needs luma structure, not a flat fill)
+    val grad = (x: Int, y: Int) => ((x * 4) << 16) | ((y * 4) << 8) | ((x + y) * 2)
+    val base = mkPng(grad)
+    val copy = mkPng(grad) // identical content, fresh encode
+    val edited = mkPng((x, y) => // small 8x8 patch whited out — flips the
+      // local gradient direction, so a few dhash bits move (a blanked
+      // patch would NOT: darkening an already-dark corner preserves
+      // every adjacent-column comparison on a monotone gradient)
+      if (x < 8 && y < 8) 0xffffff else grad(x, y))
+    val other = mkPng((x, y) => // reversed gradient — unrelated
+      ((255 - x * 4) << 16) | ((255 - y * 4) << 8) | (255 - (x + y) * 2))
+    val tiny = mkPng(grad).take(10) // truncated: not decodable, no row
+    val cat = Seq((1L, base), (2L, copy), (3L, edited), (4L, other), (5L, tiny))
+      .toDF("media_id", "payload")
+    val hashes = Multimodal.imageDHashes(cat).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L)) // truncated payload dropped
+    assert(hashes(1L) == hashes(2L)) // deterministic: same pixels, same hash
+    val pairs = Multimodal.imageNearDupPairs(cat, maxHamming = 10)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0L)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) > 0L) // edit: near, not equal
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated image paired: $got")
+    // banded bucket join only — never an all-pairs comparison
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(800))
+  }
+
+  test("banded fingerprint pairs find neighbors across the sign bit (shift+mask, not remainder)") {
+    import spark.implicits._
+    // fpA has bit 63 set; fpC differs from fpA ONLY in bit 63 — hamming 1.
+    // A remainder-based band value would sign-flip every band of fpA and
+    // miss the agreement pigeonhole guarantees on the other bands.
+    val fpA = 0x8000000000000001L
+    val fpC = 0x0000000000000001L
+    val fpB = 0x8000000000000003L // differs from fpA in bit 1 — hamming 1
+    val fp = Seq((1L, fpA), (2L, fpB), (3L, fpC)).toDF("doc_id", "fp")
+    val got = Dedup.bandedFingerprintPairs(fp, bits = 64, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 1L)
+    assert(got((1L, 3L)) == 1L, s"sign-boundary neighbor missed: $got")
+    assert(!got.contains((2L, 3L))) // hamming 2 — outside the radius
+  }
+
   test("real WAV payloads decode to true sample rate, duration and signal features; non-audio falls back to the stub") {
     import spark.implicits._
     import javax.sound.sampled._

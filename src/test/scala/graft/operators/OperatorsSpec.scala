@@ -20,6 +20,28 @@ class OperatorsSpec extends SparkSpec {
     (1 to 8).foreach(i => assert(r.getString(i).matches("[0-9a-f]{32}")))
   }
 
+  test("narrow per-row minhash signatures equal the aggregated form, with zero shuffles") {
+    val agg = Dedup.minhashSignatures(docs).collect()
+      .map(r => (0 to 8).map(r.get).toList).toSet
+    val narrow = Dedup.minhashSignaturesNarrow(docs)
+      .select("doc_id", (0 until 8).map(i => s"h$i"): _*).collect()
+      .map(r => (0 to 8).map(r.get).toList).toSet
+    assert(narrow == agg && narrow.nonEmpty)
+    // the point of the narrow form: one projection, no exchange
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = Dedup.minhashSignaturesNarrow(docs).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    // a doc with < 3 tokens: NULL signature (the aggregated form omits it)
+    import spark.implicits._
+    val tiny = Seq((1L, "only two")).toDF("doc_id", "text")
+    assert(Dedup.minhashSignaturesNarrow(tiny).head().isNullAt(2))
+    assert(Dedup.minhashSignatures(tiny).count() == 0)
+  }
+
   test("minhash candidate pairs are symmetric-free and deduped") {
     val pairs = Dedup.minhashCandidates(docs)
     assert(pairs.where(col("doc_a") >= col("doc_b")).count() == 0)
@@ -380,8 +402,11 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     val rep = ("spam " * 200).trim
     val div = (1 to 200).map(i => s"tok${i}x${i * 7 % 97}").mkString(" ")
-    val d = Seq((1L, rep), (2L, div)).toDF("doc_id", "text")
-    val r = TextAnalysis.compressionRatio(d).collect()
+    val d = Seq((1L, rep), (2L, div), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.compressionRatio(d).collect()
+    // empty text: 0 raw bytes — ratio is undefined, emitted null (was Infinity)
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(3))
+    val r = rows.filter(!_.isNullAt(3))
       .map(x => x.getLong(0) -> x.getDouble(3)).toMap
     assert(r(1L) < 0.1)          // template spam crushes
     assert(r(2L) > r(1L) * 3)    // diverse text resists
@@ -551,6 +576,24 @@ class OperatorsSpec extends SparkSpec {
     val r = Curation.decontaminate(cands, bench).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("bloom decontamination agrees with exact: never misses, bounded one-sided overshoot") {
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val exact = Curation.decontaminate(cand, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Curation.decontaminateBloom(cand, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // no false negatives: every exact-contaminated doc flagged, with
+    // per-doc hit counts that can only inflate
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n, s"doc $id: bloom ${bloom.get(id)} < exact $n")
+    }
+    // one-sided error stays tiny at 2^23 bits for this corpus
+    assert(bloom.size <= exact.size + math.max(2, exact.size / 10),
+      s"bloom flagged ${bloom.size} vs exact ${exact.size}")
   }
 
   test("tfidf: distinctive term ranks first, ubiquitous term scores low") {
