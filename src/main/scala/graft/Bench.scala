@@ -50,6 +50,8 @@ import org.apache.spark.sql.SparkSession
   *     still run; the reported min is over successful reps.
   */
 object Bench {
+  @volatile private var canarySink: Long = 0L // DCE defeat for the canary
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,6 +96,32 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val repDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val canaryDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+
+    // NOISE-FLOOR CANARY: a constant-work probe timed before every
+    // timed rep, so the artifact carries its own measure of host
+    // weather. The dominant noise here is stalled memory page
+    // provisioning (see the min-vs-median scaladoc), which inflates
+    // identical reps 10-50x — so the canary ALLOCATES AND TOUCHES a
+    // fresh 16 MiB block every page (the operation that actually
+    // stalls) plus a fixed arithmetic loop. On a healthy host it runs
+    // in single-digit ms; canary spikes aligned with slow reps mark
+    // environmental noise, canary-flat slow reps mark a real plan
+    // regression. Cross-round totals divide out by comparing
+    // canary_med before trusting a delta.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      val a = new Array[Byte](16 << 20)
+      var i = 0
+      while (i < a.length) { a(i) = (i & 0x7f).toByte; i += 4096 }
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < (1 << 21)) {
+        h = h * 6364136223846793005L + a((h & 0xFFFFF).toInt ^ 0x800); j += 1
+      }
+      Bench.canarySink = h // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // stall watchdog (diagnosis aid, SPARK_GRAFT_BENCH_DEBUG=1): a rep
     // that exceeds the threshold gets every live thread's stack dumped
@@ -137,7 +165,10 @@ object Bench {
       val medTotal = repDetail.collect {
         case (_, ts) if ts.nonEmpty => median(ts)
       }.sum
-      println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      val allCanaries = canaryDetail.values.flatten.toSeq
+      val canaryMed = if (allCanaries.isEmpty) -1.0 else median(allCanaries)
+      val canaryMax = if (allCanaries.isEmpty) -1.0 else allCanaries.max
+      println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"canary_med":${f"$canaryMed%.4f"},"canary_max":${f"$canaryMax%.4f"},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
       val qmin = repDetail.map { case (k, ts) =>
         "\"" + k + "\":" + (if (ts.isEmpty) "-1" else ts.min) }
         .mkString("{", ",", "}")
@@ -146,8 +177,10 @@ object Bench {
         .mkString("{", ",", "}")
       val rd = repDetail.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
         .mkString("{", ",", "}")
+      val cd = canaryDetail.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
       val detail =
-        s"""{"reps":$reps,"total_min":$total,"total_median":$medTotal,"queries_min":$qmin,"queries_median":$qmed,"reps_detail":$rd,"errors":$es,"sf":"$sfDir"}"""
+        s"""{"reps":$reps,"total_min":$total,"total_median":$medTotal,"canary_median":$canaryMed,"canary_max":$canaryMax,"queries_min":$qmin,"queries_median":$qmed,"reps_detail":$rd,"canary_detail":$cd,"errors":$es,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
       catch { case _: Throwable => () }
@@ -178,13 +211,16 @@ object Bench {
       val slowWarm = warm.exists(_ > 20.0)
       val myReps = if (overBudget || slowWarm) 1 else reps
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
       (1 to myReps).foreach { _ =>
+        canaries += canary() // probe host weather right before the rep
         runOnce() match {
           case Right(t) => times += t
           case Left(m)  => if (!errors.contains(name)) errors(name) = m
         }
       }
       repDetail(name) = times.toSeq
+      canaryDetail(name) = canaries.toSeq
       // min = steady-state under one-sided environmental noise (see
       // scaladoc); the full rep distribution ships in BENCH_DETAIL.json
       mins(name) = if (times.isEmpty) -1.0 else times.min
