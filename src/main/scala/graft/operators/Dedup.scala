@@ -839,6 +839,18 @@ object Dedup {
     "dd_embedding_pairs" -> ((s, dir) =>
       embeddingPairsLsh(table(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")),
 
+    // embedding near-dup pairs → connected components — the clustering
+    // machinery reused across modalities (keeper = min vec_id): the
+    // step that turns pairwise embedding similarity into dedup CLUSTERS
+    "dd_embedding_clusters" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pairs = embeddingPairsLsh(emb, 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      connectedComponents(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keeper"))
+        .orderBy("vec_id")
+    }),
+
     // MinHash pairs → connected components → dedup clusters + keepers.
     "dd_dedup_clusters" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -933,6 +945,24 @@ object Dedup {
        | SELECT doc_id, doc_id FROM documents
        | UNION
        | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
+
+  /** Shared CTE: quantized embeddings → SRP-LSH buckets → candidate
+    * pairs → exact-cosine scores (the dd_embedding_pairs pipeline up to
+    * the threshold filter). Callers append their own final select.
+    */
+  private val embeddingPairsCte =
+    s"""q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |${Similarity.lshBucketsSqlCte},
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, b.vec_id AS vec_b, b.v AS vb
+       | FROM tb a JOIN tb b USING (t, bucket) WHERE a.vec_id < b.vec_id),
+       |scored AS (
+       | SELECT vec_a, vec_b,
+       |  CASE WHEN list_dot_product(va, va) > 0 AND list_dot_product(vb, vb) > 0
+       |   THEN list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+       |   ELSE 0.0 END AS cos
+       | FROM cand)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -1031,20 +1061,20 @@ object Dedup {
          | CAST(n_docs AS BIGINT) AS n_docs
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dd_embedding_pairs" ->
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
-         | FROM embeddings),
-         |${Similarity.lshBucketsSqlCte},
-         |cand AS (
-         | SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, b.vec_id AS vec_b, b.v AS vb
-         | FROM tb a JOIN tb b USING (t, bucket) WHERE a.vec_id < b.vec_id),
-         |scored AS (
-         | SELECT vec_a, vec_b,
-         |  CASE WHEN list_dot_product(va, va) > 0 AND list_dot_product(vb, vb) > 0
-         |   THEN list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
-         |   ELSE 0.0 END AS cos
-         | FROM cand)
+      s"""WITH $embeddingPairsCte
          |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_embedding_clusters" ->
+      s"""WITH RECURSIVE $embeddingPairsCte,
+         |vp AS (SELECT vec_a, vec_b FROM scored WHERE cos >= 0.4),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM vp
+         |          UNION ALL SELECT vec_b, vec_a FROM vp),
+         |reach(u, v) AS (
+         | SELECT vec_id, vec_id FROM embeddings
+         | UNION
+         | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS vec_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper
+         |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "dd_span" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts FROM documents),
         |i AS (SELECT doc_id, ts,

@@ -189,6 +189,31 @@ object Sampling {
       .where(col("rank_in_source") <= k)
   }
 
+  /** Per-source quality-score NORMALIZATION — the calibration step a
+    * multi-source mixture needs before any global quality threshold:
+    * raw scores aren't comparable across sources (a mid-tier web page
+    * and a mid-tier academic page score very differently), so each doc
+    * gets its PERCENTILE RANK within its own source. Thresholding the
+    * normalized score then keeps the same fraction of every source
+    * instead of silently biasing the mixture toward whichever source's
+    * scorer runs hot.
+    *
+    * percent_rank = (rank−1)/(n−1) over the total order
+    * (score, doc_id) — rank and n are exact integers and the division
+    * is a single IEEE op, so the result is bit-identical across
+    * engines; the doc_id tie-break makes the order total. One shuffle
+    * (the window partition by source). A pathologically hot source
+    * serializes its own rank pass — inherent to exact ranks; the
+    * approximate alternative at that extreme is histogram buckets
+    * ([[graft.operators.Profiler.histogram]]).
+    */
+  def qualityNormalize(docs: DataFrame, group: Column, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+    docs.select(col("doc_id"), group.as("source"), score.as("score"))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
+
   // ---------------------------------------------------------------- gate
 
   private[operators] val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -246,6 +271,13 @@ object Sampling {
     "sa_source_cap" -> ((s, dir) =>
       sourceCap(table(s, dir, "documents"), col("source"), 10)
         .select(col("doc_id"), col("source"), col("rank_in_source"))
+        .orderBy("doc_id")),
+
+    // per-source percentile normalization of a quality score (doc
+    // length) — exact ranks, every row checked
+    "sa_quality_norm" -> ((s, dir) =>
+      qualityNormalize(table(s, dir, "documents"), col("source"),
+        length(col("text")).cast("long"))
         .orderBy("doc_id")),
   )
 
@@ -331,5 +363,9 @@ object Sampling {
         | FROM documents)
         |SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
         |FROM r WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
+    "sa_quality_norm" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score,
+        | PERCENT_RANK() OVER (PARTITION BY source ORDER BY length(text), doc_id) AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

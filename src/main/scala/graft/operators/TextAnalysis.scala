@@ -277,9 +277,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Corpus-calibrated token COMMONNESS — the quality signal the
+    * per-doc ratios ([[qualityScores]]) can't see: how ordinary is this
+    * document's vocabulary relative to THIS corpus? For every token
+    * occurrence, its corpus document frequency; per doc the exact sum,
+    * the hapax count (tokens appearing in exactly one document — OCR
+    * noise, codes and garbage skew hapax-heavy), and
+    * `mean_df_ratio = Σdf / (n_tokens · N)` in (0, 1] — near 1 ⇒
+    * stopword-soup, near 0 ⇒ rare-vocab. A corpus-relative signal,
+    * so it needs no tuned wordlists and adapts per domain.
+    *
+    * Surprisal without the libm hazard: the textbook form is mean
+    * −log(df/N), but log's last ulp differs per engine — the rank
+    * ordering is preserved by the plain ratio, which is ONE division
+    * of exact integers (cross-engine bit-identical).
+    *
+    * Scale shape (mirrors [[tfidfTop]]): one explode pass → distinct →
+    * df keyed by term → term-keyed shuffle join (vocab never
+    * broadcast) → per-doc map-side-combinable rollup; N rides in as a
+    * 1-row broadcast cross join, never a driver round-trip.
+    */
+  def commonness(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tok.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("sum_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_tokens"), col("sum_df"), col("n_hapax"),
+        (col("sum_df").cast("double") / (col("n_tokens") * col("n_docs")))
+          .as("mean_df_ratio"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tfidf" -> ((s, dir) =>
       tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
+    "ta_commonness" -> ((s, dir) =>
+      commonness(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_tokens" -> ((s, dir) => tokenStats(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_quality" -> ((s, dir) => qualityScores(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_langid" -> ((s, dir) => langId(table(s, dir, "documents")).orderBy("doc_id")),
@@ -291,6 +328,18 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    "ta_commonness" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dfreq AS (SELECT tok, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |p AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |   CAST(SUM(df) AS BIGINT) AS sum_df,
+         |   CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM tok JOIN dfreq USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, sum_df, n_hapax,
+         | CAST(sum_df AS DOUBLE) / (n_tokens * n_docs) AS mean_df_ratio
+         |FROM p CROSS JOIN n ORDER BY doc_id""".stripMargin,
     "ta_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -578,6 +578,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("commonness: hand-computed df sums, hapax counts and ratio") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.commonness(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+      .toMap
+    // df: a->2 docs, b->1, c->1; N=2
+    assert(r(1L) == ((3L, 5L, 1L, 5.0 / 6)))  // [a,a,b]: 2+2+1, hapax b
+    assert(r(2L) == ((2L, 3L, 1L, 3.0 / 4)))  // [a,c]:   2+1,   hapax c
+  }
+
   test("bloom decontamination agrees with exact: never misses, bounded one-sided overshoot") {
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)

@@ -168,4 +168,24 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").orderBy("doc_id").collect()
     assert(again.toSeq == kept.select("doc_id").orderBy("doc_id").collect().toSeq)
   }
+
+  test("quality normalization: percentile rank is per-source, 0 at min, 1 at max, threshold unbiased") {
+    import spark.implicits._
+    val d = (Seq((1L, "s1", 10), (2L, "s1", 20), (3L, "s1", 30)) ++
+      (11 to 14).map(i => (i.toLong, "s2", i * 100)))
+      .map { case (id, src, len) => (id, src, "x" * len) }
+      .toDF("doc_id", "source", "text")
+    val r = Sampling.qualityNormalize(d, col("source"), length(col("text")).cast("long"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.5 && r(3L) == 1.0)
+    assert(r(11L) == 0.0 && r(14L) == 1.0)
+    assert(r(12L) == 1.0 / 3 && r(13L) == 2.0 / 3)
+    // the calibration property: a global cut on pct_rank keeps the same
+    // FRACTION of each source even though raw scales differ 10x
+    val kept = Sampling.qualityNormalize(d, col("source"), length(col("text")).cast("long"))
+      .where(col("pct_rank") >= 0.5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySrc("s1") == 2 && bySrc("s2") == 2)
+  }
 }
