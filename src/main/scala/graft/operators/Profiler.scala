@@ -73,6 +73,60 @@ object Profiler {
         col("n"))
   }
 
+  /** Distribution DRIFT between two snapshots of the same column — the
+    * data-quality signal the exact fingerprint diff
+    * ([[graft.diff.FingerprintStore]]) cannot give: not WHETHER the
+    * datasets differ but HOW MUCH their distributions moved (schema
+    * evolution, upstream filter changes, silent unit changes all show
+    * up here before they show up in model metrics).
+    *
+    * Per shared bucket: both counts and the exact cross-product delta
+    * |n_a·N_b − n_b·N_a| in DECIMAL(38,0) — the total-variation
+    * numerator kept in exact integer arithmetic (a per-bucket
+    * |n_a/N_a − n_b/N_b| double sum would be accumulation-order-
+    * dependent). Total variation distance = Σdelta / (2·N_a·N_b),
+    * ONE correctly-rounded division at the end ([[histogramDriftTvd]]).
+    *
+    * Scale shape: one map-side-combinable aggregation per side (the
+    * [[histogram]] plan) + a tiny O(buckets) outer join; totals ride
+    * in as 1-row broadcast cross joins. Nothing row-sized shuffles.
+    */
+  def histogramDrift(
+      a: DataFrame, b: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ha = histogram(a, c, lo, hi, bins).select(col("bucket"), col("n").as("n_a"))
+    val hb = histogram(b, c, lo, hi, bins).select(col("bucket"), col("n").as("n_b"))
+    val na = ha.agg(sum(col("n_a")).as("total_a"))
+    val nb = hb.agg(sum(col("n_b")).as("total_b"))
+    ha.join(hb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        abs(col("n_a").cast(dec) * col("total_b").cast(dec)
+          - col("n_b").cast(dec) * col("total_a").cast(dec)).as("cross_delta"))
+  }
+
+  /** Total variation distance in [0, 1] from [[histogramDrift]]'s
+    * exact per-bucket numerators: Σdelta / (2·N_a·N_b). One row.
+    */
+  def histogramDriftTvd(
+      a: DataFrame, b: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = histogramDrift(a, b, c, lo, hi, bins)
+    d.agg(sum(col("cross_delta")).as("num"),
+        sum(col("n_a").cast(dec)).as("na"), sum(col("n_b").cast(dec)).as("nb"))
+      // exact decimal sums → the one division; big-decimal → double via
+      // the string parse (engine-native 128-bit casts are not correctly
+      // rounded — the dq_corr lesson)
+      .select((col("num").cast("string").cast("double") /
+        (lit(2.0) * col("na").cast("string").cast("double")
+          * col("nb").cast("string").cast("double"))).as("tvd"))
+  }
+
   /** Exact numeric stats per column: min/max/mean with the mean
     * derived from a DECIMAL(38,6) sum — no float accumulation order in
     * the aggregate, so the result is bit-identical across engines and
@@ -205,6 +259,30 @@ object Profiler {
       numericStats(table(s, dir, "orders"), Seq("o_custkey", "o_totalprice"))
         .orderBy("column_name")),
 
+    // Distribution drift between two deterministic snapshot halves of
+    // orders (even vs odd orderkey): per-bucket counts + exact
+    // cross-product TV numerators. The test-scale numerators fit BIGINT
+    // for the gate hash; the operator keeps DECIMAL(38,0) for scale.
+    "dq_drift" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      histogramDrift(
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1),
+        "o_totalprice", 0.0, 600000.0, 12)
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          col("cross_delta").cast("long").as("cross_delta"))
+        .orderBy("bucket")
+    }),
+
+    // The one-row total-variation summary of the same drift
+    "dq_drift_tvd" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      histogramDriftTvd(
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1),
+        "o_totalprice", 0.0, 600000.0, 12)
+    }),
+
     // Pearson correlation over cent-quantized lineitem measures: one
     // pass, exact integer sums, fixed double expression tree
     "dq_corr" -> ((s, dir) =>
@@ -242,10 +320,43 @@ object Profiler {
          | CAST(MAX($c) AS VARCHAR) AS max_str FROM orders""".stripMargin
     }.mkString(s"SELECT $select FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
+  /** Shared drift CTE: bucketed counts per snapshot half (even/odd
+    * orderkey), full-joined with totals — mirrors [[histogramDrift]]'s
+    * bucket math exactly (same literals as the dq_histogram oracle).
+    */
+  private val driftCte = {
+    def half(parity: Int, n: String) =
+      s"""SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN CAST(-1 AS BIGINT)
+         |             WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN CAST(12 AS BIGINT)
+         |             ELSE CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0) AS BIGINT)
+         |        END AS bucket, COUNT(*) AS $n
+         | FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = $parity
+         | GROUP BY 1""".stripMargin
+    s"""ha AS (${half(0, "n_a")}),
+       |hb AS (${half(1, "n_b")}),
+       |j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+       |   COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+       |  FROM ha FULL JOIN hb ON ha.bucket = hb.bucket),
+       |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "dq_profile" -> profileSql("*"),
     "dq_profile_approx" -> profileSql(
       "column_name, n_rows, n_nulls, n_distinct, TRUE AS sketch_ok"),
+    "dq_drift" ->
+      s"""WITH $driftCte
+         |SELECT bucket, n_a, n_b,
+         | CAST(ABS(n_a * tb - n_b * ta) AS BIGINT) AS cross_delta
+         |FROM j, t ORDER BY bucket""".stripMargin,
+    "dq_drift_tvd" ->
+      s"""WITH $driftCte,
+         |s AS (SELECT CAST(SUM(ABS(n_a * tb - n_b * ta)) AS VARCHAR) AS num,
+         |   CAST(ta AS VARCHAR) AS na, CAST(tb AS VARCHAR) AS nb
+         |  FROM j, t GROUP BY ta, tb)
+         |SELECT CAST(num AS DOUBLE)
+         |  / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
+         |FROM s""".stripMargin,
     "dq_histogram" ->
       """WITH b AS (
         | SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN CAST(-1 AS BIGINT)

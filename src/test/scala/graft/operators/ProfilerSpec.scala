@@ -65,4 +65,23 @@ class ProfilerSpec extends SparkSpec {
     // one aggregate pair (partial+final), no join, no extra scans
     assert(!plan.contains("Join"), s"correlation plan joins:\n$plan")
   }
+
+  test("histogram drift: hand-computed counts, cross deltas and TVD; identical snapshots drift 0") {
+    // A: 3 rows in bucket 0, 1 in bucket 1 (N_a=4)
+    // B: 1 row  in bucket 0, 1 in bucket 1, 2 in bucket 2 (N_b=4)
+    val a = Seq(1.0, 2.0, 3.0, 15.0).toDF("v")
+    val b = Seq(4.0, 12.0, 25.0, 27.0).toDF("v")
+    val d = Profiler.histogramDrift(a, b, "v", 0.0, 30.0, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact())).toMap
+    assert(d(0L) == ((3L, 1L, 8L)))  // |3*4 - 1*4|
+    assert(d(1L) == ((1L, 1L, 0L)))
+    assert(d(2L) == ((0L, 2L, 8L)))  // bucket only on the B side
+    // TVD = (8+0+8) / (2*4*4) = 0.5 — exactly half the mass moved
+    val tvd = Profiler.histogramDriftTvd(a, b, "v", 0.0, 30.0, 3)
+      .head().getDouble(0)
+    assert(tvd == 0.5)
+    // identical snapshots: zero drift
+    assert(Profiler.histogramDriftTvd(a, a, "v", 0.0, 30.0, 3).head().getDouble(0) == 0.0)
+  }
 }
