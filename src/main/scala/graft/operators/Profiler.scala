@@ -94,16 +94,33 @@ object Profiler {
   def histogramDrift(
       a: DataFrame, b: DataFrame, c: String,
       lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ha = histogram(a, c, lo, hi, bins).select(col("bucket"), col("n").as("n_a"))
-    val hb = histogram(b, c, lo, hi, bins).select(col("bucket"), col("n").as("n_b"))
-    val na = ha.agg(sum(col("n_a")).as("total_a"))
-    val nb = hb.agg(sum(col("n_b")).as("total_b"))
-    ha.join(hb, Seq("bucket"), "full_outer")
-      .select(col("bucket"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    val width = (hi - lo) / bins
+    // union-tag both sides and aggregate ONCE: each input is scanned
+    // exactly one time (a histogram-per-side + totals formulation was
+    // measured planning FOUR scans — totals re-derived the
+    // histograms). Missing buckets need no outer join: a bucket seen
+    // on one side simply counts 0 on the other.
+    def side(df: DataFrame, tag: Int) = {
+      val x = col(c).cast("double")
+      df.where(x.isNotNull).select(
+        when(x < lo, lit(-1L)).when(x >= hi, lit(bins.toLong))
+          .otherwise(floor((x - lo) / width).cast("long")).as("bucket"),
+        lit(tag).as("side"))
+    }
+    val j = side(a, 0).unionAll(side(b, 1))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    // totals via an unpartitioned whole-frame window — the input here
+    // is the aggregated bucket table (≤ bins+2 rows), so the
+    // single-partition window costs nothing and avoids re-deriving
+    // the counts through a second plan branch
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    j.withColumn("total_a", sum(col("n_a")).over(w))
+      .withColumn("total_b", sum(col("n_b")).over(w))
       .select(col("bucket"), col("n_a"), col("n_b"),
         abs(col("n_a").cast(dec) * col("total_b").cast(dec)
           - col("n_b").cast(dec) * col("total_a").cast(dec)).as("cross_delta"))

@@ -298,14 +298,23 @@ object TextAnalysis {
     * 1-row broadcast cross join, never a driver round-trip.
     */
   def commonness(docs: DataFrame): DataFrame = {
+    // df derives FROM the tf table (the tfidfTop shape): the join is
+    // at the (doc, term) grain — |tf| rows, far smaller than the raw
+    // occurrence stream — and per-occurrence sums are recovered
+    // exactly from it (Σ_occurrences df = Σ_distinct tf·df; hapax
+    // occurrences = tf where df = 1). A pipeline computing several
+    // token statistics shares ONE persisted tf table across them (the
+    // DedupPlan ownership pattern) — that, not this single query, is
+    // where the second corpus scan disappears at 100 TB.
     val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
-    val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tok.join(dfreq, Seq("tok"))
+    tf.join(dfreq, Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("df")).as("sum_df"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("df")).as("sum_df"),
+        sum(when(col("df") === 1, col("tf")).otherwise(0L)).as("n_hapax"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("n_tokens"), col("sum_df"), col("n_hapax"),
         (col("sum_df").cast("double") / (col("n_tokens") * col("n_docs")))
