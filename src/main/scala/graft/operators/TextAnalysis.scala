@@ -321,9 +321,81 @@ object TextAnalysis {
           .as("mean_df_ratio"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the
+    * training-sequence prep step that turns documents into
+    * `chunkSize`-token windows every `stride` tokens (trailing window
+    * kept iff it adds uncovered tokens; a short doc is one chunk).
+    * Pure per-row array work: sequence/filter/explode/slice are all
+    * codegen'd, the operator is shuffle-free and scales linearly with
+    * input splits — chunking 100 TB is exactly one pass. Chunk
+    * identity travels as an md5 of the joined window so downstream
+    * exact-dedup of chunks reuses [[Dedup.exact]] unchanged.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need chunkSize >= stride > 0")
+    val overlap = chunkSize - stride
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      // Window starts: every multiple of stride below n, minus starts
+      // whose window would only re-cover the previous chunk's tail
+      // (start + overlap >= n). start 0 always survives.
+      .select(col("doc_id"), col("t"),
+        explode(filter(
+          sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(stride)),
+          st => st === 0 || st + overlap < size(col("t")))).as("st"))
+      .select(
+        col("doc_id"),
+        (col("st") / stride).cast("long").as("chunk_idx"),
+        col("st").cast("long").as("start_tok"),
+        size(slice(col("t"), col("st") + 1, lit(chunkSize))).cast("long")
+          .as("n_chunk_toks"),
+        md5(concat_ws(" ", slice(col("t"), col("st") + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+  }
+
+  /** Lexical top-k retrieval over an inverted index: each query doc
+    * (doc_id % queryMod == 0) retrieves the k corpus docs sharing the
+    * most informative distinct terms, scored by an integer idf
+    * surrogate Σ (N·10⁶ div df) — rank-preserving in 1/df, exact on
+    * every engine (a float log-idf would hash-diverge cross-engine;
+    * 64-bit integer division cannot).
+    *
+    * The scale shape is the retrieval system's, not a similarity scan:
+    * the corpus posting list is TERM-KEYED — queries and candidates
+    * meet in a shuffle join on term (never a broadcast vocabulary,
+    * never a doc×doc product), per-(query, doc) scores come out of one
+    * partial aggregation, and the final top-k is a row_number window
+    * whose partial WindowGroupLimit bounds each query's candidates
+    * map-side. Cost is O(Σ_term q_df·df) — the posting-list
+    * intersection bound — not O(Q·N).
+    */
+  def lexicalTopK(docs: DataFrame, queryMod: Int = 101, k: Int = 5): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val qterms = terms.where(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val postings = terms.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("idf_i", expr("(n_docs * 1000000) div df"))
+    val scored = qterms.join(postings, Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("idf_i")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("n_shared").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_shared"), col("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tfidf" -> ((s, dir) =>
       tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
+    "ta_chunk" -> ((s, dir) =>
+      chunk(table(s, dir, "documents")).orderBy("doc_id", "chunk_idx")),
+    "ta_search" -> ((s, dir) =>
+      lexicalTopK(table(s, dir, "documents")).orderBy("query_id", "rank")),
     "ta_commonness" -> ((s, dir) =>
       commonness(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_tokens" -> ((s, dir) => tokenStats(table(s, dir, "documents")).orderBy("doc_id")),
@@ -337,6 +409,35 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    "ta_search" ->
+      s"""WITH tok_raw AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, term FROM tok_raw),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |q AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id % 101 = 0),
+         |sc AS (SELECT q.query_id, tok.doc_id,
+         |   COUNT(*) AS n_shared,
+         |   SUM((n.n_docs * 1000000) // dfreq.df) AS score
+         |  FROM q JOIN tok USING (term) JOIN dfreq USING (term) CROSS JOIN n
+         |  WHERE tok.doc_id <> q.query_id
+         |  GROUP BY q.query_id, tok.doc_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, n_shared DESC, doc_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         | CAST(n_shared AS BIGINT) AS n_shared, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ta_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |s AS (SELECT doc_id, t,
+         |  unnest(list_filter(generate_series(0, greatest(len(t) - 1, 0), 24),
+         |    st -> st = 0 OR st + 8 < len(t))) AS st
+         |  FROM t)
+         |SELECT doc_id,
+         | CAST(st // 24 AS BIGINT) AS chunk_idx,
+         | CAST(st AS BIGINT) AS start_tok,
+         | CAST(len(list_slice(t, st + 1, st + 32)) AS BIGINT) AS n_chunk_toks,
+         | md5(array_to_string(list_slice(t, st + 1, st + 32), ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "ta_commonness" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |dfreq AS (SELECT tok, COUNT(*) AS df

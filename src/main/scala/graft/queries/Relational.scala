@@ -533,6 +533,53 @@ object Relational {
         .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"), col("qty"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
+
+    // Ordered funnel (view -> click -> purchase): a user advances a
+    // step only with an event STRICTLY AFTER the previous step's first
+    // completion. One shuffle on user_id; both "first prior step" marks
+    // are running-min window frames over the SAME (user_id, ts,
+    // event_id) sort, so Catalyst plans a single Exchange + one sort
+    // and the funnel costs no joins at all — the shape that holds when
+    // the event log is 100 TB and a per-step self-join would be three
+    // fact-scale shuffles.
+    "q35_funnel" -> ((s, dir) => {
+      val prior = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prior_view",
+          min(when(col("event_type") === "view", col("ts"))).over(prior))
+        .withColumn("is_click2",
+          col("event_type") === "click" && col("prior_view").isNotNull)
+        .withColumn("prior_click2",
+          min(when(col("is_click2"), col("ts"))).over(prior))
+        .agg(
+          countDistinct(when(col("event_type") === "view", col("user_id")))
+            .as("users_view"),
+          countDistinct(when(col("is_click2"), col("user_id")))
+            .as("users_click_after_view"),
+          countDistinct(when(col("event_type") === "purchase" &&
+            col("prior_click2").isNotNull, col("user_id")))
+            .as("users_purchase_funnel"))
+    }),
+
+    // Cohort retention: users grouped by first-active day, distinct
+    // actives counted at each day offset. The cohort table comes from
+    // ONE user_id-keyed aggregation; the join back reuses that hash
+    // partitioning (exchange reuse, no second fact shuffle), and the
+    // final (cohort, offset) aggregation shuffles only
+    // O(cohorts x offsets) partially-aggregated rows.
+    "q36_retention" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -782,5 +829,36 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q35_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+        | FROM events),
+        |e2 AS (
+        | SELECT *, (event_type = 'click' AND prior_view IS NOT NULL) AS is_click2
+        | FROM e),
+        |e3 AS (
+        | SELECT *,
+        |  MIN(CASE WHEN is_click2 THEN ts END) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click2
+        | FROM e2)
+        |SELECT
+        | COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS users_view,
+        | COUNT(DISTINCT CASE WHEN is_click2 THEN user_id END) AS users_click_after_view,
+        | COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND prior_click2 IS NOT NULL
+        |       THEN user_id END) AS users_purchase_funnel
+        |FROM e3""".stripMargin,
+    "q36_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day,
+        | CAST(date_diff('day', cohort_day, d) AS BIGINT) AS offset_days,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin,
   )
 }

@@ -625,4 +625,48 @@ class OperatorsSpec extends SparkSpec {
     ranks.foreach(x => assert(
       x.getSeq[Long](1).sorted == (1L to x.getSeq[Long](1).size)))
   }
+
+  test("chunk: full token coverage, stride-aligned starts, trailing-chunk rule") {
+    import spark.implicits._
+    // 0, size-1, size, size+1, exactly-two-chunks, and a long doc
+    val docs = Seq(10, 31, 32, 33, 56, 200).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val c = TextAnalysis.chunk(docs, chunkSize = 32, stride = 24).collect()
+    val byDoc = c.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    for ((doc, rows) <- byDoc) {
+      val n = Seq(10, 31, 32, 33, 56, 200)(doc.toInt)
+      // chunk_idx dense from 0, starts at multiples of the stride
+      assert(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong))
+      rows.foreach(r => assert(r.getLong(2) == r.getLong(1) * 24))
+      // last chunk reaches exactly the end of the doc; others are full
+      val last = rows.last
+      assert(last.getLong(2) + last.getLong(3) == n, s"doc $doc not covered")
+      rows.init.foreach(r => assert(r.getLong(3) == 32))
+      // trailing-window rule: a chunk beyond the first must add tokens
+      // past the previous chunk's end minus the overlap
+      val expected = if (n <= 32) 1 else ((n - 32 + 23) / 24) + 1
+      assert(rows.size == expected, s"doc $doc: ${rows.size} != $expected chunks")
+    }
+  }
+
+  test("lexical search: self excluded, k bounded, idf favors the rarer term") {
+    import spark.implicits._
+    // query doc 0 shares 'rare' with doc 3 and 'common' with all;
+    // rare has df=2, common df=5 → doc 3 must outrank docs 1,2
+    val docs = Seq(
+      (0L, "rare common alpha"),
+      (1L, "common beta x"),
+      (2L, "common gamma y"),
+      (3L, "rare common z"),
+      (4L, "unrelated words only")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lexicalTopK(docs, queryMod = 101, k = 2)
+    val hits = r.where(col("query_id") === 0).orderBy("rank").collect()
+    assert(hits.forall(_.getLong(2) != 0L), "query doc retrieved itself")
+    assert(hits.length <= 2)
+    assert(hits.head.getLong(2) == 3L, s"expected doc 3 first: ${hits.mkString(",")}")
+    // scores non-increasing in rank
+    assert(hits.map(_.getLong(4)).toSeq == hits.map(_.getLong(4)).sortBy(-_).toSeq)
+  }
 }

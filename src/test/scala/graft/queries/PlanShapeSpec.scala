@@ -131,6 +131,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("funnel: both step windows share ONE user_id exchange, zero joins") {
+    val df = Relational.queries("q35_funnel")(spark, Sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("Join"), plan.take(1000))
+    // partitioned on the BARE user_id attribute — the count-distinct
+    // Expand exchange also mentions user_id, inside CASE expressions
+    val userExchanges = initialPlan(df).collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.toString.startsWith("hashpartitioning(user_id#") => s
+    }
+    assert(userExchanges.size == 1,
+      s"both running-min windows must reuse one user_id shuffle, got ${userExchanges.size}")
+  }
+
+  test("chunk is shuffle-free: pure per-row generate, scales with input splits") {
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+    val c = graft.operators.TextAnalysis.chunk(docs)
+    val shuffles = initialPlan(c).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"chunking must not shuffle: $shuffles")
+    assert(planString(c).contains("Generate"), planString(c).take(600))
+  }
+
+  test("lexical search: term-keyed join with partial top-k, no doc-cross product") {
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+    val r = graft.operators.TextAnalysis.lexicalTopK(docs)
+    val plan = planString(r)
+    assert(plan.contains("WindowGroupLimit"), plan.take(1000))
+    assert(!plan.contains("CartesianProduct"), plan.take(1000))
+  }
+
   test("source cap: partial WindowGroupLimit below the shuffle (hot source bounded map-side)") {
     // Sampling.sourceCap documents that a hot domain doesn't flood one
     // partition because the per-source top-k runs PARTIAL below the

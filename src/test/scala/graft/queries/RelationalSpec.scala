@@ -43,4 +43,34 @@ class RelationalSpec extends SparkSpec {
     assert(d.where(col("asof_purchase_ts") > col("click_ts")).count() == 0)
     assert(d.count() > 0)
   }
+
+  test("funnel: step counts monotonically shrink and order matters") {
+    val r = Relational.queries("q35_funnel")(spark, Sf0001).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must shrink: $v >= $c >= $p")
+    assert(v > 0)
+    // order-blind step-2 count (any view AND any click, regardless of
+    // sequence) must be >= the ordered count — the window frame is
+    // enforcing "click strictly after first view", not co-occurrence
+    val ev = graft.GraftSession.table(spark, Sf0001, "events")
+    val unordered = ev.groupBy(col("user_id"))
+      .agg(max(col("event_type") === "view").as("hv"),
+        max(col("event_type") === "click").as("hc"))
+      .where(col("hv") && col("hc")).count()
+    assert(unordered >= c)
+  }
+
+  test("retention: offset-0 count equals cohort size, actives never exceed it") {
+    val d = Relational.queries("q36_retention")(spark, Sf0001)
+    val day0 = d.where(col("offset_days") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    // every cohort has an offset-0 row (each user is active on their
+    // own first day by construction)
+    val cohorts = d.select("cohort_day").distinct().count()
+    assert(day0.count() == cohorts)
+    val violations = d.join(day0, "cohort_day")
+      .where(col("n_users") > col("cohort_size")).count()
+    assert(violations == 0, "a later offset retained more users than the cohort has")
+    assert(d.where(col("offset_days") < 0).count() == 0)
+  }
 }
