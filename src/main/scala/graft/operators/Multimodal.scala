@@ -186,6 +186,58 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException                               => None
       }
+
+    /** 64-bit energy-delta fingerprint: Σ|sample| per 65 equal
+      * windows (exact Long sums — |s| ≤ 2¹⁵ so even 2⁴⁸ samples per
+      * window cannot overflow), bit i = window i+1 strictly louder
+      * than window i. None for non-audio or < 65 samples.
+      */
+    def fingerprint(payload: Array[Byte]): Option[Long] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val nSamples = ais.getFrameLength * fmt.getChannels
+            if (nSamples < 65) None
+            else {
+              val big = fmt.isBigEndian
+              val energy = new Array[Long](65)
+              val buf = new Array[Byte](8192)
+              var idx = 0L
+              var read = ais.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i + 1 < read) {
+                  val s =
+                    if (big) (buf(i) << 8) | (buf(i + 1) & 0xff)
+                    else (buf(i + 1) << 8) | (buf(i) & 0xff)
+                  // window index by exact integer scaling — the same
+                  // partition every engine/locale would compute
+                  val w = ((idx * 65) / nSamples).toInt
+                  if (w < 65) energy(w) += math.abs(s)
+                  idx += 1
+                  i += 2
+                }
+                read = ais.read(buf)
+              }
+              var h = 0L
+              var b = 0
+              while (b < 64) {
+                if (energy(b + 1) > energy(b)) h |= (1L << b)
+                b += 1
+              }
+              Some(h)
+            }
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException                               => None
+      }
   }
 
   /** ======================= REAL VIDEO CODEC =======================
@@ -454,6 +506,41 @@ object Multimodal {
     Dedup.bandedFingerprintPairs(
       imageDHashes(catalog)
         .select(col("media_id").as("doc_id"), col("dhash").as("fp")),
+      bits = 64, maxHamming = maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
+  /** Perceptual fingerprints for decodable AUDIO payloads: a 64-bit
+    * energy-delta hash (the dHash idea transposed to time) — the
+    * sample stream is cut into 65 equal windows, each window's
+    * Σ|sample| accumulates exactly in a Long, and bit i is set iff
+    * window i+1 is strictly louder than window i. Gain-invariant by
+    * construction (uniform scaling preserves the loudness ordering),
+    * so the same recording at different volumes collides at hamming 0.
+    * Non-audio / sub-65-sample payloads produce no row.
+    */
+  def audioFingerprints(catalog: DataFrame): DataFrame = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        AudioCodec.fingerprint(payload).map(h => (id, h))
+      }
+      .toDF("media_id", "afp")
+  }
+
+  /** Audio near-dup pairs: the energy-delta fingerprints fed through
+    * the SAME banded hamming machinery as text simhash and image
+    * dHash ([[Dedup.bandedFingerprintPairs]]) — candidate generation
+    * is a banded bucket join over distinct fingerprint values, never
+    * an all-pairs comparison. One fingerprint pass + one banded join:
+    * the shape that dedups an audio corpus at 100 TB.
+    */
+  def audioNearDupPairs(catalog: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.bandedFingerprintPairs(
+      audioFingerprints(catalog)
+        .select(col("media_id").as("doc_id"), col("afp").as("fp")),
       bits = 64, maxHamming = maxHamming)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 

@@ -91,17 +91,21 @@ object Profiler {
     * [[histogram]] plan) + a tiny O(buckets) outer join; totals ride
     * in as 1-row broadcast cross joins. Nothing row-sized shuffles.
     */
-  def histogramDrift(
+  /** The drift aggregation stage alone: union-tag both sides, bucket,
+    * and count in ONE map-side-combinable aggregation — each input is
+    * scanned exactly once, state is O(bins). Split out because this
+    * stage is the streamable part: [[graft.streaming.Streaming]]'s
+    * drift twin runs exactly this plan over unbounded inputs (the
+    * totals/cross_delta finish below needs a second pass over the
+    * aggregate, which streaming state cannot nest).
+    */
+  def driftBucketCounts(
       a: DataFrame, b: DataFrame, c: String,
       lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val width = (hi - lo) / bins
-    // union-tag both sides and aggregate ONCE: each input is scanned
-    // exactly one time (a histogram-per-side + totals formulation was
-    // measured planning FOUR scans — totals re-derived the
-    // histograms). Missing buckets need no outer join: a bucket seen
-    // on one side simply counts 0 on the other.
+    // Missing buckets need no outer join: a bucket seen on one side
+    // simply counts 0 on the other.
     def side(df: DataFrame, tag: Int) = {
       val x = col(c).cast("double")
       df.where(x.isNotNull).select(
@@ -109,10 +113,17 @@ object Profiler {
           .otherwise(floor((x - lo) / width).cast("long")).as("bucket"),
         lit(tag).as("side"))
     }
-    val j = side(a, 0).unionAll(side(b, 1))
+    side(a, 0).unionAll(side(b, 1))
       .groupBy(col("bucket"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+  }
+
+  def histogramDrift(
+      a: DataFrame, b: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val j = driftBucketCounts(a, b, c, lo, hi, bins)
     // totals via an unpartitioned whole-frame window — the input here
     // is the aggregated bucket table (≤ bins+2 rows), so the
     // single-partition window costs nothing and avoids re-deriving
@@ -236,6 +247,38 @@ object Profiler {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Winsorization summary: exact [pLo, pHi] percentile fences for a
+    * numeric column plus how the corpus falls against them — the
+    * outlier-clipping decision data (how many rows clip, what survives)
+    * computed without materializing a clipped copy. Fences ride into
+    * the counting pass as a 1-row broadcast; counts are exact integers
+    * and the kept-mass sum goes through DECIMAL(18,2) (addition-order-
+    * free). The percentile here is Spark's exact interpolated
+    * aggregate — at 100 TB swap `approx_percentile` in for the fence
+    * computation (the q27 gate covers that sketch's semantics); the
+    * clip pass itself is one map-side-combinable aggregation either
+    * way.
+    */
+  def winsorize(df: DataFrame, c: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val fences = df.agg(
+      expr(s"percentile($c, $pLo)").as("p_lo"),
+      expr(s"percentile($c, $pHi)").as("p_hi"))
+    val x = col(c).cast("double")
+    df.select(x.as("x")).crossJoin(broadcast(fences))
+      .agg(
+        min(col("p_lo")).as("p_lo"),
+        min(col("p_hi")).as("p_hi"),
+        sum(when(col("x") < col("p_lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("x") > col("p_hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(when(col("x").between(col("p_lo"), col("p_hi")), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("x").between(col("p_lo"), col("p_hi")), col("x").cast(dec)))
+          .cast("double").as("kept_sum"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -280,6 +323,9 @@ object Profiler {
     // orders (even vs odd orderkey): per-bucket counts + exact
     // cross-product TV numerators. The test-scale numerators fit BIGINT
     // for the gate hash; the operator keeps DECIMAL(38,0) for scale.
+    "dq_winsorize" -> ((s, dir) =>
+      winsorize(table(s, dir, "orders"), "o_totalprice")),
+
     "dq_drift" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       histogramDrift(
@@ -361,6 +407,16 @@ object Profiler {
     "dq_profile" -> profileSql("*"),
     "dq_profile_approx" -> profileSql(
       "column_name, n_rows, n_nulls, n_distinct, TRUE AS sketch_ok"),
+    "dq_winsorize" ->
+      """WITH qs AS (SELECT quantile_cont(o_totalprice, 0.01) AS p_lo,
+        |  quantile_cont(o_totalprice, 0.99) AS p_hi FROM orders)
+        |SELECT MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi,
+        | CAST(SUM(CASE WHEN o_totalprice < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        | CAST(SUM(CASE WHEN o_totalprice > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        | CAST(SUM(CASE WHEN o_totalprice BETWEEN p_lo AND p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN o_totalprice BETWEEN p_lo AND p_hi
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS kept_sum
+        |FROM orders CROSS JOIN qs""".stripMargin,
     "dq_drift" ->
       s"""WITH $driftCte
          |SELECT bucket, n_a, n_b,

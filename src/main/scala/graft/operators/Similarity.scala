@@ -216,6 +216,42 @@ object Similarity {
       .select(col("vec_id"), col("cluster"))
   }
 
+  /** Cluster labeling: the top-m most DISTINCTIVE terms per embedding
+    * cluster — the step that turns an unlabeled k-means partition into
+    * a human-readable topic map of the corpus. Distinctiveness is
+    * integer lift in ppm: (cdf/csize) ÷ (df/N) = (cdf·N·10⁶) div
+    * (df·csize) — how over-represented the term is inside the cluster
+    * vs the corpus, computed entirely in 64-bit integer arithmetic so
+    * every engine ranks identically.
+    *
+    * Scale shape: the doc→cluster assignment joins the distinct
+    * (doc, term) stream on doc_id (one fact-keyed shuffle), cluster
+    * term counts and global df are both map-side-combinable
+    * aggregations, the corpus size rides in as a 1-row broadcast, and
+    * the final top-m is a per-cluster window over the (clusters ×
+    * vocab) table — already tiny relative to the corpus.
+    */
+  def clusterTerms(emb: DataFrame, docs: DataFrame,
+      k: Int, iters: Int, m: Int): DataFrame = {
+    val assigned = kmeansFit(emb, k, iters)
+    val toks = split(trim(col("text")), " +")
+    val dterm = docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+    val cdf = dterm.join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("cdf"))
+    val csize = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    val dfreq = dterm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = cdf.join(csize, Seq("cluster")).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_ppm", expr("(cdf * n_docs * 1000000) div (df * csize)"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("lift_ppm").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= m)
+      .select(col("cluster"), col("rank"), col("term"),
+        col("cdf"), col("df"), col("lift_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full k-means assignment after one Lloyd round from the
     // deterministic k-lowest-id init — every vector's cluster checked
@@ -230,6 +266,12 @@ object Similarity {
     "ss_knn" -> ((s, dir) =>
       bruteForceTopK(table(s, dir, "embeddings"), numQueries = 5, k = 10)
         .orderBy("query_id", "rank")),
+    // topic labels for the k-means clusters: vec_id ↔ doc_id share the
+    // id space in the test tables (the embedding of document i)
+    "ss_cluster_terms" -> ((s, dir) =>
+      clusterTerms(table(s, dir, "embeddings"), table(s, dir, "documents"),
+        k = 4, iters = 1, m = 3)
+        .orderBy("cluster", "rank")),
     "ss_ann_lsh" -> ((s, dir) =>
       lshTopK(table(s, dir, "embeddings"), numQueries = 5, k = 10)
         .orderBy("query_id", "rank")),
@@ -326,6 +368,26 @@ object Similarity {
     "ss_kmeans" ->
       s"""WITH ${kmeansSqlCtes(4)}
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    "ss_cluster_terms" ->
+      s"""WITH ${kmeansSqlCtes(4)},
+         |tokr AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(text), ' +')) AS term FROM documents),
+         |dterm AS (SELECT DISTINCT doc_id, term FROM tokr),
+         |cdf AS (SELECT a2.cluster, dterm.term, COUNT(*) AS cdf
+         |  FROM dterm JOIN a2 ON dterm.doc_id = a2.vec_id
+         |  GROUP BY a2.cluster, dterm.term),
+         |csize AS (SELECT cluster, COUNT(*) AS csize FROM a2 GROUP BY cluster),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM dterm GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |sc AS (SELECT cluster, term, cdf, df,
+         |   (cdf * n_docs * 1000000) // (df * csize) AS lift_ppm
+         |  FROM cdf JOIN csize USING (cluster) JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY lift_ppm DESC, term) AS rank FROM sc)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rank AS BIGINT) AS rank,
+         | term, CAST(cdf AS BIGINT) AS cdf, CAST(df AS BIGINT) AS df,
+         | CAST(lift_ppm AS BIGINT) AS lift_ppm
+         |FROM r WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin,
     "ss_diverse_sample" ->
       s"""WITH ${kmeansSqlCtes(4)},
          |r AS (SELECT vec_id, cluster,

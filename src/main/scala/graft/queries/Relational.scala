@@ -564,6 +564,33 @@ object Relational {
             .as("users_purchase_funnel"))
     }),
 
+    // First-touch attribution: every purchase credits the event type
+    // that OPENED its session (>30-min-gap sessionization, the q13
+    // rule). No session table is materialized and no join runs: the
+    // session-opener's type rides forward on a running last-non-null
+    // window over the same (user_id, ts, event_id) sort the gap
+    // detection uses, so the whole attribution is ONE user_id shuffle
+    // and a final O(event_types) aggregation. Revenue sums exact cents.
+    "q37_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000 * 1000,
+            1L).otherwise(0L))
+        .withColumn("first_type",
+          last(when(col("new_sess") === 1, col("event_type")), ignoreNulls = true)
+            .over(run))
+        .where(col("event_type") === "purchase")
+        .groupBy(col("first_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+        .orderBy("first_type")
+    }),
+
     // Cohort retention: users grouped by first-active day, distinct
     // actives counted at each day offset. The cohort table comes from
     // ONE user_id-keyed aggregation; the join back reuses that hash
@@ -851,6 +878,24 @@ object Relational {
         | COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND prior_click2 IS NOT NULL
         |       THEN user_id END) AS users_purchase_funnel
         |FROM e3""".stripMargin,
+    "q37_attribution" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |e2 AS (
+        | SELECT *,
+        |  LAST_VALUE(CASE WHEN new_sess = 1 THEN event_type END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS first_type
+        | FROM e)
+        |SELECT first_type, COUNT(*) AS n_purchases, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM e2 WHERE event_type = 'purchase'
+        |GROUP BY first_type ORDER BY first_type""".stripMargin,
     "q36_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |c AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)

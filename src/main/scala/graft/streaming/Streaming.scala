@@ -192,6 +192,21 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"), sum(col("__h").cast(dec38)).as("hsum"))
   }
 
+  /** Continuous distribution drift — the streaming twin of
+    * [[graft.operators.Profiler.histogramDrift]]: both streams union
+    * into the SAME one-pass per-bucket count aggregation the batch
+    * operator plans ([[graft.operators.Profiler.driftBucketCounts]] is
+    * shared code, not a re-implementation), maintained as O(bins)
+    * streaming state in complete mode. The cross_delta / TVD finish is
+    * stateless O(bins) arithmetic the consumer applies per trigger —
+    * the stream itself never holds more than the bucket counts, so a
+    * reference snapshot can be compared against an unbounded live feed
+    * indefinitely.
+    */
+  def driftStream(a: DataFrame, b: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int): DataFrame =
+    graft.operators.Profiler.driftBucketCounts(a, b, c, lo, hi, bins)
+
   /** Continuous two-stream diff: union both streams with a side tag
     * and keep ONE stateful aggregation of per-(bucket, side)
     * fingerprints — a live `mismatch` flag per bucket, O(numBuckets)

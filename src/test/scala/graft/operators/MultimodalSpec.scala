@@ -258,4 +258,49 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(x => x.getInt(1) == 64 && x.getInt(2) == 64))
     assert(rows.forall(_.getLong(3) >= 1))
   }
+
+  test("audio near-dup: gain-invariant fingerprint pairs the same recording at different volumes") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // amplitude-ramped sine: window energies strictly ordered, so the
+    // energy-delta fingerprint is stable under uniform gain but flips
+    // completely when the envelope direction reverses
+    def rampWav(gain: Double, up: Boolean): Array[Byte] = {
+      val n = 13000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val pos = if (up) i else n - 1 - i
+        val s = (gain * pos / n * 32767 *
+          math.sin(2 * math.Pi * 440 * i / 16000.0)).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(16000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val cat = Seq(
+      (1L, rampWav(0.9, up = true)),
+      (2L, rampWav(0.3, up = true)),   // same recording, -9.5 dB
+      (3L, rampWav(0.9, up = false)),  // reversed envelope — unrelated
+      (4L, "not audio at all".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val fps = Multimodal.audioFingerprints(cat).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L)) // non-audio payload dropped
+    assert(fps(1L) == fps(2L), "gain change must not move the fingerprint")
+    assert(fps(1L) != fps(3L))
+    val pairs = Multimodal.audioNearDupPairs(cat, maxHamming = 8)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0L, s"got $got")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"reversed-envelope audio paired: $got")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(800))
+  }
 }

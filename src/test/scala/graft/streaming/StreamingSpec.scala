@@ -175,6 +175,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift stream: bucket counts converge to the batch histogramDrift counts") {
+    implicit val sq = spark.sqlContext
+    val memA = MemoryStream[Streaming.Event]
+    val memB = MemoryStream[Streaming.Event]
+    val q = Streaming.driftStream(memA.toDF(), memB.toDF(), "value",
+        lo = 0.0, hi = 100.0, bins = 8)
+      .writeStream.format("memory").queryName("sdrift").outputMode("complete").start()
+    try {
+      val events = typedEvents
+      val (evenSide, oddSide) = events.partition(_.event_id % 2 == 0)
+      // deliver each side across two micro-batch lines — state must
+      // accumulate, not recompute per batch
+      memA.addData(evenSide.take(evenSide.size / 2))
+      memB.addData(oddSide.take(oddSide.size / 2))
+      q.processAllAvailable()
+      memA.addData(evenSide.drop(evenSide.size / 2))
+      memB.addData(oddSide.drop(oddSide.size / 2))
+      q.processAllAvailable()
+      val streamed = spark.table("sdrift")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Profiler.driftBucketCounts(
+          eventsDf.where(col("event_id") % 2 === 0),
+          eventsDf.where(col("event_id") % 2 === 1),
+          "value", 0.0, 100.0, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("two-stream diff flags a mutated stream permanently") {
     implicit val sq = spark.sqlContext
     val memS = MemoryStream[Streaming.Event]
