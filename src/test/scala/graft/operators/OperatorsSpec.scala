@@ -626,6 +626,27 @@ class OperatorsSpec extends SparkSpec {
       x.getSeq[Long](1).sorted == (1L to x.getSeq[Long](1).size)))
   }
 
+  test("cluster terms: dense ranks, lift ordered, terms come from the cluster's docs") {
+    val emb = GraftSession.table(spark, Sf0001, "embeddings")
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+    val ct = Similarity.clusterTerms(emb, docs, k = 4, iters = 1, m = 3).collect()
+    assert(ct.nonEmpty)
+    val byCluster = ct.groupBy(_.getLong(0))
+    for ((_, rows) <- byCluster) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.size))
+      // lift never increases with rank
+      val lifts = sorted.map(_.getLong(5)).toSeq
+      assert(lifts == lifts.sortBy(-_), s"lift out of order: $lifts")
+      // a term's in-cluster doc count never exceeds its global df
+      sorted.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+    }
+    // every k-means cluster with docs gets labels
+    val clusters = Similarity.kmeansFit(emb, 4, 1)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(byCluster.keySet.subsetOf(clusters))
+  }
+
   test("chunk: full token coverage, stride-aligned starts, trailing-chunk rule") {
     import spark.implicits._
     // 0, size-1, size, size+1, exactly-two-chunks, and a long doc

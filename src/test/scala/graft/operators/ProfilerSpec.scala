@@ -84,4 +84,19 @@ class ProfilerSpec extends SparkSpec {
     // identical snapshots: zero drift
     assert(Profiler.histogramDriftTvd(a, a, "v", 0.0, 30.0, 3).head().getDouble(0) == 0.0)
   }
+
+  test("winsorize: hand-computed fences and clip counts on 1..100, masses conserved") {
+    import spark.implicits._
+    val d = (1 to 100).map(_.toDouble).toDF("x")
+    val r = Profiler.winsorize(d, "x", 0.05, 0.95).head()
+    // interpolated exact percentiles: 1 + 0.05*99 and 1 + 0.95*99
+    assert(r.getDouble(0) == 5.95 && r.getDouble(1) == 95.05)
+    assert(r.getLong(2) == 5 && r.getLong(3) == 5 && r.getLong(4) == 90)
+    // kept mass: 6..95 inclusive
+    assert(r.getDouble(5) == (6 to 95).sum.toDouble)
+    // degenerate distribution: nothing clips
+    val const = Seq.fill(50)(7.0).toDF("x")
+    val rc = Profiler.winsorize(const, "x", 0.01, 0.99).head()
+    assert(rc.getLong(2) == 0 && rc.getLong(3) == 0 && rc.getLong(4) == 50)
+  }
 }

@@ -60,6 +60,19 @@ class RelationalSpec extends SparkSpec {
     assert(unordered >= c)
   }
 
+  test("attribution: every purchase credited exactly once, cents conserved") {
+    val ev = graft.GraftSession.table(spark, Sf0001, "events")
+      .where(col("event_type") === "purchase")
+    val expectedN = ev.count()
+    val expectedCents = ev
+      .agg(sum(round(col("value") * 100).cast("long"))).collect()(0).getLong(0)
+    val attr = Relational.queries("q37_attribution")(spark, Sf0001).collect()
+    assert(attr.map(_.getLong(1)).sum == expectedN)
+    assert(attr.map(_.getLong(2)).sum == expectedCents)
+    // first_type is never null: a user's first event always opens a session
+    assert(attr.forall(!_.isNullAt(0)))
+  }
+
   test("retention: offset-0 count equals cohort size, actives never exceed it") {
     val d = Relational.queries("q36_retention")(spark, Sf0001)
     val day0 = d.where(col("offset_days") === 0)
