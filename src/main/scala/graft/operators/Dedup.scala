@@ -798,6 +798,40 @@ object Dedup {
         coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"))
   }
 
+  /** Asymmetric shingle-containment join — Broder's containment
+    * measure |S(q) ∩ S(c)| / |S(q)|: how much of query doc q is
+    * contained in corpus doc c. The directional companion to jaccard:
+    * a short quote fully inside a long document scores containment 1.0
+    * but a tiny jaccard, so this is the operator for quote/subset
+    * detection, eval-leakage triage (WHICH corpus doc swallowed the
+    * benchmark item), and prefix/retrieval-overlap audits.
+    *
+    * Scale shape: both sides shingle once, meet in a join keyed on
+    * the shingle (posting-list intersection — cost Σ_s qdf(s)·df(s),
+    * never |Q|·|C|), and collapse to the (query, corpus) pair grain in
+    * one map-side-combinable count. The query side is the small side
+    * by construction (a benchmark, a probe set) — at real scale the
+    * optimizer broadcasts it and the corpus streams through one pass,
+    * exactly the decontaminate shape but at pair grain with the
+    * containment fraction. The fraction is one correctly-rounded
+    * division of exact integers — bit-identical cross-engine.
+    */
+  def containmentPairs(queryDocs: DataFrame, corpusDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val qsh = shingleDf(queryDocs).withColumnRenamed("doc_id", "query_doc")
+    val csh = shingleDf(corpusDocs).withColumnRenamed("doc_id", "corpus_doc")
+    val sizes = qsh.groupBy(col("query_doc")).agg(count(lit(1)).as("n_query_shingles"))
+    qsh.join(csh, Seq("shingle"))
+      .groupBy(col("query_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes, Seq("query_doc"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_query_shingles"))
+      .where(col("containment") >= threshold)
+      .select(col("query_doc"), col("corpus_doc"), col("n_inter"),
+        col("n_query_shingles"), col("containment"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -889,6 +923,16 @@ object Dedup {
     // near-dup pipeline (exactness over O(candidates), never corpus²).
     "dd_lsh_verified" -> ((s, dir) =>
       lshVerifiedPairs(table(s, dir, "documents"), 0.1).orderBy("doc_a", "doc_b")),
+
+    // Directional containment: probe docs (doc_id ≡ 0 mod 10) scored
+    // for how fully each is contained in each other doc's shingles.
+    "dd_containment" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      containmentPairs(
+        d.where(pmod(col("doc_id"), lit(10)) === 0),
+        d.where(pmod(col("doc_id"), lit(10)) =!= 0), 0.5)
+        .orderBy("query_doc", "corpus_doc")
+    }),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
@@ -1131,5 +1175,17 @@ object Dedup {
          |JOIN sizes nb ON nb.doc_id = i.doc_b
          |WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_containment" ->
+      s"""WITH sh AS ($shingleSql),
+         |q AS (SELECT doc_id AS query_doc, shingle FROM sh WHERE doc_id % 10 = 0),
+         |c AS (SELECT doc_id AS corpus_doc, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |sizes AS (SELECT query_doc, COUNT(*) AS n_query_shingles FROM q GROUP BY 1),
+         |inter AS (SELECT query_doc, corpus_doc, COUNT(*) AS n_inter
+         |          FROM q JOIN c USING (shingle) GROUP BY 1, 2)
+         |SELECT query_doc, corpus_doc, n_inter, n_query_shingles,
+         | CAST(n_inter AS DOUBLE) / n_query_shingles AS containment
+         |FROM inter JOIN sizes USING (query_doc)
+         |WHERE CAST(n_inter AS DOUBLE) / n_query_shingles >= 0.5
+         |ORDER BY query_doc, corpus_doc""".stripMargin,
   )
 }

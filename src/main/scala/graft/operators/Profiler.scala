@@ -279,6 +279,49 @@ object Profiler {
           .cast("double").as("kept_sum"))
   }
 
+  /** Per-key daily-volume anomaly detection — the monitoring query a
+    * pipeline runs over its own event firehose: bucket events to
+    * (key, day) counts, score each day against its key's own history
+    * with a z-score, flag |z| ≥ `zThreshold`.
+    *
+    * Scale shape: the raw stream collapses to the (key, day) grain in
+    * ONE map-side-combinable count — the only pass that touches the
+    * 100 TB input. Everything after runs at the tiny grain (keys ×
+    * days): per-key moment sums are a second aggregation over that
+    * grain, broadcast back (the stats table is k rows). No window over
+    * the raw data, no per-key sort.
+    *
+    * Determinism contract (the dq_corr precedent): counts are exact
+    * integers, so n_days·Σx² − (Σx)² is exact 64-bit arithmetic lifted
+    * to double (values ≪ 2⁵³ — sf0.1 peaks at ~10⁸), clamped at 0
+    * against rounding on degenerate history, and mean/sd/z come from a
+    * fixed tree of correctly-rounded double ops (÷, √, −) identical in
+    * both engines. One-day history (sd undefined) scores z = 0.
+    */
+  def dailyAnomalies(events: DataFrame, ts: Column, key: Column,
+      zThreshold: Double = 2.0): DataFrame = {
+    val grain = events
+      .groupBy(key.as("key"), date_trunc("day", ts).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = grain.groupBy(col("key")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("n")).as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val nd = col("n_days").cast("double")
+    val meanN = col("s1").cast("double") / col("n_days")
+    val sdN = sqrt(
+      greatest(nd * col("s2") - col("s1").cast("double") * col("s1"), lit(0.0))
+        / (nd * (col("n_days") - 1)))
+    grain.join(broadcast(stats), Seq("key"))
+      .select(col("key"), col("day"), col("n"),
+        meanN.as("mean_n"),
+        when(col("n_days") > 1, sdN).otherwise(lit(0.0)).as("sd_n"))
+      .withColumn("z",
+        when(col("sd_n") > 0, (col("n").cast("double") - col("mean_n")) / col("sd_n"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("z")) >= zThreshold)
+  }
+
   // ---------------------------------------------------------------- gate
 
   private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -350,7 +393,13 @@ object Profiler {
     // pass, exact integer sums, fixed double expression tree
     "dq_corr" -> ((s, dir) =>
       correlation(table(s, dir, "lineitem"), CorrPairs)
-        .orderBy("x_col", "y_col")))
+        .orderBy("x_col", "y_col")),
+
+    // Daily event-volume anomalies per event type (z-score vs the
+    // type's own 30-day history)
+    "dq_anomaly" -> ((s, dir) =>
+      dailyAnomalies(table(s, dir, "events"), col("ts"), col("event_type"))
+        .orderBy("key", "day")))
 
   private val CorrPairs = Seq(
     "l_quantity" -> "l_extendedprice",
@@ -449,5 +498,25 @@ object Profiler {
          |FROM orders""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"),
     "dq_corr" -> CorrPairs.map { case (x, y) => corrSql(x, y) }
-      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY x_col, y_col"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY x_col, y_col"),
+    "dq_anomaly" ->
+      """WITH g AS (SELECT event_type AS key,
+        |        CAST(date_trunc('day', ts) AS DATE) AS day,
+        |        COUNT(*) AS n
+        |       FROM events GROUP BY 1, 2),
+        |st AS (SELECT key, COUNT(*) AS n_days, SUM(n) AS s1, SUM(n * n) AS s2
+        |       FROM g GROUP BY 1),
+        |sc AS (SELECT g.key, g.day, g.n,
+        |  CAST(s1 AS DOUBLE) / n_days AS mean_n,
+        |  CASE WHEN n_days > 1 THEN
+        |   sqrt(GREATEST(CAST(n_days AS DOUBLE) * s2
+        |     - CAST(s1 AS DOUBLE) * s1, 0.0)
+        |    / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+        |  ELSE 0.0 END AS sd_n
+        | FROM g JOIN st USING (key)),
+        |z AS (SELECT *, CASE WHEN sd_n > 0
+        |   THEN (CAST(n AS DOUBLE) - mean_n) / sd_n ELSE 0.0 END AS z
+        | FROM sc)
+        |SELECT key, day, n, mean_n, sd_n, z, (abs(z) >= 2.0) AS is_anomaly
+        |FROM z ORDER BY key, day""".stripMargin)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def records = Seq(
+    (1L, "red bolt", "B1"),
+    (2L, "red bolt", "B1"),   // exact duplicate of 1 (dist 0)
+    (3L, "ted bolt", "B1"),   // one edit from "red bolt"
+    (4L, "blue bolt", "B1"),  // dist("red bolt","blue bolt") = 3 -> links
+    (5L, "red bolt", "B2"),   // same name, different brand: other block
+    (6L, "green gear", "B1"), // different noun: other block
+    (7L, "grain gear", "B1")) // dist("green gear","grain gear") = 2 -> links
+    .toDF("id", "name", "brand")
+
+  private def block = concat_ws("|", element_at(split(col("name"), " "), 2), col("brand"))
+
+  test("blocked pairs: candidates meet only inside a block, verified by edit distance") {
+    val pairs = EntityResolution
+      .blockedPairs(records, col("id"), col("name"), block, maxDist = 3)
+      .select("id_a", "id_b", "name_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    // bolt|B1 block: (1,2) d0, (1,3) d1, (2,3) d1; "blue bolt" sits at
+    // d4 from both names -> out. gear|B1 block: (6,7) d2. Cross-block
+    // pairs (e.g. 1-5 same name other brand, 1-6) never form.
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L), (6L, 7L, 2L)))
+  }
+
+  test("oversized blocks are dropped from pairing and surface in the audit view") {
+    val pairs = EntityResolution
+      .blockedPairs(records, col("id"), col("name"), block, maxDist = 3, maxBlockSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // bolt|B1 has 4 records > cap -> dropped wholesale; gear|B1 (2) survives
+    assert(pairs == Set((6L, 7L)))
+    val over = EntityResolution.oversizedBlocks(records, block, 3)
+      .as[(String, Long)].collect().toSet
+    assert(over == Set(("bolt|B1", 4L)))
+  }
+
+  test("clusters: linked records share a component, min id is the keeper") {
+    val pairs = EntityResolution.blockedPairs(records, col("id"), col("name"), block, maxDist = 3)
+    val cl = EntityResolution.clusters(records, col("id"), pairs)
+      .select("rec_id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val byId = cl.map(r => r._1 -> r._2).toMap
+    assert(cl.length == 7)
+    // {1,2,3} one entity line, {6,7} another, {4} and {5} alone
+    assert(Set(1L, 2L, 3L).map(byId) == Set(1L))
+    assert(Set(6L, 7L).map(byId) == Set(6L))
+    assert(byId(4L) == 4L && byId(5L) == 5L)
+    assert(cl.filter(_._3).map(_._1).toSet == Set(1L, 4L, 5L, 6L))
+  }
+
+  test("blocked self-join never degenerates to a cartesian plan") {
+    val pairs = EntityResolution.blockedPairs(records, col("id"), col("name"), block)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -565,6 +565,25 @@ class OperatorsSpec extends SparkSpec {
     assert(inc.map(r => (r.getLong(0), r.getLong(1))).toSet == full)
   }
 
+  test("containment is directional: a quote scores 1.0 in its host, the host scores low") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta"                         // 2 shingles
+    val host = s"intro words here $quote and a long tail after"  // contains both
+    val probes = Seq((1L, quote), (2L, "unrelated probe text entirely")).toDF("doc_id", "text")
+    val corpus = Seq((10L, host), (11L, "other corpus doc text")).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(probes, corpus, 0.5)
+      .select("query_doc", "corpus_doc", "n_inter", "n_query_shingles", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(r == Set((1L, 10L, 2L, 2L, 1.0)))
+    // flip direction: the long host is NOT contained in its quote
+    val rev = Dedup.containmentPairs(corpus, probes, 0.5).collect()
+    assert(rev.isEmpty)
+    // below-threshold pairs are filtered, zero-overlap pairs never form
+    val loose = Dedup.containmentPairs(probes, corpus, 0.01)
+      .select("query_doc").as[Long].collect().toSet
+    assert(loose == Set(1L))
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the secret eval question about turtles")).toDF("doc_id", "text")

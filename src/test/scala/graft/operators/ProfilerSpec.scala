@@ -99,4 +99,31 @@ class ProfilerSpec extends SparkSpec {
     val rc = Profiler.winsorize(const, "x", 0.01, 0.99).head()
     assert(rc.getLong(2) == 0 && rc.getLong(3) == 0 && rc.getLong(4) == 50)
   }
+
+  test("daily anomalies: hand-computed z on a planted spike; flat and 1-day histories score 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // type "a": 1 event/day for 9 days then a 6-event spike on day 10
+    // (counts 1×9, 6: mean 1.5, sample var 2.5, z = 4.5/sqrt(2.5) ≈ 2.85)
+    // type "b": perfectly flat (sd 0 -> z 0); type "c": one day only
+    val rows =
+      (1 to 9).map(d => (Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), "a")) ++
+        (1 to 6).map(_ => (Timestamp.valueOf("2024-01-10 10:00:00"), "a")) ++
+        (1 to 3).map(d => (Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), "b")) ++
+        Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "c"))
+    val df = rows.toDF("ts", "event_type")
+    val r = Profiler.dailyAnomalies(df, col("ts"), col("event_type"))
+      .orderBy("key", "day").collect()
+    val a10 = r.filter(x => x.getString(0) == "a" && x.getLong(2) == 6).head
+    assert(a10.getDouble(3) == 1.5)
+    assert(a10.getDouble(4) == math.sqrt(2.5))
+    assert(a10.getDouble(5) == 4.5 / math.sqrt(2.5))
+    assert(a10.getBoolean(6))
+    // the 9 quiet days of "a" sit below the threshold
+    assert(r.count(x => x.getString(0) == "a" && x.getBoolean(6)) == 1)
+    val flatZ = r.filter(_.getString(0) == "b").map(_.getDouble(5)).toSeq
+    assert(flatZ == Seq(0.0, 0.0, 0.0))
+    val c = r.filter(_.getString(0) == "c").head
+    assert(c.getDouble(4) == 0.0 && c.getDouble(5) == 0.0 && !c.getBoolean(6))
+  }
 }
