@@ -832,6 +832,41 @@ object Dedup {
         col("n_query_shingles"), col("containment"))
   }
 
+  /** Pair-set quality metrics — the evaluation harness every
+    * approximate dedup needs before it ships: score a candidate pair
+    * set (an LSH/banding/blocking output) against a ground-truth pair
+    * set with exact precision / recall / F1. Returns ONE row:
+    * (n_pred, n_truth, n_hit, precision, recall, f1).
+    *
+    * One full-outer join on the pair key + one aggregation — both
+    * inputs stay distributed, counts are exact integers, and the three
+    * ratios are fixed trees of correctly-rounded double ops (the
+    * engine-determinism contract), with empty-set guards pinned to 0.0
+    * on every engine. At 100 TB this is how a tuned banding config is
+    * validated on a labeled sample before the full run.
+    */
+  def evaluatePairs(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val p = predicted.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("in_p", lit(1L))
+    val t = truth.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("in_t", lit(1L))
+    val counts = p.join(t, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_p")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("in_t")), lit(0L)).as("n_truth"),
+        coalesce(sum(when(col("in_p").isNotNull && col("in_t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hit"))
+    val scored = counts.select(col("n_pred"), col("n_truth"), col("n_hit"),
+      when(col("n_pred") > 0, col("n_hit").cast("double") / col("n_pred"))
+        .otherwise(lit(0.0)).as("precision"),
+      when(col("n_truth") > 0, col("n_hit").cast("double") / col("n_truth"))
+        .otherwise(lit(0.0)).as("recall"))
+    scored.withColumn("f1",
+      when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -932,6 +967,13 @@ object Dedup {
         d.where(pmod(col("doc_id"), lit(10)) === 0),
         d.where(pmod(col("doc_id"), lit(10)) =!= 0), 0.5)
         .orderBy("query_doc", "corpus_doc")
+    }),
+
+    // LSH banding scored against exact-jaccard ground truth: the
+    // recall/precision report that validates a banding config.
+    "dd_eval" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      evaluatePairs(minhashCandidates(d), jaccardPairs(d, 0.1))
     }),
   )
 
@@ -1187,5 +1229,42 @@ object Dedup {
          |FROM inter JOIN sizes USING (query_doc)
          |WHERE CAST(n_inter AS DOUBLE) / n_query_shingles >= 0.5
          |ORDER BY query_doc, corpus_doc""".stripMargin,
+    "dd_eval" ->
+      s"""WITH sig AS ($minhashSql),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
+         | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
+         | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
+         | SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |pred AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |truth AS (
+         | SELECT doc_a, doc_b FROM common
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         | WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.1),
+         |m AS (SELECT
+         |  (SELECT COUNT(*) FROM pred) AS n_pred,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM pred JOIN truth USING (doc_a, doc_b)) AS n_hit),
+         |pr AS (SELECT n_pred, n_truth, n_hit,
+         |  CASE WHEN n_pred > 0
+         |   THEN CAST(n_hit AS DOUBLE) / n_pred ELSE 0.0 END AS precision,
+         |  CASE WHEN n_truth > 0
+         |   THEN CAST(n_hit AS DOUBLE) / n_truth ELSE 0.0 END AS recall
+         | FROM m)
+         |SELECT n_pred, n_truth, n_hit, precision, recall,
+         | CASE WHEN precision + recall > 0
+         |  THEN 2.0 * precision * recall / (precision + recall)
+         |  ELSE 0.0 END AS f1
+         |FROM pr""".stripMargin,
   )
 }

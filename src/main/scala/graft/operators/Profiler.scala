@@ -299,20 +299,36 @@ object Profiler {
     * both engines. One-day history (sd undefined) scores z = 0.
     */
   def dailyAnomalies(events: DataFrame, ts: Column, key: Column,
-      zThreshold: Double = 2.0): DataFrame = {
-    val grain = events
+      zThreshold: Double = 2.0): DataFrame =
+    anomaliesFromGrain(anomalyGrainCounts(events, ts, key), zThreshold)
+
+  /** The one pass over the raw input: collapse to (key, day) counts.
+    * Shared verbatim by the streaming twin
+    * ([[graft.streaming.Streaming.anomalyGrainStream]]) — the stage
+    * that touches 100 TB is the same plan batch or streaming.
+    */
+  def anomalyGrainCounts(events: DataFrame, ts: Column, key: Column): DataFrame =
+    events
       .groupBy(key.as("key"), date_trunc("day", ts).cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
-    val stats = grain.groupBy(col("key")).agg(
-      count(lit(1)).as("n_days"),
-      sum(col("n")).as("s1"),
-      sum(col("n") * col("n")).as("s2"))
+
+  /** The tiny-grain finish: per-key moment sums + z-scores over the
+    * (key, day) count table (O(keys × days) rows). The moments ride a
+    * window over the key partition — one shuffle of the tiny grain,
+    * no self-join (which would also trip Spark's conflicting-reference
+    * analysis when the grain is a named streaming sink table).
+    */
+  def anomaliesFromGrain(grain: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
     val nd = col("n_days").cast("double")
     val meanN = col("s1").cast("double") / col("n_days")
     val sdN = sqrt(
       greatest(nd * col("s2") - col("s1").cast("double") * col("s1"), lit(0.0))
         / (nd * (col("n_days") - 1)))
-    grain.join(broadcast(stats), Seq("key"))
+    grain
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
       .select(col("key"), col("day"), col("n"),
         meanN.as("mean_n"),
         when(col("n_days") > 1, sdN).otherwise(lit(0.0)).as("sd_n"))
@@ -320,6 +336,32 @@ object Profiler {
         when(col("sd_n") > 0, (col("n").cast("double") - col("mean_n")) / col("sd_n"))
           .otherwise(lit(0.0)))
       .withColumn("is_anomaly", abs(col("z")) >= zThreshold)
+  }
+
+  /** Functional-dependency audit — does determinant → dependent hold?
+    * For each (det, dep) pair: how many determinant values exist, how
+    * many map to MORE than one dependent value (violations), and the
+    * worst fan-out. The schema-semantics check a data drop gets next
+    * to [[profile]]: "is this column still a key for that one", the
+    * relational cousin of the diff engine's schema gate.
+    *
+    * One det-grain aggregation per pair (count-distinct at the group
+    * grain, then a 1-row rollup) — each pair is a single shuffle of
+    * partially-aggregated (det, dep) pairs, and the verdict row is
+    * O(1). Exact integers throughout; no floats anywhere.
+    */
+  def functionalDependencies(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (determinant, dependent) pair")
+    pairs.map { case (det, dep) =>
+      df.groupBy(col(det)).agg(countDistinct(col(dep)).as("n_dep"))
+        .agg(
+          count(lit(1)).as("n_det_values"),
+          sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("n_dep")).as("max_distinct"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_det_values"), col("n_violating"), col("max_distinct"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_ unionAll _)
   }
 
   // ---------------------------------------------------------------- gate
@@ -399,7 +441,26 @@ object Profiler {
     // type's own 30-day history)
     "dq_anomaly" -> ((s, dir) =>
       dailyAnomalies(table(s, dir, "events"), col("ts"), col("event_type"))
-        .orderBy("key", "day")))
+        .orderBy("key", "day")),
+
+    // Functional-dependency audit over part: the key FD holds, the
+    // name->type and brand->type FDs are violated (shared vocab)
+    "dq_fd" -> ((s, dir) =>
+      functionalDependencies(table(s, dir, "part"), FdPairs)
+        .orderBy("determinant", "dependent")))
+
+  private val FdPairs = Seq(
+    "p_partkey" -> "p_name",
+    "p_name" -> "p_type",
+    "p_brand" -> "p_type")
+
+  private def fdSql(det: String, dep: String): String =
+    s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+       | COUNT(*) AS n_det_values,
+       | CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       | MAX(n_dep) AS max_distinct,
+       | (CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0) AS holds
+       |FROM (SELECT $det, COUNT(DISTINCT $dep) AS n_dep FROM part GROUP BY 1)""".stripMargin
 
   private val CorrPairs = Seq(
     "l_quantity" -> "l_extendedprice",
@@ -518,5 +579,8 @@ object Profiler {
         |   THEN (CAST(n AS DOUBLE) - mean_n) / sd_n ELSE 0.0 END AS z
         | FROM sc)
         |SELECT key, day, n, mean_n, sd_n, z, (abs(z) >= 2.0) AS is_anomaly
-        |FROM z ORDER BY key, day""".stripMargin)
+        |FROM z ORDER BY key, day""".stripMargin,
+    "dq_fd" -> FdPairs.map { case (det, dep) => fdSql(det, dep) }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY determinant, dependent"))
 }

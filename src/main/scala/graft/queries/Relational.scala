@@ -607,6 +607,25 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_day", "offset_days")
     }),
+
+    // Markov transition matrix over per-user event sequences: one
+    // user_id shuffle for the lead() ordering, then the raw stream
+    // collapses to the k×k (from, to) grain — transition probabilities
+    // are one correctly-rounded division over a window sum at that
+    // tiny grain, never over the input.
+    "q38_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val grain = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      grain
+        .withColumn("p", col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .orderBy("from_type", "to_type")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -878,6 +897,16 @@ object Relational {
         | COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND prior_click2 IS NOT NULL
         |       THEN user_id END) AS users_purchase_funnel
         |FROM e3""".stripMargin,
+    "q38_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type AS from_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        |g AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
     "q37_attribution" ->
       """WITH e AS (
         | SELECT user_id, ts, event_id, event_type,

@@ -207,6 +207,20 @@ object Streaming {
       lo: Double, hi: Double, bins: Int): DataFrame =
     graft.operators.Profiler.driftBucketCounts(a, b, c, lo, hi, bins)
 
+  /** Continuous volume-anomaly monitoring — the streaming twin of
+    * [[graft.operators.Profiler.dailyAnomalies]]: the raw firehose
+    * collapses into the SAME (key, day) count aggregation the batch
+    * operator plans ([[graft.operators.Profiler.anomalyGrainCounts]]
+    * is shared code), maintained as O(keys × days) streaming state in
+    * complete mode. The z-score finish
+    * ([[graft.operators.Profiler.anomaliesFromGrain]]) is stateless
+    * tiny-grain arithmetic the consumer applies per trigger — live
+    * anomaly flags over an unbounded feed with bounded state.
+    */
+  def anomalyGrainStream(events: DataFrame, ts: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.Profiler.anomalyGrainCounts(events, ts, key)
+
   /** Continuous two-stream diff: union both streams with a side tag
     * and keep ONE stateful aggregation of per-(bucket, side)
     * fingerprints — a live `mismatch` flag per bucket, O(numBuckets)

@@ -584,6 +584,21 @@ class OperatorsSpec extends SparkSpec {
     assert(loose == Set(1L))
   }
 
+  test("evaluatePairs: hand-computed precision/recall/f1 with empty-set guards") {
+    import spark.implicits._
+    val pred = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val r = Dedup.evaluatePairs(pred, truth).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4 && r.getLong(2) == 2)
+    val (p, rec) = (2.0 / 3, 2.0 / 4)
+    assert(r.getDouble(3) == p && r.getDouble(4) == rec)
+    assert(r.getDouble(5) == 2.0 * p * rec / (p + rec))
+    // empty predicted set: defined zeros, never NaN/null
+    val e = Dedup.evaluatePairs(pred.limit(0), truth).head()
+    assert(e.getLong(0) == 0 && e.getLong(2) == 0)
+    assert(e.getDouble(3) == 0.0 && e.getDouble(4) == 0.0 && e.getDouble(5) == 0.0)
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the secret eval question about turtles")).toDF("doc_id", "text")

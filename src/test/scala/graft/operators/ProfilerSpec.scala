@@ -100,6 +100,18 @@ class ProfilerSpec extends SparkSpec {
     assert(rc.getLong(2) == 0 && rc.getLong(3) == 0 && rc.getLong(4) == 50)
   }
 
+  test("functional dependencies: held FD vs violated FD with exact fan-out") {
+    import spark.implicits._
+    val d = Seq((1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "b", "z"))
+      .toDF("id", "k", "v")
+    val r = Profiler.functionalDependencies(d, Seq("id" -> "v", "k" -> "v"))
+      .orderBy("determinant").collect()
+    val byDet = r.map(x => x.getString(0) ->
+      (x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5))).toMap
+    assert(byDet("id") == ((4L, 0L, 1L, true)))   // key FD holds
+    assert(byDet("k") == ((2L, 1L, 2L, false)))   // "a" -> {x,y} violates
+  }
+
   test("daily anomalies: hand-computed z on a planted spike; flat and 1-day histories score 0") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -44,6 +44,21 @@ class RelationalSpec extends SparkSpec {
     assert(d.count() > 0)
   }
 
+  test("transitions: per-from probabilities sum to 1, counts conserve the sequence length") {
+    val r = Relational.queries("q38_transitions")(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    // each from_type's probability column is a distribution
+    r.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val psum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$from distribution sums to $psum")
+      rows.foreach(x => assert(x.getDouble(3) > 0 && x.getDouble(3) <= 1.0))
+    }
+    // total transition count = total events - one per user (no lead on last)
+    val ev = graft.GraftSession.table(spark, Sf0001, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(r.map(_.getLong(2)).sum == expected)
+  }
+
   test("funnel: step counts monotonically shrink and order matters") {
     val r = Relational.queries("q35_funnel")(spark, Sf0001).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -205,6 +205,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly grain stream: counts converge to batch, z finish matches dailyAnomalies") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.anomalyGrainStream(mem.toDF(), col("ts"), col("event_type"))
+      .writeStream.format("memory").queryName("sanom").outputMode("complete").start()
+    try {
+      val events = typedEvents
+      // split across micro-batch lines mid-day: state must accumulate
+      mem.addData(events.take(events.size / 2)); q.processAllAvailable()
+      mem.addData(events.drop(events.size / 2)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getDate(1).toString, r.getLong(2))
+      val streamedGrain = spark.table("sanom").collect().map(key).toSet
+      val batchGrain = graft.operators.Profiler
+        .anomalyGrainCounts(eventsDf, col("ts"), col("event_type"))
+        .collect().map(key).toSet
+      assert(streamedGrain == batchGrain)
+      assert(batchGrain.nonEmpty)
+      // the stateless finish over the streamed state == the batch operator
+      val streamedZ = graft.operators.Profiler
+        .anomaliesFromGrain(spark.table("sanom"))
+        .orderBy("key", "day").collect().map(_.toSeq).toSeq
+      val batchZ = graft.operators.Profiler
+        .dailyAnomalies(eventsDf, col("ts"), col("event_type"))
+        .orderBy("key", "day").collect().map(_.toSeq).toSeq
+      assert(streamedZ == batchZ)
+    } finally q.stop()
+  }
+
   test("two-stream diff flags a mutated stream permanently") {
     implicit val sq = spark.sqlContext
     val memS = MemoryStream[Streaming.Event]
