@@ -156,7 +156,34 @@ object Curation {
         when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc bob@corp.io")).otherwise(lit("")))
         .as("text"))
 
+  /** Deterministic pseudonymization — replace direct identifiers with
+    * a salted hash so training data keeps REFERENTIAL INTEGRITY (the
+    * same user hashes to the same token, joins and sessionization
+    * still work) while the raw identifier never leaves the pipeline.
+    * The companion to [[redactPii]]: redaction cleans free text,
+    * pseudonymization cleans key columns.
+    *
+    * A pure narrow projection — codegen'd md5 over (salt | value),
+    * zero shuffles, scales with input splits. The salt must be managed
+    * as a secret: with it the mapping is recomputable (GDPR
+    * "pseudonymisation"), without it reversing requires brute-forcing
+    * the id space. This is NOT k-anonymity — rare quasi-identifier
+    * combinations elsewhere in the row can still re-identify.
+    */
+  def pseudonymize(df: DataFrame, idCols: Seq[String], salt: String): DataFrame =
+    idCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, md5(concat_ws("|", lit(salt), col(c).cast("string"))))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pseudonymized per-user activity: the id column is hashed but the
+    // per-entity grouping (and any join on it) is preserved
+    "cur_pseudonymize" -> ((s, dir) =>
+      pseudonymize(table(s, dir, "events"), Seq("user_id"), "graft-salt")
+        .groupBy(col("user_id").as("pseudo_user"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("pseudo_user")),
+
     "cur_pii" -> ((s, dir) =>
       redactPii(plantedPii(s, dir), col("text"))
         .select(col("doc_id"), col("n_pii_email"), col("n_pii_ip"),
@@ -185,6 +212,10 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "cur_pseudonymize" ->
+      """SELECT md5('graft-salt|' || CAST(user_id AS VARCHAR)) AS pseudo_user,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY pseudo_user""".stripMargin,
     "cur_pii" -> {
       val email = EmailRe
       s"""WITH planted AS (SELECT doc_id,

@@ -279,6 +279,30 @@ object Profiler {
           .cast("double").as("kept_sum"))
   }
 
+  /** Diff two profiles — the "what changed between drops" report the
+    * docs promise ("two profiles are themselves diffable"): run
+    * [[profile]] on both snapshots, full-outer join at the
+    * column_name grain, surface per-stat pairs and a null-safe
+    * bounds-equality verdict. Each side is one aggregation pass over
+    * its input; the join runs at the k-columns grain — the whole diff
+    * costs two scans regardless of table width or row count.
+    */
+  def profileDiff(a: DataFrame, b: DataFrame, cols: Seq[String] = Nil,
+      exact: Boolean = true): DataFrame = {
+    def side(df: DataFrame, s: String) = profile(df, cols, exact)
+      .select(col("column_name"),
+        col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_str").as(s"min_$s"), col("max_str").as(s"max_$s"))
+    side(a, "a").join(side(b, "b"), Seq("column_name"), "full_outer")
+      .select(col("column_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        col("n_nulls_a"), col("n_nulls_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        (col("min_a") <=> col("min_b") && col("max_a") <=> col("max_b"))
+          .as("bounds_equal"))
+  }
+
   /** Per-key daily-volume anomaly detection — the monitoring query a
     * pipeline runs over its own event firehose: bucket events to
     * (key, day) counts, score each day against its key's own history
@@ -447,7 +471,17 @@ object Profiler {
     // name->type and brand->type FDs are violated (shared vocab)
     "dq_fd" -> ((s, dir) =>
       functionalDependencies(table(s, dir, "part"), FdPairs)
-        .orderBy("determinant", "dependent")))
+        .orderBy("determinant", "dependent")),
+
+    // Two-snapshot profile diff (even vs odd orderkey halves)
+    "dq_profile_diff" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      profileDiff(
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1),
+        OrdersCols)
+        .orderBy("column_name")
+    }))
 
   private val FdPairs = Seq(
     "p_partkey" -> "p_name",
@@ -582,5 +616,25 @@ object Profiler {
         |FROM z ORDER BY key, day""".stripMargin,
     "dq_fd" -> FdPairs.map { case (det, dep) => fdSql(det, dep) }
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-        "\n) ORDER BY determinant, dependent"))
+        "\n) ORDER BY determinant, dependent"),
+    "dq_profile_diff" -> {
+      def sideSql(parity: Int): String = OrdersCols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_nulls,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_str,
+           | CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM orders WHERE o_orderkey % 2 = $parity""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH pa AS (${sideSql(0)}),
+         |pb AS (${sideSql(1)})
+         |SELECT column_name,
+         | pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+         | pa.n_nulls AS n_nulls_a, pb.n_nulls AS n_nulls_b,
+         | pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+         | (pa.min_str IS NOT DISTINCT FROM pb.min_str
+         |  AND pa.max_str IS NOT DISTINCT FROM pb.max_str) AS bounds_equal
+         |FROM pa FULL JOIN pb USING (column_name)
+         |ORDER BY column_name""".stripMargin
+    })
 }

@@ -207,6 +207,41 @@ object Streaming {
       lo: Double, hi: Double, bins: Int): DataFrame =
     graft.operators.Profiler.driftBucketCounts(a, b, c, lo, hi, bins)
 
+  // transition-stream state: the user's chronologically-last event
+  final case class LastEvent(tsMicros: Long, eventId: Long, tpe: String)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming Markov transitions — the twin of the batch
+    * `q38_transitions` sequence stage: per user, every arriving event
+    * emits one (from, to) transition against the chronologically
+    * previous event. State is ONE small record per user (the last
+    * event seen) — bounded by the active-user set, not the stream
+    * length. Within a micro-batch events sort by (ts, event_id), the
+    * batch twin's exact total order; across micro-batch lines the
+    * state record carries the sequence over, so in-order delivery
+    * reproduces the batch transition bag exactly (asserted in
+    * StreamingSpec). Downstream, counts/probabilities are the same
+    * tiny-grain aggregation the batch query runs.
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          val evs = it.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          for (e <- evs) {
+            last.foreach(l => out += Transition(userId, l.tpe, e.event_type))
+            last = Some(LastEvent(toMicros(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Continuous volume-anomaly monitoring — the streaming twin of
     * [[graft.operators.Profiler.dailyAnomalies]]: the raw firehose
     * collapses into the SAME (key, day) count aggregation the batch

@@ -565,6 +565,23 @@ class OperatorsSpec extends SparkSpec {
     assert(inc.map(r => (r.getLong(0), r.getLong(1))).toSet == full)
   }
 
+  test("pseudonymize: deterministic per value, salt-sensitive, grouping preserved") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("uid", "x")
+    val p = Curation.pseudonymize(d, Seq("uid"), "s1")
+    val ids = p.select("uid").as[String].collect()
+    assert(ids.distinct.length == 2)            // same uid -> same token
+    assert(ids.forall(_.matches("[0-9a-f]{32}")))
+    assert(!ids.contains("1") && !ids.contains("2")) // raw id never survives
+    // a different salt produces a disjoint token space
+    val p2 = Curation.pseudonymize(d, Seq("uid"), "s2")
+      .select("uid").as[String].collect()
+    assert(ids.toSet.intersect(p2.toSet).isEmpty)
+    // grouping on the pseudonym matches grouping on the raw id
+    val counts = p.groupBy("uid").count().select("count").as[Long].collect().sorted
+    assert(counts.toSeq == Seq(1L, 2L))
+  }
+
   test("containment is directional: a quote scores 1.0 in its host, the host scores low") {
     import spark.implicits._
     val quote = "alpha beta gamma delta"                         // 2 shingles

@@ -100,6 +100,24 @@ class ProfilerSpec extends SparkSpec {
     assert(rc.getLong(2) == 0 && rc.getLong(3) == 0 && rc.getLong(4) == 50)
   }
 
+  test("profile diff: identical snapshots agree everywhere, a mutation shows per-column") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String])).toDF("id", "s")
+    val same = Profiler.profileDiff(a, a).collect()
+    assert(same.length == 2)
+    same.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2))  // n_rows
+      assert(r.getLong(3) == r.getLong(4))  // n_nulls
+      assert(r.getLong(5) == r.getLong(6))  // n_distinct
+      assert(r.getBoolean(7))               // bounds_equal
+    }
+    val b = Seq((1L, "x"), (2L, "z"), (4L, "y")).toDF("id", "s")
+    val diff = Profiler.profileDiff(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!diff("id").getBoolean(7))                      // max 3 vs 4
+    assert(diff("s").getLong(3) == 1 && diff("s").getLong(4) == 0) // null gone
+  }
+
   test("functional dependencies: held FD vs violated FD with exact fan-out") {
     import spark.implicits._
     val d = Seq((1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "b", "z"))

@@ -205,6 +205,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitions stream: the per-user transition bag equals the batch sequence stage") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("strans").outputMode("append").start()
+    try {
+      // in-order delivery split across micro-batch lines: state must
+      // carry each user's last event over the boundary
+      val events = typedEvents.sortBy(e => (e.ts.getTime, e.event_id))
+      mem.addData(events.take(events.size / 2)); q.processAllAvailable()
+      mem.addData(events.drop(events.size / 2)); q.processAllAvailable()
+      val streamed = spark.table("strans")
+        .groupBy("from_type", "to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.Relational.queries("q38_transitions")(spark, Sf0001)
+        .select("from_type", "to_type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("anomaly grain stream: counts converge to batch, z finish matches dailyAnomalies") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
