@@ -137,6 +137,35 @@ object Curation {
       .agg(count(lit(1)).as("bench_hits"))
   }
 
+  /** Deletion propagation — the right-to-be-forgotten pass: drop every
+    * row keyed by a tombstoned entity from a table. Deletion request
+    * lists are tiny relative to a 100 TB corpus, so the tombstone set
+    * is the BROADCAST side and the purge is a shuffle-free
+    * broadcast anti-join: one scan per table, no repartition of the
+    * big side (plan-asserted in OperatorsSpec).
+    */
+  def forget(df: DataFrame, key: Column, tombstones: DataFrame): DataFrame = {
+    val t = tombstones.select(col(tombstones.columns.head).as("__tomb_id")).distinct()
+    df.join(broadcast(t), key === col("__tomb_id"), "left_anti")
+  }
+
+  /** The audit report a deletion run must produce: per table,
+    * rows before / removed / kept. Same broadcast shape as [[forget]]
+    * but as a LEFT join + one aggregation so both counts come from a
+    * single scan per table — never two passes over the corpus.
+    */
+  def forgetReport(tables: Seq[(String, DataFrame, Column)],
+      tombstones: DataFrame): DataFrame = {
+    require(tables.nonEmpty, "need at least one (name, table, key)")
+    val t = tombstones.select(col(tombstones.columns.head).as("__tomb_id")).distinct()
+    tables.map { case (name, df, key) =>
+      df.join(broadcast(t), key === col("__tomb_id"), "left")
+        .agg(count(lit(1)).as("n_before"), count(col("__tomb_id")).as("n_removed"))
+        .select(lit(name).as("table_name"), col("n_before"), col("n_removed"),
+          (col("n_before") - col("n_removed")).as("n_kept"))
+    }.reduce(_ unionAll _)
+  }
+
   // ---------------------------------------------------------------- gate
 
   /** The synthetic corpus carries no real PII, so the gate plants some
@@ -209,6 +238,18 @@ object Curation {
     // the fused one-scan filter stack (quality ∧ repetition ∧ lang)
     "cur_filter_stack" -> ((s, dir) =>
       TextAnalysis.filterStack(table(s, dir, "documents")).orderBy("doc_id")),
+
+    // right-to-be-forgotten cascade: every 13th user tombstoned, purged
+    // from both tables that key on the entity; per-table audit counts
+    "cur_forget" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val tomb = ev.select(col("user_id")).distinct()
+        .where(pmod(col("user_id"), lit(13)) === 0)
+      forgetReport(Seq(
+        ("events", ev, col("user_id")),
+        ("orders", table(s, dir, "orders"), col("o_custkey"))), tomb)
+        .orderBy("table_name")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -284,5 +325,18 @@ object Curation {
         |SELECT doc_id, passes_quality, passes_repetition, lang_ok,
         |  (passes_quality AND passes_repetition AND lang_ok) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "cur_forget" ->
+      """WITH tomb AS (SELECT DISTINCT user_id AS id FROM events
+        |  WHERE user_id % 13 = 0)
+        |SELECT 'events' AS table_name, COUNT(*) AS n_before,
+        | CAST(SUM(CASE WHEN id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | COUNT(*) - CAST(SUM(CASE WHEN id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM events LEFT JOIN tomb ON user_id = id
+        |UNION ALL
+        |SELECT 'orders', COUNT(*),
+        | CAST(SUM(CASE WHEN id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(*) - CAST(SUM(CASE WHEN id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders LEFT JOIN tomb ON o_custkey = id
+        |ORDER BY table_name""".stripMargin,
   )
 }

@@ -388,6 +388,68 @@ object Profiler {
     }.reduce(_ unionAll _)
   }
 
+  /** Join-key skew audit — the report a 100 TB pipeline runs BEFORE a
+    * big join to decide whether it needs salting
+    * ([[graft.operators.Skew]]) or an AQE skew-join hint. Per key:
+    * row count, `share_ppm` (exact integer parts-per-million of the
+    * table), and `hot_x1000` (the key's share relative to a uniform
+    * spread over the observed distinct keys, ×1000 — 1000 = perfectly
+    * uniform, 50000 = this key is 50× hotter than uniform and will
+    * dominate whatever partition it lands on).
+    *
+    * Scale shape: ONE map-side-combinable count at the key grain;
+    * totals are a second aggregation over that tiny grain riding back
+    * in as a 1-row broadcast; the top-k is orderBy+limit on the key
+    * grain, which Spark executes as TakeOrderedAndProject (per-
+    * partition partial top-k, no global sort shuffle). All ratios are
+    * integer `div` — bit-identical cross-engine.
+    */
+  def keySkew(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    require(topK > 0, "need topK > 0")
+    val perKey = df.groupBy(key.cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n"))
+    val totals = perKey.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(totals))
+      .select(col("key_value"), col("n"),
+        expr("n * 1000000 DIV total").as("share_ppm"),
+        expr("n * n_keys * 1000 DIV total").as("hot_x1000"))
+      .orderBy(col("n").desc, col("key_value"))
+      .limit(topK)
+  }
+
+  /** Robust outlier stats via the median absolute deviation — the
+    * z-score's ([[dailyAnomalies]]) breakdown-resistant sibling: one
+    * corrupt upstream batch can drag a mean/stddev fence arbitrarily
+    * far, but the MAD fence moves only when >50% of the data does.
+    *
+    * Exact form is inherently multi-pass (median → MAD needs the
+    * median first): pass 1 exact `percentile(x, 0.5)`, pass 2
+    * `percentile(|x − med|, 0.5)` with the 1-row median broadcast,
+    * pass 3 counts rows beyond `med ± k·mad`. At 100 TB swap both
+    * percentiles for `approx_percentile` and the plan collapses to
+    * sketch passes with O(1) state — same trade as
+    * [[profile]]'s `exact = false`. The fence arithmetic is one fixed
+    * double expression tree (`k * mad`, no reassociation), so the
+    * verdict is bit-identical cross-engine.
+    */
+  def madOutliers(df: DataFrame, c: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, "need k > 0")
+    val x = col(c).cast("double")
+    val med = df.agg(expr(s"percentile(CAST($c AS DOUBLE), 0.5)").as("med"))
+    val dev = df.select(x.as("x")).crossJoin(broadcast(med))
+      .select(col("x"), col("med"), abs(col("x") - col("med")).as("dev"))
+    val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"),
+      min(col("med")).as("med"))
+    dev.select(col("x"), col("med"), col("dev")).crossJoin(broadcast(mad.select(col("mad"))))
+      .agg(
+        min(col("med")).as("median"),
+        min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   // ---------------------------------------------------------------- gate
 
   private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -472,6 +534,14 @@ object Profiler {
     "dq_fd" -> ((s, dir) =>
       functionalDependencies(table(s, dir, "part"), FdPairs)
         .orderBy("determinant", "dependent")),
+
+    // Pre-join skew audit: hottest event users by exact ppm share
+    "dq_skew" -> ((s, dir) =>
+      keySkew(table(s, dir, "events"), col("user_id"), topK = 10)),
+
+    // Robust MAD outlier fence over order value (k = 3 MADs)
+    "dq_mad" -> ((s, dir) =>
+      madOutliers(table(s, dir, "orders"), "o_totalprice")),
 
     // Two-snapshot profile diff (even vs odd orderkey halves)
     "dq_profile_diff" -> ((s, dir) => {
@@ -636,5 +706,26 @@ object Profiler {
          |  AND pa.max_str IS NOT DISTINCT FROM pb.max_str) AS bounds_equal
          |FROM pa FULL JOIN pb USING (column_name)
          |ORDER BY column_name""".stripMargin
-    })
+    },
+
+    "dq_skew" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k)
+        |SELECT key_value, n,
+        | CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+        | CAST(n * n_keys * 1000 // total AS BIGINT) AS hot_x1000
+        |FROM k, t ORDER BY n DESC, key_value LIMIT 10""".stripMargin,
+
+    "dq_mad" ->
+      """WITH m AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+        |  FROM orders),
+        |d AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, med,
+        |   ABS(CAST(o_totalprice AS DOUBLE) - med) AS dev
+        |  FROM orders, m),
+        |s AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+        |SELECT MIN(med) AS median, MIN(mad) AS mad, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_outliers
+        |FROM d, s""".stripMargin)
 }

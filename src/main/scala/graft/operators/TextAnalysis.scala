@@ -389,7 +389,32 @@ object TextAnalysis {
         col("n_shared"), col("score"))
   }
 
+  /** One round of BPE-style merge-candidate mining: the frequency of
+    * every ADJACENT token pair in the corpus, top-k. This is the inner
+    * loop of vocabulary induction (the pair you'd merge next is the
+    * argmax) and a corpus-level collocation report on its own.
+    *
+    * Scale shape: the pair stream is produced shuffle-free inside the
+    * scan (`zip_with` over two array slices — no posting-list join,
+    * no window), the only shuffle is the map-side-combinable count at
+    * the pair grain, and the top-k is orderBy+limit ⇒
+    * TakeOrderedAndProject. A full BPE train is this operator iterated
+    * with a re-tokenize between rounds; each round stays one pass.
+    */
+  def bpePairCounts(docs: DataFrame, topK: Int = 30): DataFrame = {
+    require(topK > 0, "need topK > 0")
+    docs.select(toks.as("ts"))
+      .select(explode(expr(
+        "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1)," +
+          " (l, r) -> concat(l, ' ', r))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bpe_pairs" -> ((s, dir) =>
+      bpePairCounts(table(s, dir, "documents"))),
     "ta_tfidf" -> ((s, dir) =>
       tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
     "ta_chunk" -> ((s, dir) =>
@@ -409,6 +434,12 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    "ta_bpe_pairs" ->
+      s"""WITH t AS (SELECT $toksSql AS ts FROM documents),
+         |p AS (SELECT UNNEST(list_transform(range(1, len(ts)),
+         |        i -> ts[i] || ' ' || ts[i+1])) AS pair FROM t)
+         |SELECT pair, COUNT(*) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "ta_search" ->
       s"""WITH tok_raw AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tok AS (SELECT DISTINCT doc_id, term FROM tok_raw),

@@ -626,6 +626,25 @@ object Relational {
           / sum(col("n")).over(Window.partitionBy(col("from_type"))))
         .orderBy("from_type", "to_type")
     }),
+
+    // Top behavioural paths: per-user event TRIGRAMS from two lead()
+    // windows sharing ONE user_id shuffle (same window spec ⇒ one
+    // Window node, one sort), collapsed to the ≤k³ path grain before
+    // the top-k — which Spark executes as TakeOrderedAndProject
+    // (per-partition partial top-k, no global sort shuffle).
+    "q39_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -907,6 +926,16 @@ object Relational {
         |SELECT from_type, to_type, n,
         | CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q39_paths" ->
+      """WITH seq AS (
+        | SELECT event_type AS step1,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |  LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        | FROM events)
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     "q37_attribution" ->
       """WITH e AS (
         | SELECT user_id, ts, event_id, event_type,

@@ -741,4 +741,27 @@ class OperatorsSpec extends SparkSpec {
     // scores non-increasing in rank
     assert(hits.map(_.getLong(4)).toSeq == hits.map(_.getLong(4)).sortBy(-_).toSeq)
   }
+
+  test("forget: purge drops exactly the tombstoned rows via a broadcast anti-join") {
+    import spark.implicits._
+    val d = Seq((1, "a"), (2, "b"), (3, "c"), (1, "d")).toDF("uid", "v")
+    val tomb = Seq(1, 99).toDF("id")
+    val purged = Curation.forget(d, col("uid"), tomb)
+    assert(purged.collect().map(_.getString(1)).sorted.toSeq == Seq("b", "c"))
+    // the corpus side must NOT shuffle: tombstones broadcast, anti-join
+    val plan = purged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("ShuffleExchange"), plan)
+    val rep = Curation.forgetReport(Seq(("t", d, col("uid"))), tomb).head()
+    assert(rep.getString(0) == "t" && rep.getLong(1) == 4
+      && rep.getLong(2) == 2 && rep.getLong(3) == 2)
+  }
+
+  test("bpe pairs: adjacent-pair counts, deterministic tie order, 1-token docs safe") {
+    import spark.implicits._
+    val d = Seq("a b a b c", "b c", "solo").toDF("text")
+    val r = TextAnalysis.bpePairCounts(d, topK = 10).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
+  }
 }

@@ -156,4 +156,23 @@ class ProfilerSpec extends SparkSpec {
     val c = r.filter(_.getString(0) == "c").head
     assert(c.getDouble(4) == 0.0 && c.getDouble(5) == 0.0 && !c.getBoolean(6))
   }
+
+  test("key skew: exact ppm shares and hotness-vs-uniform, deterministic ties") {
+    import spark.implicits._
+    val d = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c")).toDF("k")
+    val r = Profiler.keySkew(d, col("k"), topK = 3).collect()
+    // 10 rows, 4 distinct keys; tie between b and c broken by key asc
+    assert(r.map(_.getString(0)).toSeq == Seq("hot", "a", "b"))
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((6L, 600000L, 2400L)))
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 200000L, 800L)))
+  }
+
+  test("mad outliers: hand-computed fence flags only the planted outlier") {
+    import spark.implicits._
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val r = Profiler.madOutliers(d, "x").head()
+    // median 3; devs {2,1,0,1,97} -> mad 1; only 97 > 3*mad
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 1.0)
+    assert(r.getLong(2) == 5 && r.getLong(3) == 1)
+  }
 }
