@@ -252,6 +252,51 @@ object Similarity {
         col("cdf"), col("df"), col("lift_ppm"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the lexical top-k
+    * ([[TextAnalysis.lexicalTopK]]) and the embedding top-k over the
+    * same query set: the RAG-stack shape where BM25-ish term match and
+    * dense cosine each miss what the other catches, and the fused list
+    * beats both. RRF needs only RANKS, so the two retrievers never
+    * have to agree on a score scale.
+    *
+    * Fusion arithmetic is the engine's integer-surrogate contract:
+    * `1_000_000 div (rrfK + rank)` summed per modality — order-
+    * isomorphic to the textbook 1/(k+r) floats but bit-identical
+    * cross-engine. A doc absent from one list contributes 0 from it.
+    *
+    * Scale shape: each retriever keeps its own bounded-candidate plan
+    * (posting-list join; broadcast query side), the fusion join runs
+    * at the O(queries·kPer) grain — tiny — and the final top-k is a
+    * per-query WindowGroupLimit, not a global sort.
+    */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, queryMod: Int = 101,
+      kPer: Int = 10, k: Int = 5, rrfK: Int = 60): DataFrame = {
+    val lex = TextAnalysis.lexicalTopK(docs, queryMod, kPer)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val qn = quantized(emb)
+    val queries = broadcast(qn.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val sem = qn.select(col("vec_id").as("doc_id"), col("v"))
+      .crossJoin(queries)
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("sem_rank", row_number().over(ws).cast("long"))
+      .where(col("sem_rank") <= kPer)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + sem_rank)"), lit(0L)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("sem_rank"), col("rrf"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full k-means assignment after one Lloyd round from the
     // deterministic k-lowest-id init — every vector's cluster checked
@@ -265,6 +310,11 @@ object Similarity {
         .orderBy("vec_id")),
     "ss_knn" -> ((s, dir) =>
       bruteForceTopK(table(s, dir, "embeddings"), numQueries = 5, k = 10)
+        .orderBy("query_id", "rank")),
+    // RRF fusion of lexical and embedding retrieval (doc_id ↔ vec_id
+    // share the id space: the embedding of document i)
+    "ss_hybrid" -> ((s, dir) =>
+      hybridTopK(table(s, dir, "documents"), table(s, dir, "embeddings"))
         .orderBy("query_id", "rank")),
     // topic labels for the k-means clusters: vec_id ↔ doc_id share the
     // id space in the test tables (the embedding of document i)
@@ -407,6 +457,43 @@ object Similarity {
          | FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ss_hybrid" ->
+      s"""WITH tok_raw AS (SELECT doc_id,
+         |   unnest(string_split_regex(trim(text), ' +')) AS term FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, term FROM tok_raw),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ql AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id % 101 = 0),
+         |sc AS (SELECT ql.query_id, tok.doc_id, COUNT(*) AS n_shared,
+         |   SUM((n.n_docs * 1000000) // dfreq.df) AS score
+         |  FROM ql JOIN tok USING (term) JOIN dfreq USING (term) CROSS JOIN n
+         |  WHERE tok.doc_id <> ql.query_id
+         |  GROUP BY ql.query_id, tok.doc_id),
+         |lexr0 AS (SELECT query_id, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, n_shared DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM sc),
+         |lexr AS (SELECT * FROM lexr0 WHERE lex_rank <= 10),
+         |qv AS ($quantSql),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM qv WHERE vec_id % 101 = 0),
+         |ssc AS (SELECT query_id, vec_id AS doc_id, ${cosSql("qv", "v")} AS cos
+         |  FROM qv CROSS JOIN qs WHERE vec_id <> query_id),
+         |semr0 AS (SELECT query_id, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank FROM ssc),
+         |semr AS (SELECT * FROM semr0 WHERE sem_rank <= 10),
+         |f AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         |   COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank
+         |  FROM lexr l FULL JOIN semr s
+         |   ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |sf AS (SELECT query_id, doc_id, lex_rank, sem_rank,
+         |   COALESCE(1000000 // (60 + lex_rank), 0)
+         |    + COALESCE(1000000 // (60 + sem_rank), 0) AS rrf FROM f),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rank FROM sf)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         | lex_rank, sem_rank, CAST(rrf AS BIGINT) AS rrf
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ss_ann_lsh" ->
       s"""WITH q AS ($quantSql),
          |$lshBucketsSqlCte,

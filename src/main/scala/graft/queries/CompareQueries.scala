@@ -171,6 +171,15 @@ object CompareQueries {
         .orderBy("doc_id")
     }),
 
+    // Morton layout code over two layout columns — the clustered-write
+    // ordering key (Sinks.writeZOrdered); pure codegen'd bit ladder
+    "fn_zorder" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      p.select(col("p_partkey"), col("p_size"),
+        graft.functions.ZOrder.zorder2(col("p_partkey"), col("p_size")).as("z"))
+        .orderBy("p_partkey")
+    }),
+
     // The reference's own worked example, end to end: t_test(a,b,c)
     // with 50,000 generated rows, one row mutated (`update … where
     // a=50`), the mutated row reported from BOTH sides
@@ -284,6 +293,20 @@ object CompareQueries {
         | || CASE WHEN regexp_matches(text, '\s') THEN '"' || text || '"' ELSE COALESCE(text, '') END || ','
         | || COALESCE(lang, '') || ')' AS rec
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_zorder" ->
+      """WITH s0 AS (SELECT p_partkey, p_size,
+        |  CAST(p_partkey AS BIGINT) & 65535 AS a,
+        |  CAST(p_size AS BIGINT) & 65535 AS b FROM part),
+        |s1 AS (SELECT *, (a | (a << 8)) & 16711935 AS a1,
+        |  (b | (b << 8)) & 16711935 AS b1 FROM s0),
+        |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+        |  (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+        |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+        |  (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+        |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+        |  (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+        |SELECT p_partkey, p_size, a4 | (b4 << 1) AS z
+        |FROM s4 ORDER BY p_partkey""".stripMargin,
     "cmp_ref_scenario" ->
       """WITH src AS (
         | SELECT CAST(r AS INT) AS a, CAST(r % 1000 AS INT) AS b,

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 
 /** Write-side counterpart of [[Sources]] — the reference has no sink
   * surface at all (results are printed, /root/reference/main.py:116-137);
@@ -31,5 +32,43 @@ object Sinks {
     }
     opts.foreach { case (k, v) => w = w.option(k, v) }
     w.save(path)
+  }
+
+  /** Z-ordered clustered write: range-partition the rows by their
+    * Morton code over (`a`, `b`) ([[graft.functions.ZOrder.zorder2]])
+    * into `numFiles` output files, sorted within each — so every file
+    * covers a compact rectangle in (a, b) space and parquet min/max
+    * stats prune file reads for predicates on EITHER column.
+    *
+    * Both columns are first normalized to the full 16-bit range
+    * (equi-width over their observed min/max — ONE tiny agg pass, four
+    * doubles to the driver). Without this the interleave degenerates:
+    * a 26-bit id column against an 8-bit category column puts every
+    * high significant z-bit on the id side and the curve collapses to
+    * a plain sort on it. Rank (quantile) normalization is the
+    * skew-robust refinement; equi-width is the right default and is
+    * what the locality test asserts. Then one range-exchange (with
+    * Spark's bounds-sampling pass) — the same cost as any
+    * globally-sorted write; the curve column never lands in the
+    * output.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      numFiles: Int, spec: SinkSpec = SinkSpec()): Unit = {
+    require(numFiles > 0, "need numFiles > 0")
+    import org.apache.spark.sql.functions.{floor, lit, max, min}
+    val mm = df.agg(
+      min(a).cast("double"), max(a).cast("double"),
+      min(b).cast("double"), max(b).cast("double")).head()
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo) floor((c.cast("double") - lit(lo)) * 65535.0 / lit(hi - lo)).cast("long")
+      else lit(0L)
+    val z = graft.functions.ZOrder.zorder2(
+      scaled(a, mm.getDouble(0), mm.getDouble(1)),
+      scaled(b, mm.getDouble(2), mm.getDouble(3)))
+    val laid = df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    write(laid, path, spec)
   }
 }

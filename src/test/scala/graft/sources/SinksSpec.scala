@@ -54,4 +54,50 @@ class SinksSpec extends SparkSpec {
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files >= 10, s"expected >=10 files, got $files")
   }
+
+  test("zorder spread/interleave matches hand-computed Morton codes") {
+    import spark.implicits._
+    val r = Seq((10L, 6L)).toDF("a", "b")
+      .select(graft.functions.ZOrder.zorder2(col("a"), col("b"))).head().getLong(0)
+    // a=1010b -> even bits 01000100b; b=0110b -> odd bits 00101000b
+    assert(r == 108L)
+    // z-value must be monotone-safe: (0,0) lowest, full-mask highest
+    val lohi = Seq((0L, 0L, 65535L, 65535L)).toDF("a0", "b0", "a1", "b1")
+      .select(graft.functions.ZOrder.zorder2(col("a0"), col("b0")),
+        graft.functions.ZOrder.zorder2(col("a1"), col("b1"))).head()
+    assert(lohi.getLong(0) == 0L && lohi.getLong(1) == 0xFFFFFFFFL)
+  }
+
+  test("z-ordered write clusters BOTH layout columns; linear sort only one") {
+    val base = Files.createTempDirectory("zord").toString
+    val li = GraftSession.table(spark, Sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // layout A: z-ordered on (orderkey, partkey); layout B: sorted by
+    // orderkey alone (the naive clustered write)
+    Sinks.writeZOrdered(li, s"$base/z", col("l_orderkey"), col("l_partkey"), 8)
+    li.repartitionByRange(8, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      .write.parquet(s"$base/linear")
+
+    def meanSpan(dir: String, c: String): Double = {
+      val spans = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val mm = spark.read.parquet(f.toString)
+            .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+          mm.getDouble(1) - mm.getDouble(0)
+        }
+      spans.sum / spans.length
+    }
+    // the linear layout leaves l_partkey unclustered (≈ whole domain
+    // per file); the z-order must shrink its per-file span well below
+    // that while still keeping l_orderkey clustered
+    val full = meanSpan(s"$base/linear", "l_partkey")
+    val zPart = meanSpan(s"$base/z", "l_partkey")
+    assert(zPart < 0.7 * full, s"z=$zPart linear=$full")
+    val okFull = {
+      val mm = li.agg(min(col("l_orderkey")).cast("double"),
+        max(col("l_orderkey")).cast("double")).head()
+      mm.getDouble(1) - mm.getDouble(0)
+    }
+    assert(meanSpan(s"$base/z", "l_orderkey") < 0.7 * okFull)
+  }
 }
