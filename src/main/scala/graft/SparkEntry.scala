@@ -29,12 +29,14 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Profiler.queries ++ operators.Sampling.queries ++
-      operators.Curation.queries ++ operators.EntityResolution.queries
+      operators.Curation.queries ++ operators.EntityResolution.queries ++
+      operators.Graph.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ CompareQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Profiler.oracles ++ operators.Sampling.oracles ++
-      operators.Curation.oracles ++ operators.EntityResolution.oracles
+      operators.Curation.oracles ++ operators.EntityResolution.oracles ++
+      operators.Graph.oracles
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge tables. The clustering side of
+  * the engine ([[Dedup.connectedComponents]]) converges by pointer
+  * doubling; this module covers the other canonical iterative shape —
+  * fixed-iteration score propagation (PageRank) — with the engine's
+  * determinism contract: ALL rank arithmetic is 64-bit integer
+  * fixed-point (ranks in units of 10⁻¹², `div` for every division),
+  * so partial-aggregation order, partitioning, and engine choice
+  * cannot move a single bit. The tiny mass the floor-divisions shed
+  * (vs float PageRank) is irrelevant to ranking and identical
+  * everywhere.
+  *
+  * Scale shape: each iteration is one join of the edge list with the
+  * current O(nodes) rank table + one map-side-combinable sum at the
+  * dst grain — the textbook distributed PageRank plan. Iterations
+  * compose LAZILY into one Catalyst plan (no driver round trips,
+  * nothing materialized between rounds); for many-iteration runs at
+  * 100 TB, checkpoint every ~5 rounds exactly as connectedComponents
+  * does to cut lineage. Node count rides in as a driver-computed
+  * literal — one COUNT, the kmeans-centroid bounded-state pattern.
+  */
+object Graph {
+
+  val Scale = 1000000000000L // rank fixed-point: 1.0 == 10^12
+
+  /** `iters` rounds of damped PageRank over a DIRECTED edge list
+    * (src, dst). Returns (id, r) with r in [[Scale]] fixed-point.
+    * Dangling nodes (no out-edges) keep the teleport term only —
+    * their outflow is dropped, matching the common sparse formulation.
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = nodes.count() // one job, one long — bounded driver state
+    val base = (100L - dampingPct) * Scale / (100L * n)
+    var rank = nodes.select(col("id"), lit(Scale / n).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("sc"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingPct * coalesce(sc, 0)) div 100")).as("r"))
+    }
+    rank
+  }
+
+  /** The gate's graph: the undirected part↔supplier bipartite graph
+    * induced by lineitem ("which suppliers ship which parts"), each
+    * distinct pair contributing both directed edges.
+    */
+  def partSupplierEdges(li: DataFrame): DataFrame = {
+    val pairs = li.select(
+      concat(lit("p"), col("l_partkey")).as("p"),
+      concat(lit("s"), col("l_suppkey")).as("s")).distinct()
+    pairs.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 3 unrolled rounds; top-25 hub nodes (suppliers dominate: a
+    // supplier touches ~20x more edges than any part)
+    "q40_pagerank" -> ((s, dir) =>
+      pageRank(partSupplierEdges(table(s, dir, "lineitem")), iters = 3)
+        .orderBy(col("r").desc, col("id")).limit(25)))
+
+  def oracles: Map[String, String] = Map(
+    "q40_pagerank" -> {
+      def round(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst AS id, SUM($prev.r // deg.deg) AS sc
+           |  FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst),
+           |$cur AS (SELECT nodes.id,
+           |   (15 * ${Scale}) // (100 * (SELECT n FROM n))
+           |    + (85 * COALESCE(sc, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN c$cur ON nodes.id = c$cur.id)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s
+         |  FROM lineitem),
+         |e AS (SELECT p AS src, s AS dst FROM e0
+         |      UNION ALL SELECT s AS src, p AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT id, ${Scale} // (SELECT n FROM n) AS r FROM nodes),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 25""".stripMargin
+    })
+}

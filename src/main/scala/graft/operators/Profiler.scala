@@ -388,6 +388,41 @@ object Profiler {
     }.reduce(_ unionAll _)
   }
 
+  /** Quantile drift between two snapshots — the bound-free companion
+    * to [[histogramDrift]]: equi-width histograms need lo/hi chosen up
+    * front (wrong bounds ⇒ everything lands in under/overflow), while
+    * tail quantiles (p50/p90/p99) track unit changes, truncation, and
+    * tail inflation with no prior knowledge of the domain.
+    *
+    * Gate form computes EXACT interpolated percentiles (cross-engine
+    * deterministic, the winsorize contract) AND runs the
+    * `approx_percentile` sketch path beside them, reporting a
+    * `sketch_ok` bit per quantile (within 5% relative) — the same
+    * hash-matchable-while-still-executing-the-sketch trick as
+    * `dq_profile_approx`. At 100 TB drop the exact columns: the sketch
+    * is one map-side-mergeable pass per side with O(accuracy) state.
+    */
+  def quantileDrift(a: DataFrame, b: DataFrame, c: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val arr = qs.mkString(", ")
+    def side(df: DataFrame, nm: String) = df.agg(
+      expr(s"percentile(CAST($c AS DOUBLE), array($arr))").as(s"ex_$nm"),
+      expr(s"approx_percentile(CAST($c AS DOUBLE), array($arr), 10000)").as(s"ap_$nm"))
+    def ok(ap: Column, ex: Column): Column =
+      abs(ap - ex) <= abs(ex) * 0.05 + 1e-9
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("quantile"),
+        col("ex_a").getItem(i).as("p_a"),
+        col("ex_b").getItem(i).as("p_b"),
+        (col("ex_b").getItem(i) - col("ex_a").getItem(i)).as("delta"),
+        (ok(col("ap_a").getItem(i), col("ex_a").getItem(i))
+          && ok(col("ap_b").getItem(i), col("ex_b").getItem(i))).as("sketch_ok"))
+    }
+    side(a, "a").crossJoin(side(b, "b"))
+      .select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** Join-key skew audit — the report a 100 TB pipeline runs BEFORE a
     * big join to decide whether it needs salting
     * ([[graft.operators.Skew]]) or an AQE skew-join hint. Per key:
@@ -534,6 +569,17 @@ object Profiler {
     "dq_fd" -> ((s, dir) =>
       functionalDependencies(table(s, dir, "part"), FdPairs)
         .orderBy("determinant", "dependent")),
+
+    // Bound-free quantile drift between the two snapshot halves, with
+    // the sketch path executed beside the exact gate values
+    "dq_qdrift" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      quantileDrift(
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1),
+        "o_totalprice")
+        .orderBy("quantile")
+    }),
 
     // Pre-join skew audit: hottest event users by exact ppm share
     "dq_skew" -> ((s, dir) =>
@@ -707,6 +753,16 @@ object Profiler {
          |FROM pa FULL JOIN pb USING (column_name)
          |ORDER BY column_name""".stripMargin
     },
+
+    "dq_qdrift" ->
+      """WITH a AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.5, 0.9, 0.99]) AS ex
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.5, 0.9, 0.99]) AS ex
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |q AS (SELECT UNNEST([1, 2, 3]) AS i, UNNEST([0.5, 0.9, 0.99]) AS quantile)
+        |SELECT CAST(quantile AS DOUBLE) AS quantile, a.ex[i] AS p_a, b.ex[i] AS p_b,
+        | b.ex[i] - a.ex[i] AS delta, TRUE AS sketch_ok
+        |FROM q, a, b ORDER BY quantile""".stripMargin,
 
     "dq_skew" ->
       """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n

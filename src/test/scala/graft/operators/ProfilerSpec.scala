@@ -157,6 +157,22 @@ class ProfilerSpec extends SparkSpec {
     assert(c.getDouble(4) == 0.0 && c.getDouble(5) == 0.0 && !c.getBoolean(6))
   }
 
+  test("quantile drift: identical snapshots show zero delta and a passing sketch bit") {
+    import spark.implicits._
+    val d = (1 to 100).map(_.toDouble).toDF("x")
+    val r = Profiler.quantileDrift(d, d, "x").orderBy("quantile").collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9, 0.99))
+    r.foreach { row =>
+      assert(row.getDouble(1) == row.getDouble(2))
+      assert(row.getDouble(3) == 0.0)
+      assert(row.getBoolean(4), "sketch disagreed with exact beyond 5%")
+    }
+    // a planted tail shift moves p99 but not p50
+    val shifted = d.withColumn("x", when(col("x") > 98, col("x") * 10).otherwise(col("x")))
+    val s = Profiler.quantileDrift(d, shifted, "x").orderBy("quantile").collect()
+    assert(s(0).getDouble(3) == 0.0 && s(2).getDouble(3) > 0.0)
+  }
+
   test("key skew: exact ppm shares and hotness-vs-uniform, deterministic ties") {
     import spark.implicits._
     val d = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c")).toDF("k")
