@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftSession.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution / record linkage — match records that refer to
@@ -76,6 +77,38 @@ object EntityResolution {
       pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("rec_id"), col("cluster_id"), col("is_keeper"))
 
+  /** Survivorship — the merge step that makes resolution USEFUL: one
+    * golden record per cluster, each attribute set to the cluster's
+    * MODE value (ties broken by value ascending; nulls never win).
+    * This is the "most common non-null" survivorship rule; recency- or
+    * source-priority rules are the same plan with a different window
+    * order.
+    *
+    * Scale shape: one count + one per-cluster top-1 (WindowGroupLimit)
+    * PER ATTRIBUTE, all at the (cluster, value) grain — never wider
+    * than the input, usually far smaller; winners join back at the
+    * O(clusters) grain. Attributes are independent single-pass
+    * aggregations over one shared base join.
+    */
+  def goldenRecords(records: DataFrame, id: Column,
+      clusters: DataFrame, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "need at least one attribute")
+    val base = records.select((id.as("rec_id") +: attrs.map(col)): _*)
+      .join(clusters.select(col("rec_id"), col("cluster_id")), "rec_id")
+    val sizes = base.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_records"))
+    attrs.foldLeft(sizes) { (acc, a) =>
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("__cnt").desc, col(a).asc)
+      val winner = base.where(col(a).isNotNull)
+        .groupBy(col("cluster_id"), col(a))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("cluster_id"), col(a))
+      acc.join(winner, Seq("cluster_id"), "left")
+    }
+  }
+
   // Gate wiring: parts whose two-word names share a last token (the
   // product noun) and a brand are candidates; names within edit
   // distance 3 link (adjective variants of one product line).
@@ -90,7 +123,14 @@ object EntityResolution {
     "er_pairs" -> ((s, dir) => partPairs(s, dir).orderBy("id_a", "id_b")),
     "er_clusters" -> ((s, dir) =>
       clusters(table(s, dir, "part"), col("p_partkey"), partPairs(s, dir))
-        .orderBy("rec_id")))
+        .orderBy("rec_id")),
+    "er_golden" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      goldenRecords(p, col("p_partkey"),
+        clusters(p, col("p_partkey"), partPairs(s, dir)),
+        Seq("p_brand", "p_type"))
+        .orderBy("cluster_id")
+    }))
 
   private val pairsCte =
     """r AS (SELECT p_partkey AS rec_id, p_name AS name,
@@ -113,5 +153,34 @@ object EntityResolution {
          | UNION
          | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS rec_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper
-         |FROM reach GROUP BY u ORDER BY rec_id""".stripMargin)
+         |FROM reach GROUP BY u ORDER BY rec_id""".stripMargin,
+    "er_golden" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM vp
+         |          UNION ALL SELECT id_b, id_a FROM vp),
+         |reach(u, v) AS (
+         | SELECT p_partkey, p_partkey FROM part
+         | UNION
+         | SELECT r2.u, e.v FROM reach r2 JOIN edges e ON r2.v = e.u),
+         |cl AS (SELECT u AS rec_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |base AS (SELECT cl.cluster_id, part.p_brand, part.p_type
+         |  FROM part JOIN cl ON p_partkey = rec_id),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS n_records FROM base GROUP BY cluster_id),
+         |w1 AS (SELECT cluster_id, p_brand FROM (
+         |  SELECT cluster_id, p_brand,
+         |   ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |     ORDER BY COUNT(*) DESC, p_brand) AS rn
+         |  FROM base WHERE p_brand IS NOT NULL GROUP BY cluster_id, p_brand)
+         | WHERE rn = 1),
+         |w2 AS (SELECT cluster_id, p_type FROM (
+         |  SELECT cluster_id, p_type,
+         |   ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |     ORDER BY COUNT(*) DESC, p_type) AS rn
+         |  FROM base WHERE p_type IS NOT NULL GROUP BY cluster_id, p_type)
+         | WHERE rn = 1)
+         |SELECT s.cluster_id, s.n_records, w1.p_brand, w2.p_type
+         |FROM sizes s
+         | LEFT JOIN w1 USING (cluster_id)
+         | LEFT JOIN w2 USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin)
 }

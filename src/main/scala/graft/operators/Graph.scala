@@ -33,13 +33,27 @@ object Graph {
     * Dangling nodes (no out-edges) keep the teleport term only —
     * their outflow is dropped, matching the common sparse formulation.
     */
-  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame =
+    pageRankPlan(edges, iters, dampingPct).df
+
+  /** Managed form: the edge list and its two tiny derivations (node
+    * set, out-degrees) are each referenced once per iteration plus the
+    * node-count job — without a persist the whole upstream (here: a
+    * full distinct over lineitem) re-executes 3·iters+ times. Cached
+    * MEMORY_AND_DISK_SER and released via the [[DedupPlan]] ownership
+    * contract, same as every other managed plan in the engine.
+    */
+  def pageRankPlan(edges: DataFrame, iters: Int, dampingPct: Int = 85): DedupPlan = {
     require(iters >= 1, "need iters >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    import org.apache.spark.storage.StorageLevel
     val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = nodes.count() // one job, one long — bounded driver state
     val base = (100L - dampingPct) * Scale / (100L * n)
     var rank = nodes.select(col("id"), lit(Scale / n).as("r"))
@@ -52,7 +66,7 @@ object Graph {
         .select(col("id"),
           (lit(base) + expr(s"($dampingPct * coalesce(sc, 0)) div 100")).as("r"))
     }
-    rank
+    DedupPlan(rank, "pagerank", Seq(e, nodes, deg))
   }
 
   /** The gate's graph: the undirected part↔supplier bipartite graph

@@ -168,6 +168,37 @@ object Sampling {
       salt: String = "qw"): DataFrame =
     df.where(hashFraction(key, salt) < score)
 
+  /** Temperature-flattened mixture sampling — the multilingual/
+    * multi-source schedule trick (sample source i with probability
+    * ∝ n_i^α, α < 1) realized as deterministic per-source keep rates:
+    * r_i = (n_min / n_i)^(1−α), so the SMALLEST source is kept whole
+    * and bigger sources are thinned toward equal share as α → 0
+    * (α = 1 keeps everything — natural proportions). Rates come from
+    * one tiny per-source count broadcast back; membership is the
+    * same salted-hash threshold as every sampler here — stable under
+    * incremental ingestion, no RNG state.
+    *
+    * α = ½ (the common default) computes rates via `sqrt` — correctly
+    * rounded in every engine, so the gate is bit-exact. Other α go
+    * through `pow`, which carries a ≤1-ulp platform tolerance: fine
+    * for sampling, not for a hash gate (a boundary-straddling row
+    * would need its 32-bit hash fraction to land inside that ulp).
+    */
+  def temperatureSample(df: DataFrame, group: Column, key: Column,
+      alpha: Double = 0.5, salt: String = "temp"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha in [0,1]")
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("__g"), rate.as("__rate"))
+    df.join(broadcast(rates), group === col("__g"))
+      .where(hashFraction(key, salt) < col("__rate"))
+      .drop("__g", "__rate")
+  }
+
   /** Per-source cap — the "at most k documents per domain" rule
     * web-scale corpora apply so one crawl host can't dominate the
     * mixture. Docs within a source are ranked by (md5(text), doc_id) —
@@ -237,6 +268,21 @@ object Sampling {
 
     "ta_top_tokens" -> ((s, dir) =>
       heavyHitters(table(s, dir, "documents"), 20)),
+
+    // temperature flattening over a deliberately imbalanced source mix
+    // (source srcN thinned to every (N+1)-th doc): per-source totals
+    // vs kept counts — bigger sources thinned harder, smallest whole
+    "sa_temperature" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .where(expr("pmod(doc_id, cast(substring(source, 4, 10) as int) + 1) = 0"))
+      val tot = d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      val kept = temperatureSample(d, col("source"), col("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      tot.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
 
     // per-(shard, bin) packing summary: how many docs and tokens each
     // 2048-token training sequence got, across 8 hash shards
@@ -344,6 +390,19 @@ object Sampling {
          |WHERE ${hashFractionSql("doc_id", "qw")}
          |  < CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
          |ORDER BY doc_id""".stripMargin,
+    "sa_temperature" ->
+      s"""WITH d AS (SELECT doc_id, source FROM documents
+         |  WHERE doc_id % (CAST(substr(source, 4) AS INT) + 1) = 0),
+         |c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+         |m AS (SELECT MIN(n) AS nmin FROM c),
+         |r AS (SELECT source, n, sqrt(CAST(nmin AS DOUBLE) / n) AS rate FROM c, m),
+         |k AS (SELECT d.source AS src, COUNT(*) AS n_kept
+         |  FROM d JOIN r ON d.source = r.source
+         |  WHERE ${hashFractionSql("doc_id", "temp")} < rate
+         |  GROUP BY d.source)
+         |SELECT r.source, CAST(r.n AS BIGINT) AS n_total,
+         | COALESCE(n_kept, 0) AS n_kept
+         |FROM r LEFT JOIN k ON r.source = k.src ORDER BY r.source""".stripMargin,
     "sa_mixture" -> {
       val frac = s"CAST(${hex8ToLong("md5('mix|' || doc_id)")} AS DOUBLE) / 4294967296.0"
       val cases = MixWeights

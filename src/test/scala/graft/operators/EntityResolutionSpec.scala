@@ -60,4 +60,19 @@ class EntityResolutionSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("golden records: per-cluster attribute mode, null never wins, ties by value") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "acme", "x"), (2L, "acme", "y"), (3L, "acmee", null.asInstanceOf[String]),
+      (4L, "solo", "z")).toDF("id", "brand", "kind")
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("rec_id", "cluster_id")
+    val g = EntityResolution.goldenRecords(recs, col("id"), cl, Seq("brand", "kind"))
+      .orderBy("cluster_id").collect()
+    // cluster 1: brand mode acme (2 vs 1); kind tie x/y -> x; null ignored
+    assert(g(0).getLong(0) == 1L && g(0).getLong(1) == 3L
+      && g(0).getString(2) == "acme" && g(0).getString(3) == "x")
+    assert(g(1).getLong(0) == 4L && g(1).getLong(1) == 1L
+      && g(1).getString(2) == "solo" && g(1).getString(3) == "z")
+  }
 }

@@ -188,4 +188,20 @@ class SamplingSpec extends SparkSpec {
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(bySrc("s1") == 2 && bySrc("s2") == 2)
   }
+
+  test("temperature sampling: smallest source kept whole, big source thinned toward sqrt") {
+    import spark.implicits._
+    val d = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (1001 to 1025).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(d, col("source"), col("doc_id"))
+      .groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // rate(small) = 1.0 — every row survives
+    assert(kept("small") == 25)
+    // rate(big) = sqrt(25/400) = 0.25: hash-thresholded near 100 of 400
+    assert(kept("big") > 60 && kept("big") < 140, kept.toString)
+    // alpha = 1 is natural proportions: nothing dropped
+    val all = Sampling.temperatureSample(d, col("source"), col("doc_id"), alpha = 1.0)
+    assert(all.count() == 425)
+  }
 }
