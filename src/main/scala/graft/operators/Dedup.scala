@@ -867,6 +867,40 @@ object Dedup {
           / (col("precision") + col("recall"))).otherwise(lit(0.0)))
   }
 
+  /** [[evaluatePairs]] specialized to the common "validate a banding
+    * config": minhash-LSH candidates scored against exact-jaccard
+    * truth, with ONE cached tokenize/explode/distinct pass feeding
+    * both sides (signatures + bands for predicted; posting-list
+    * intersection + sizes for truth) — the [[lshVerifiedPairsPlan]]
+    * sharing shape. As separate operators the corpus is shingled
+    * twice; here the second scan is a cache read. Truth uses the plain
+    * co-shingle join — on the labeled SAMPLE this evaluation runs on,
+    * not the full corpus, so the quadratic exactness is the point.
+    */
+  def evaluateMinhashPlan(docs: DataFrame, threshold: Double): DedupPlan = {
+    require(threshold > 0, "evaluateMinhashPlan: threshold must be > 0")
+    val sh = shingleDf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val b = lshBands(signaturesFromShingles(sh))
+    val pred = b.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(b.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .where(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    DedupPlan(evaluatePairs(pred, truth), "eval-shared", Seq(sh))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -971,10 +1005,8 @@ object Dedup {
 
     // LSH banding scored against exact-jaccard ground truth: the
     // recall/precision report that validates a banding config.
-    "dd_eval" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-      evaluatePairs(minhashCandidates(d), jaccardPairs(d, 0.1))
-    }),
+    "dd_eval" -> ((s, dir) =>
+      evaluateMinhashPlan(table(s, dir, "documents"), 0.1).df),
   )
 
   // Shared SQL fragments for the DuckDB oracles.

@@ -388,6 +388,33 @@ object Profiler {
     }.reduce(_ unionAll _)
   }
 
+  /** Semi-structured (JSON) schema profile — the "what's actually in
+    * this props blob" report: per top-level key and inferred value
+    * type, how many rows carry it. This is how schema DRIFT in
+    * loosely-typed event payloads is caught (a key appearing, a field
+    * flipping int → string) before a typed reader falls over.
+    *
+    * The JSON parses once per row into a string-keyed map
+    * (`from_json` to `MAP<STRING,STRING>` — dynamic keys, so no
+    * foldable-path `get_json_object` limitation), keys explode, and
+    * one map-side-combinable count runs at the tiny (key, vtype)
+    * grain. Type inference is by VALUE SHAPE over the engine-identical
+    * extracted text (`^-?[0-9]+$` → int, true/false → bool, else
+    * string) — a deliberate heuristic: a quoted "123" classifies as
+    * int, which for drift detection is the signal that matters.
+    */
+  def jsonSchemaProfile(df: DataFrame, j: Column): DataFrame = {
+    val m = from_json(j, org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType))
+    df.select(explode(m).as(Seq("key", "v")))
+      .groupBy(col("key"),
+        when(col("v").rlike("^-?[0-9]+$"), "int")
+          .when(col("v").isin("true", "false"), "bool")
+          .otherwise("string").as("vtype"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Quantile drift between two snapshots — the bound-free companion
     * to [[histogramDrift]]: equi-width histograms need lo/hi chosen up
     * front (wrong bounds ⇒ everything lands in under/overflow), while
@@ -569,6 +596,24 @@ object Profiler {
     "dq_fd" -> ((s, dir) =>
       functionalDependencies(table(s, dir, "part"), FdPairs)
         .orderBy("determinant", "dependent")),
+
+    // JSON schema profile over a planted variant payload (base fields
+    // always present; cents on every 3rd event, a bool on every 5th)
+    "dq_json_schema" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val planted = concat(
+        lit("{\"uid\": "), col("user_id"),
+        lit(", \"t\": \""), col("event_type"), lit("\""),
+        when(pmod(col("event_id"), lit(3)) === 0,
+          concat(lit(", \"cents\": "),
+            round(col("value") * 100).cast("long"))).otherwise(lit("")),
+        when(pmod(col("event_id"), lit(5)) === 0,
+          concat(lit(", \"vip\": "),
+            (pmod(col("user_id"), lit(2)) === 0).cast("string"))).otherwise(lit("")),
+        lit("}"))
+      jsonSchemaProfile(ev.select(planted.as("j")), col("j"))
+        .orderBy("key", "vtype")
+    }),
 
     // Bound-free quantile drift between the two snapshot halves, with
     // the sketch path executed beside the exact gate values
@@ -753,6 +798,24 @@ object Profiler {
          |FROM pa FULL JOIN pb USING (column_name)
          |ORDER BY column_name""".stripMargin
     },
+
+    "dq_json_schema" ->
+      """WITH p AS (SELECT
+        |  '{"uid": ' || user_id || ', "t": "' || event_type || '"'
+        |   || CASE WHEN event_id % 3 = 0
+        |        THEN ', "cents": ' || CAST(round(value * 100) AS BIGINT) ELSE '' END
+        |   || CASE WHEN event_id % 5 = 0
+        |        THEN ', "vip": ' || (CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END)
+        |        ELSE '' END
+        |   || '}' AS j FROM events),
+        |k AS (SELECT j, unnest(json_keys(j)) AS key FROM p),
+        |v AS (SELECT key, json_extract_string(j, '$.' || key) AS v FROM k)
+        |SELECT key,
+        | CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+        |      WHEN v IN ('true', 'false') THEN 'bool'
+        |      ELSE 'string' END AS vtype,
+        | COUNT(*) AS n
+        |FROM v GROUP BY key, vtype ORDER BY key, vtype""".stripMargin,
 
     "dq_qdrift" ->
       """WITH a AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.5, 0.9, 0.99]) AS ex

@@ -742,6 +742,15 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.map(_.getLong(4)).toSeq == hits.map(_.getLong(4)).sortBy(-_).toSeq)
   }
 
+  test("shared-shingle eval equals the two-operator evaluation, then releases") {
+    val plan = Dedup.evaluateMinhashPlan(docs, 0.1)
+    val shared = plan.df.head()
+    val separate = Dedup.evaluatePairs(
+      Dedup.minhashCandidates(docs), Dedup.jaccardPairs(docs, 0.1)).head()
+    assert(shared == separate)
+    plan.release()
+  }
+
   test("forget: purge drops exactly the tombstoned rows via a broadcast anti-join") {
     import spark.implicits._
     val d = Seq((1, "a"), (2, "b"), (3, "c"), (1, "d")).toDF("uid", "v")

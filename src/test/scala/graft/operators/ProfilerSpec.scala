@@ -157,6 +157,20 @@ class ProfilerSpec extends SparkSpec {
     assert(c.getDouble(4) == 0.0 && c.getDouble(5) == 0.0 && !c.getBoolean(6))
   }
 
+  test("json schema profile: dynamic keys, value-shape types, mixed-type drift visible") {
+    import spark.implicits._
+    val d = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 2, "c": true}""",
+      """{"a": "oops"}""", // the int->string drift row
+      "not json at all").toDF("j")
+    val r = Profiler.jsonSchemaProfile(d, col("j"))
+      .orderBy("key", "vtype").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(("a", "int", 2L), ("a", "string", 1L),
+      ("b", "string", 1L), ("c", "bool", 1L)))
+  }
+
   test("quantile drift: identical snapshots show zero delta and a passing sketch bit") {
     import spark.implicits._
     val d = (1 to 100).map(_.toDouble).toDF("x")
