@@ -69,6 +69,48 @@ object Graph {
     DedupPlan(rank, "pagerank", Seq(e, nodes, deg))
   }
 
+  /** Triangle count over a canonically-oriented (u < v, distinct) edge
+    * list — the clustering-coefficient numerator and the classic
+    * "how cliquish is this graph" audit. Wedge join (e1.v = e2.u)
+    * closed by a third edge lookup; the u < v orientation means every
+    * triangle is counted exactly once.
+    *
+    * Scale notes: the edge list is referenced three times, so it is
+    * persisted behind the [[DedupPlan]] release contract. Wedge count
+    * is Σ_v deg(v)² — on a skewed graph the refinement is
+    * DEGREE-ordered orientation (point edges low→high degree), which
+    * bounds the join fan-out by arboricity; the id-ordered form here
+    * is right for the thresholded gate graph and keeps the oracle
+    * expressible.
+    */
+  def triangleCountPlan(pairs: DataFrame): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val e = pairs.select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    DedupPlan(out, "triangles", Seq(e))
+  }
+
+  /** Co-purchase graph: parts appearing in the same order, kept only
+    * at `minSupport`+ co-occurrences — the support threshold is what
+    * keeps a dense accidental-co-occurrence graph (every pair that
+    * ever shared one order) from exploding the edge list; one
+    * (order, part)-distinct pass + one pair-grain count.
+    */
+  def copurchaseEdges(li: DataFrame, minSupport: Int = 2): DataFrame = {
+    val lp = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= minSupport)
+      .select(col("u"), col("v"))
+  }
+
   /** The gate's graph: the undirected part↔supplier bipartite graph
     * induced by lineitem ("which suppliers ship which parts"), each
     * distinct pair contributing both directed edges.
@@ -86,7 +128,11 @@ object Graph {
     // supplier touches ~20x more edges than any part)
     "q40_pagerank" -> ((s, dir) =>
       pageRank(partSupplierEdges(table(s, dir, "lineitem")), iters = 3)
-        .orderBy(col("r").desc, col("id")).limit(25)))
+        .orderBy(col("r").desc, col("id")).limit(25)),
+
+    // triangles in the support-2 co-purchase graph
+    "q41_triangles" -> ((s, dir) =>
+      triangleCountPlan(copurchaseEdges(table(s, dir, "lineitem"))).df))
 
   def oracles: Map[String, String] = Map(
     "q40_pagerank" -> {
@@ -110,5 +156,14 @@ object Graph {
          |${round("r1", "r2")},
          |${round("r2", "r3")}
          |SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 25""".stripMargin
-    })
+    },
+    "q41_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t AS (SELECT COUNT(*) AS n_triangles
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin)
 }

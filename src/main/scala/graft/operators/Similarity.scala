@@ -297,7 +297,38 @@ object Similarity {
         col("lex_rank"), col("sem_rank"), col("rrf"))
   }
 
+  /** Recall@k of an ANN result list against the exact brute-force
+    * top-k — the [[graft.operators.Dedup.evaluateMinhashPlan]] of the
+    * similarity family: the report that validates an LSH/IVF config on
+    * a query sample before pointing it at the full corpus. Per query:
+    * hits = |ann ∩ exact| (inner join on the pair key), recall =
+    * hits/k as one correctly-rounded division. The join runs at the
+    * O(queries·k) grain; the dominant cost is the exact baseline
+    * itself, which is the point of running it on a SAMPLE.
+    */
+  def annRecall(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LSH recall against the exact top-10 per query — the config
+    // validation report for the ANN path
+    "ss_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      annRecall(
+        lshTopK(emb, numQueries = 5, k = 10),
+        bruteForceTopK(emb, numQueries = 5, k = 10), k = 10)
+        .orderBy("query_id")
+    }),
     // full k-means assignment after one Lloyd round from the
     // deterministic k-lowest-id init — every vector's cluster checked
     "ss_kmeans" -> ((s, dir) =>
@@ -415,6 +446,36 @@ object Similarity {
        |  FROM q CROSS JOIN c1 c) WHERE r = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "ss_recall" ->
+      s"""WITH q AS ($quantSql),
+         |$lshBucketsSqlCte,
+         |qs AS (SELECT vec_id AS query_id, v AS qqv, t, bucket FROM tb WHERE vec_id < 5),
+         |acand AS (
+         | SELECT DISTINCT query_id, qqv, tb.vec_id AS neighbor_id, tb.v
+         | FROM tb JOIN qs USING (t, bucket) WHERE tb.vec_id <> query_id),
+         |ascored AS (
+         | SELECT query_id, neighbor_id, ${cosSql("qqv", "v")} AS cos FROM acand),
+         |aranked AS (
+         | SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         | FROM ascored),
+         |ann AS (SELECT query_id, neighbor_id FROM aranked WHERE rk <= 10),
+         |bqs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 5),
+         |bscored AS (
+         | SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS cos
+         | FROM q CROSS JOIN bqs WHERE vec_id <> query_id),
+         |branked AS (
+         | SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         | FROM bscored),
+         |ex AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= 10),
+         |h AS (SELECT ex.query_id, COUNT(*) AS n_hit
+         |      FROM ex JOIN ann USING (query_id, neighbor_id) GROUP BY ex.query_id)
+         |SELECT e.query_id, COALESCE(n_hit, 0) AS n_hit,
+         | CAST(COALESCE(n_hit, 0) AS DOUBLE) / 10 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) e
+         | LEFT JOIN h ON e.query_id = h.query_id
+         |ORDER BY e.query_id""".stripMargin,
     "ss_kmeans" ->
       s"""WITH ${kmeansSqlCtes(4)}
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,

@@ -30,6 +30,24 @@ class GraphSpec extends SparkSpec {
     assert(re.collect().map(x => x.getString(0) -> x.getLong(1)).toMap == byId)
   }
 
+  test("triangle count: K4 minus one edge has exactly two triangles") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val plan = Graph.triangleCountPlan(e)
+    val r = plan.df.head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L)
+    plan.release()
+  }
+
+  test("co-purchase edges: support threshold drops accidental pairs") {
+    import spark.implicits._
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val e = Graph.copurchaseEdges(li, minSupport = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((10L, 20L))) // (10,30) co-occurs once -> dropped
+  }
+
   test("part-supplier edges: both directions, distinct pairs only") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("l_partkey", "l_suppkey")
