@@ -208,7 +208,8 @@ object Bench {
     // degrades gracefully if the budget runs out.
     def costRank(n: String): Int =
       if (n.startsWith("dd_") || n.startsWith("pipe_")) 0
-      else if (n.startsWith("cmp_") || n.startsWith("er_") || n.startsWith("ss_")) 1
+      else if (n.startsWith("cmp_") || n.startsWith("er_") || n.startsWith("ss_")
+        || n == "q40_pagerank" || n == "q41_triangles") 1
       else 2
     SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (costRank(n), n) }

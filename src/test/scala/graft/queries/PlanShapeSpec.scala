@@ -205,6 +205,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800)) // window moments, no self-join
   }
 
+  test("path trigrams: both leads share ONE window (one user shuffle), top-k is partial") {
+    val q = Relational.queries("q39_paths")(spark, Sf0001)
+    val plan = planString(q)
+    val windows = "Window \\[".r.findAllMatchIn(plan).size
+    assert(windows == 1, s"expected ONE Window node, got $windows:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("key skew and bpe pairs: top-k as TakeOrderedAndProject, not a global sort") {
+    val skew = graft.operators.Profiler.queries("dq_skew")(spark, Sf0001)
+    assert(planString(skew).contains("TakeOrderedAndProject"))
+    val bpe = graft.operators.TextAnalysis.queries("ta_bpe_pairs")(spark, Sf0001)
+    val plan = planString(bpe)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // pair generation is inside the scan: exactly one input scan and no join
+    assert("FileScan".r.findAllMatchIn(plan).size == 1 && !plan.contains("Join"),
+      plan.take(800))
+  }
+
   test("keeper election: single max-struct aggregation, no window over the corpus") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
