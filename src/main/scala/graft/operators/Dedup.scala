@@ -901,6 +901,50 @@ object Dedup {
     DedupPlan(evaluatePairs(pred, truth), "eval-shared", Seq(sh))
   }
 
+  /** MinHash ESTIMATE accuracy report — per banded candidate pair, the
+    * signature-agreement jaccard estimate (matching hash positions /
+    * 8) against the exact jaccard and their absolute error. This is
+    * the sketch-calibration view [[evaluateMinhashPlan]]'s set-level
+    * P/R/F1 can't give: it shows HOW WRONG the 8-hash estimate is per
+    * pair, which is what justifies (or vetoes) skipping the exact
+    * verify stage at 100 TB. Same single-cached-shingle-pass shape;
+    * the estimate is an integer match count through one division, so
+    * the report is bit-identical cross-engine.
+    */
+  def minhashEstimatePlan(docs: DataFrame): DedupPlan = {
+    val sh = shingleDf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sig = signaturesFromShingles(sh)
+    val b = lshBands(sig)
+    val cand = b.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(b.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    def side(s: String) = sig.select(
+      (col("doc_id").as(s"doc_$s") +:
+        (0 to 7).map(i => col(s"h$i").as(s"$s$i"))): _*)
+    val est = cand.join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (0 to 7).map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_match"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val out = est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_match").cast("double") / 8.0).as("est"),
+        (coalesce(col("c"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("c"), lit(0L)))).as("jaccard"))
+      .withColumn("abs_err", abs(col("est") - col("jaccard")))
+    DedupPlan(out, "minhash-est", Seq(sh))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1007,6 +1051,11 @@ object Dedup {
     // recall/precision report that validates a banding config.
     "dd_eval" -> ((s, dir) =>
       evaluateMinhashPlan(table(s, dir, "documents"), 0.1).df),
+
+    // per-pair sketch-vs-exact calibration over the banded candidates
+    "dd_minhash_est" -> ((s, dir) =>
+      minhashEstimatePlan(table(s, dir, "documents")).df
+        .orderBy("doc_a", "doc_b")),
   )
 
   // Shared SQL fragments for the DuckDB oracles.
@@ -1261,6 +1310,46 @@ object Dedup {
          |FROM inter JOIN sizes USING (query_doc)
          |WHERE CAST(n_inter AS DOUBLE) / n_query_shingles >= 0.5
          |ORDER BY query_doc, corpus_doc""".stripMargin,
+    "dd_minhash_est" ->
+      s"""WITH sig AS ($minhashSql),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sig UNION ALL
+         | SELECT doc_id, 1, md5(h2 || h3) FROM sig UNION ALL
+         | SELECT doc_id, 2, md5(h4 || h5) FROM sig UNION ALL
+         | SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |pred AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (
+         | SELECT doc_a, doc_b,
+         |  (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS n_match
+         | FROM pred JOIN sig sa ON doc_a = sa.doc_id
+         |  JOIN sig sb ON doc_b = sb.doc_id),
+         |sh AS ($shingleSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         | SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+         | FROM pred p JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         | GROUP BY 1, 2)
+         |SELECT e.doc_a, e.doc_b,
+         | CAST(n_match AS DOUBLE) / 8.0 AS est,
+         | CAST(COALESCE(c, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(c, 0)) AS jaccard,
+         | ABS(CAST(n_match AS DOUBLE) / 8.0
+         |  - CAST(COALESCE(c, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(c, 0))) AS abs_err
+         |FROM est e
+         | LEFT JOIN common co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
+         | JOIN cnt ca ON ca.doc_id = e.doc_a
+         | JOIN cnt cb ON cb.doc_id = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin,
     "dd_eval" ->
       s"""WITH sig AS ($minhashSql),
          |bands AS (

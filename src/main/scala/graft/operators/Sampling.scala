@@ -168,6 +168,29 @@ object Sampling {
       salt: String = "qw"): DataFrame =
     df.where(hashFraction(key, salt) < score)
 
+  /** EXACT stratified sampling — within every stratum keep exactly
+    * ⌈frac·n⌉ rows, chosen by salted-hash order (content-blind,
+    * deterministic, engine-reproducible). The hash-threshold samplers
+    * keep frac±binomial-noise per group; this one is the variant for
+    * when the contract is exact per-stratum counts (k-fold eval sets,
+    * per-class budgets) at the cost of one window shuffle per group —
+    * the [[sourceCap]] cost shape, except the data-dependent ⌈n·frac⌉
+    * threshold rules out the constant-k WindowGroupLimit pushdown, so
+    * the rank materializes for every row of the group. Use the
+    * threshold samplers when approximate shares are acceptable.
+    */
+  def stratifiedSample(df: DataFrame, group: Column, key: Column,
+      frac: Double, salt: String = "strat"): DataFrame = {
+    require(frac > 0 && frac <= 1, "need 0 < frac <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(hashFraction(key, salt), key)
+    val n = Window.partitionBy(group)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .where(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
+
   /** Temperature-flattened mixture sampling — the multilingual/
     * multi-source schedule trick (sample source i with probability
     * ∝ n_i^α, α < 1) realized as deterministic per-source keep rates:
@@ -268,6 +291,14 @@ object Sampling {
 
     "ta_top_tokens" -> ((s, dir) =>
       heavyHitters(table(s, dir, "documents"), 20)),
+
+    // exact 30% per source, hash-ordered — every source keeps
+    // ceil(0.3 * n) docs precisely
+    "sa_stratified" -> ((s, dir) =>
+      stratifiedSample(table(s, dir, "documents"), col("source"),
+        col("doc_id"), 0.3)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
 
     // temperature flattening over a deliberately imbalanced source mix
     // (source srcN thinned to every (N+1)-th doc): per-source totals
@@ -390,6 +421,14 @@ object Sampling {
          |WHERE ${hashFractionSql("doc_id", "qw")}
          |  < CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
          |ORDER BY doc_id""".stripMargin,
+    "sa_stratified" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY ${hashFractionSql("doc_id", "strat")}, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY source) AS n
+         | FROM documents)
+         |SELECT doc_id, source FROM r
+         |WHERE rn <= CEIL(n * 0.3) ORDER BY doc_id""".stripMargin,
     "sa_temperature" ->
       s"""WITH d AS (SELECT doc_id, source FROM documents
          |  WHERE doc_id % (CAST(substr(source, 4) AS INT) + 1) = 0),

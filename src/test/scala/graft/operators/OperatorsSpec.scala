@@ -742,6 +742,21 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.map(_.getLong(4)).toSeq == hits.map(_.getLong(4)).sortBy(-_).toSeq)
   }
 
+  test("minhash estimate: identical docs agree on all 8 hashes with zero error") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val plan = Dedup.minhashEstimatePlan(d)
+    val r = plan.df.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+    assert(r.exists { case (a, b, est, j, e) =>
+      a == 1L && b == 2L && est == 1.0 && j == 1.0 && e == 0.0 })
+    // the unrelated doc never pairs with the twins
+    assert(!r.exists { case (a, b, _, _, _) => a == 3L || b == 3L })
+    plan.release()
+  }
+
   test("shared-shingle eval equals the two-operator evaluation, then releases") {
     val plan = Dedup.evaluateMinhashPlan(docs, 0.1)
     val shared = plan.df.head()

@@ -189,6 +189,20 @@ class SamplingSpec extends SparkSpec {
     assert(bySrc("s1") == 2 && bySrc("s2") == 2)
   }
 
+  test("stratified sampling: exactly ceil(frac*n) kept per stratum, deterministic") {
+    import spark.implicits._
+    val d = ((1 to 10).map(i => (i.toLong, "a")) ++ (101 to 107).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.stratifiedSample(d, col("source"), col("doc_id"), 0.3)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 3L, "b" -> 3L)) // ceil(10*.3)=3, ceil(7*.3)=3
+    // same call keeps the same rows
+    val again = Sampling.stratifiedSample(d, col("source"), col("doc_id"), 0.3)
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("temperature sampling: smallest source kept whole, big source thinned toward sqrt") {
     import spark.implicits._
     val d = ((1 to 400).map(i => (i.toLong, "big")) ++
