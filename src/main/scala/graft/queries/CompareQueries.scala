@@ -171,6 +171,23 @@ object CompareQueries {
         .orderBy("doc_id")
     }),
 
+    // CDC classification over a synthetic keyed snapshot pair: one
+    // update, one delete, one insert, the rest unchanged — the keyed
+    // change feed next to the bag diff's orphan report
+    "cmp_cdc" -> ((s, dir) => {
+      val src = s.range(1, 1001).select(
+        col("id").as("a"), (col("id") % 97).as("b"),
+        concat(lit("row "), col("id")).as("c"))
+      val tgt = src
+        .withColumn("b", when(col("a") === 50, col("b") + 1).otherwise(col("b")))
+        .where(col("a") =!= 77)
+        .unionAll(s.range(1001, 1002).select(
+          col("id").as("a"), lit(7L).as("b"), lit("new row").as("c")))
+      Comparator.cdc(src, tgt, Seq("a"))
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .orderBy("verdict")
+    }),
+
     // Morton layout code over two layout columns — the clustered-write
     // ordering key (Sinks.writeZOrdered); pure codegen'd bit ladder
     "fn_zorder" -> ((s, dir) => {
@@ -293,6 +310,23 @@ object CompareQueries {
         | || CASE WHEN regexp_matches(text, '\s') THEN '"' || text || '"' ELSE COALESCE(text, '') END || ','
         | || COALESCE(lang, '') || ')' AS rec
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "cmp_cdc" ->
+      """WITH src AS (SELECT r AS a, r % 97 AS b, 'row ' || r AS c
+        |  FROM range(1, 1001) t(r)),
+        |tgt AS (SELECT a, CASE WHEN a = 50 THEN b + 1 ELSE b END AS b, c
+        |  FROM src WHERE a <> 77
+        |  UNION ALL SELECT 1001, 7, 'new row'),
+        |hs AS (SELECT a, md5(COALESCE(CAST(b AS VARCHAR), chr(1)) || '|'
+        |  || COALESCE(c, chr(1))) AS h FROM src),
+        |ht AS (SELECT a, md5(COALESCE(CAST(b AS VARCHAR), chr(1)) || '|'
+        |  || COALESCE(c, chr(1))) AS h FROM tgt),
+        |j AS (SELECT hs.h AS h1, ht.h AS h2
+        |  FROM hs FULL JOIN ht ON hs.a = ht.a),
+        |v AS (SELECT CASE WHEN h1 IS NULL THEN 'insert'
+        |  WHEN h2 IS NULL THEN 'delete'
+        |  WHEN h1 <> h2 THEN 'update' ELSE 'unchanged' END AS verdict FROM j)
+        |SELECT verdict, COUNT(*) AS n FROM v
+        |GROUP BY verdict ORDER BY verdict""".stripMargin,
     "fn_zorder" ->
       """WITH s0 AS (SELECT p_partkey, p_size,
         |  CAST(p_partkey AS BIGINT) & 65535 AS a,

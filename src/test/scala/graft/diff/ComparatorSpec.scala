@@ -232,4 +232,17 @@ class ComparatorSpec extends SparkSpec {
       assert(est > actual / 30 && est < actual * 30, s"est=$est actual=$actual")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("cdc: classifies insert/delete/update/unchanged; NULL is not empty-string") {
+    import spark.implicits._
+    val src = Seq((1L, Option("x"), "p"), (2L, Option("y"), "q"),
+      (3L, Option(""), "r"), (4L, Option("z"), "s")).toDF("k", "b", "c")
+    val tgt = Seq((1L, Option("x"), "p"), (2L, Option("Y"), "q"),
+      (3L, None: Option[String], "r"), (5L, Option("w"), "t")).toDF("k", "b", "c")
+    val v = Comparator.cdc(src, tgt, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "unchanged", 2L -> "update",
+      3L -> "update", // "" vs NULL must differ — the sentinel's job
+      4L -> "delete", 5L -> "insert"))
+  }
 }
