@@ -509,6 +509,51 @@ object Multimodal {
       bits = 64, maxHamming = maxHamming)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
+  /** Perceptual fingerprints for decodable VIDEO payloads: a 64-bit
+    * temporal luma-transition hash — the audio energy-delta idea
+    * applied to the frame axis. The per-frame mean-luma sequence
+    * (real MJPEG decode, [[VideoCodec.decodeAllFrames]]) is resampled
+    * to 65 points by index interpolation, and bit i is set iff luma
+    * RISES between consecutive points. Order-based, so uniform
+    * brightness/gain changes preserve the fingerprint while a
+    * re-edit (scene reorder, trim) flips transition bits. Videos with
+    * fewer than 2 decodable frames produce no row.
+    */
+  def videoFingerprints(catalog: DataFrame): DataFrame = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val lumas = VideoCodec.decodeAllFrames(payload).map(_._5)
+        if (lumas.size < 2) None
+        else {
+          val n = lumas.size
+          def at(i: Int): Double = lumas((i.toLong * (n - 1) / 64).toInt)
+          var fp = 0L
+          var i = 0
+          while (i < 64) {
+            if (at(i + 1) > at(i)) fp |= (1L << i)
+            i += 1
+          }
+          Some((id, fp))
+        }
+      }
+      .toDF("media_id", "vfp")
+  }
+
+  /** Video near-dup pairs: the temporal fingerprints through the SAME
+    * banded hamming machinery as text/image/audio — one decode pass +
+    * one banded bucket join, completing the modality set.
+    */
+  def videoNearDupPairs(catalog: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.bandedFingerprintPairs(
+      videoFingerprints(catalog)
+        .select(col("media_id").as("doc_id"), col("vfp").as("fp")),
+      bits = 64, maxHamming = maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
   /** Perceptual fingerprints for decodable AUDIO payloads: a 64-bit
     * energy-delta hash (the dHash idea transposed to time) — the
     * sample stream is cut into 65 equal windows, each window's

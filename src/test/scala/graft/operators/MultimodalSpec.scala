@@ -303,4 +303,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(800))
   }
+
+  test("video near-dup: brightness-invariant luma-transition pairs; re-edit diverges") {
+    import spark.implicits._
+    // 9-frame monotone brightness ramp: every transition rises, so the
+    // fingerprint survives a uniform brightness lift while reversing
+    // the frame order (a re-edit) turns every rise into a fall
+    def stair(levels: Seq[Int]): Array[Byte] =
+      mjpegAvi(levels.map(l => solidFrame(16, 12, (l << 16) | (l << 8) | l)),
+        usPerFrame = 40000, w = 16, h = 12)
+    val levels = Seq(40, 60, 80, 100, 120, 140, 160, 180, 200)
+    val cat = Seq(
+      (1L, stair(levels)),
+      (2L, stair(levels.map(_ + 30))),   // brightness-lifted copy
+      (3L, stair(levels.reverse)),       // re-edit: reversed order
+      (4L, "not a video".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val fps = Multimodal.videoFingerprints(cat).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L)) // non-video payload dropped
+    assert(fps(1L) == fps(2L), "brightness lift must not move the fingerprint")
+    assert(fps(1L) != fps(3L))
+    val pairs = Multimodal.videoNearDupPairs(cat, maxHamming = 8)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0L, s"got $got")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(800))
+  }
 }
