@@ -388,6 +388,42 @@ object Profiler {
     }.reduce(_ unionAll _)
   }
 
+  /** Constraint-candidate discovery — the [[profile]] read out as
+    * enforceable contracts: a column whose exact distinct count equals
+    * its row count with zero nulls is a UNIQUE-key candidate; zero
+    * nulls alone is a NOT NULL candidate. The "suggest a schema for
+    * this drop" step that feeds the comparator's key choice and the
+    * FD audit's determinant list. Same single-aggregation cost as the
+    * profile it derives from.
+    */
+  def constraintCandidates(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    profile(df, cols).select(col("column_name"),
+      (col("n_nulls") === 0 && col("n_distinct") === col("n_rows"))
+        .as("unique_candidate"),
+      (col("n_nulls") === 0).as("not_null"))
+
+  /** Pre-join cardinality audit — [[keySkew]]'s companion: the EXACT
+    * output size `Σ_k n_a(k)·n_b(k)` a join would produce, plus the
+    * hottest single key's contribution, computed from the two key
+    * histograms WITHOUT running the join. This is the "will this join
+    * explode" check a 100 TB pipeline runs before committing a
+    * many-to-many join: two map-side-combinable counts at the key
+    * grain, one tiny key-grain join, products summed in DECIMAL(38,0)
+    * (two billion-row hot sides would overflow a BIGINT).
+    */
+  def joinCardinality(a: DataFrame, ka: Column, b: DataFrame, kb: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ca = a.groupBy(ka.as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(kb.as("k")).agg(count(lit(1)).as("nb"))
+    val prod = ca.join(cb, "k")
+      .select((col("na").cast(dec) * col("nb").cast(dec)).as("p"))
+      .agg(coalesce(sum(col("p")), lit(0).cast(dec)).as("n_join_rows"),
+        coalesce(max(col("p")), lit(0).cast(dec)).as("max_key_rows"))
+    val la = a.agg(count(lit(1)).as("n_left"))
+    val lb = b.agg(count(lit(1)).as("n_right"))
+    la.crossJoin(lb).crossJoin(prod)
+  }
+
   /** Semi-structured (JSON) schema profile — the "what's actually in
     * this props blob" report: per top-level key and inferred value
     * type, how many rows carry it. This is how schema DRIFT in
@@ -597,6 +633,19 @@ object Profiler {
       functionalDependencies(table(s, dir, "part"), FdPairs)
         .orderBy("determinant", "dependent")),
 
+    // profile read as contracts: unique-key / not-null candidates
+    "dq_constraints" -> ((s, dir) =>
+      constraintCandidates(table(s, dir, "orders")).orderBy("column_name")),
+
+    // exact join-output size from the two key histograms, no join run
+    "dq_join_est" -> ((s, dir) =>
+      joinCardinality(
+        table(s, dir, "lineitem"), col("l_orderkey"),
+        table(s, dir, "orders"), col("o_orderkey"))
+        .select(col("n_left"), col("n_right"),
+          col("n_join_rows").cast("long").as("n_join_rows"),
+          col("max_key_rows").cast("long").as("max_key_rows"))),
+
     // JSON schema profile over a planted variant payload (base fields
     // always present; cents on every 3rd event, a bool on every 5th)
     "dq_json_schema" -> ((s, dir) => {
@@ -798,6 +847,24 @@ object Profiler {
          |FROM pa FULL JOIN pb USING (column_name)
          |ORDER BY column_name""".stripMargin
     },
+
+    "dq_constraints" -> OrdersCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         | (COUNT(*) - COUNT($c) = 0 AND COUNT(DISTINCT $c) = COUNT(*))
+         |   AS unique_candidate,
+         | (COUNT(*) - COUNT($c) = 0) AS not_null
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "dq_join_est" ->
+      """WITH ca AS (SELECT l_orderkey AS k, COUNT(*) AS na FROM lineitem GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(na AS HUGEINT) * nb AS p FROM ca JOIN cb USING (k))
+        |SELECT (SELECT COUNT(*) FROM lineitem) AS n_left,
+        | (SELECT COUNT(*) FROM orders) AS n_right,
+        | CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_join_rows,
+        | CAST(COALESCE(MAX(p), 0) AS BIGINT) AS max_key_rows
+        |FROM p""".stripMargin,
 
     "dq_json_schema" ->
       """WITH p AS (SELECT

@@ -157,6 +157,29 @@ class ProfilerSpec extends SparkSpec {
     assert(c.getDouble(4) == 0.0 && c.getDouble(5) == 0.0 && !c.getBoolean(6))
   }
 
+  test("constraint candidates: unique needs all-distinct AND no nulls") {
+    import spark.implicits._
+    val d = Seq((Some(1), Some("a"), Some("x")), (Some(2), Some("a"), None),
+      (Some(3), Some("b"), Some("y"))).toDF("id", "grp", "opt")
+    val r = Profiler.constraintCandidates(d).collect()
+      .map(x => x.getString(0) -> (x.getBoolean(1), x.getBoolean(2))).toMap
+    assert(r("id") == ((true, true)))    // unique + not null
+    assert(r("grp") == ((false, true)))  // duplicates
+    assert(r("opt") == ((false, false))) // distinct but nullable
+  }
+
+  test("join cardinality: exact sum of per-key products without running the join") {
+    import spark.implicits._
+    val a = Seq(1, 1, 1, 2, 3).toDF("k")      // histogram 1->3, 2->1, 3->1
+    val b = Seq(1, 1, 2, 9).toDF("k")         // histogram 1->2, 2->1, 9->1
+    val r = Profiler.joinCardinality(a, col("k"), b, col("k")).head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 4)
+    assert(r.getDecimal(2).longValue == 7)    // 3*2 + 1*1
+    assert(r.getDecimal(3).longValue == 6)    // hottest key 1
+    // ground truth: the actual join
+    assert(a.join(b, "k").count() == 7)
+  }
+
   test("json schema profile: dynamic keys, value-shape types, mixed-type drift visible") {
     import spark.implicits._
     val d = Seq(
