@@ -551,13 +551,20 @@ object Comparator {
     * carries keys + 32-byte digests, never full rows — the
     * fingerprint economy applied to keyed diffing.
     */
+  /** (pk..., alias) projection carrying the non-key columns as one md5
+    * digest -- shared by [[cdc]] and its streaming twin
+    * ([[graft.streaming.Streaming.cdcStream]]).
+    */
+  private[graft] def cdcHashed(df: DataFrame, pk: Seq[String],
+      nonPk: Seq[String], h: String): DataFrame = df.select(
+    (pk.map(col) :+ md5(concat_ws("|",
+      nonPk.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)).as(h)): _*)
+
   def cdc(src: DataFrame, tgt: DataFrame, pk: Seq[String]): DataFrame = {
     require(pk.nonEmpty, "cdc needs at least one primary-key column")
     val nonPk = src.columns.filterNot(pk.contains).toSeq
     require(nonPk.nonEmpty, "cdc needs at least one non-key column")
-    def hashed(df: DataFrame, h: String) = df.select(
-      (pk.map(col) :+ md5(concat_ws("|",
-        nonPk.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)).as(h)): _*)
+    def hashed(df: DataFrame, h: String) = cdcHashed(df, pk, nonPk, h)
     hashed(src, "__hs").join(hashed(tgt, "__ht"), pk, "full_outer")
       .select((pk.map(col) :+
         when(col("__hs").isNull, "insert")

@@ -281,4 +281,29 @@ object Streaming {
       .withColumn("mismatch",
         col("s_cnt") =!= col("t_cnt") || !(col("s_hsum") <=> col("t_hsum")))
   }
+
+  /** Streaming CDC — the ingest twin of
+    * [[graft.diff.Comparator.cdc]]: arriving records classified
+    * against a STATIC baseline snapshot (yesterday's drop) as
+    * insert / update / unchanged via a stream-static left join on the
+    * primary key, with non-key columns traveling as the SAME md5
+    * digest projection the batch operator uses
+    * ([[graft.diff.Comparator.cdcHashed]], shared verbatim — the
+    * stream inherits the batch gate's semantics including the NULL
+    * sentinel). Deletes are invisible to an insert-stream by nature;
+    * detecting them needs the batch full-outer form over a complete
+    * snapshot. Stateless per record (the baseline side is a static
+    * build side), so no watermark and no state store.
+    */
+  def cdcStream(baseline: DataFrame, stream: DataFrame,
+      pk: Seq[String]): DataFrame = {
+    val nonPk = baseline.columns.filterNot(pk.contains).toSeq
+    graft.diff.Comparator.cdcHashed(stream, pk, nonPk, "__ht")
+      .join(graft.diff.Comparator.cdcHashed(baseline, pk, nonPk, "__hs"),
+        pk, "left_outer")
+      .select((pk.map(col) :+
+        when(col("__hs").isNull, "insert")
+          .when(col("__hs") =!= col("__ht"), "update")
+          .otherwise("unchanged").as("verdict")): _*)
+  }
 }

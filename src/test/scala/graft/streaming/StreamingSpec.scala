@@ -375,4 +375,28 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("cdc stream: arriving rows classify against the static baseline like batch cdc") {
+    implicit val sq = spark.sqlContext
+    val baseline = Seq((1L, "x", "p"), (2L, "y", "q"), (3L, "z", "r"))
+      .toDF("k", "b", "c")
+    // arriving batch: 1 unchanged, 2 updated, 4 new; 3 never arrives
+    val arriving = Seq((1L, "x", "p"), (2L, "Y", "q"), (4L, "w", "t"))
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(arriving)
+    val out = Streaming.cdcStream(baseline, mem.toDF().toDF("k", "b", "c"), Seq("k"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cdcs")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("cdcs").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == Map(1L -> "unchanged", 2L -> "update", 4L -> "insert"))
+    // the batch operator agrees on every key the stream delivered
+    val batch = graft.diff.Comparator.cdc(
+      baseline, arriving.toDF("k", "b", "c"), Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.forall { case (k, v) => batch(k) == v })
+    assert(batch(3L) == "delete") // visible only to the full-snapshot form
+  }
 }
