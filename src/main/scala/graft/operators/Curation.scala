@@ -239,6 +239,28 @@ object Curation {
     "cur_filter_stack" -> ((s, dir) =>
       TextAnalysis.filterStack(table(s, dir, "documents")).orderBy("doc_id")),
 
+    // The COMPLIANCE pipeline as one lazy plan: plant PII → redact →
+    // pseudonymize the source key → purge tombstoned docs → per
+    // pseudo-source audit summary. Each stage is oracle-gated alone;
+    // this row proves the composition stays a single Catalyst plan
+    // (narrow projections + one broadcast anti-join + one aggregation).
+    "pipe_compliance" -> ((s, dir) => {
+      val docs = plantedPii(s, dir)
+        .join(table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+      val tomb = docs.select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(31)) === 0)
+      val cleaned = pseudonymize(redactPii(docs, col("text")),
+        Seq("source"), "graft-salt")
+      forget(cleaned, col("doc_id"), tomb)
+        .groupBy(col("source").as("pseudo_source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pii_email")).as("n_email"),
+          sum(col("n_pii_ip")).as("n_ip"),
+          sum(col("n_pii_phone")).as("n_phone"))
+        .orderBy("pseudo_source")
+    }),
+
     // right-to-be-forgotten cascade: every 13th user tombstoned, purged
     // from both tables that key on the entity; per-table audit counts
     "cur_forget" -> ((s, dir) => {
@@ -325,6 +347,32 @@ object Curation {
         |SELECT doc_id, passes_quality, passes_repetition, lang_ok,
         |  (passes_quality AND passes_repetition AND lang_ok) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "pipe_compliance" -> {
+      s"""WITH planted AS (SELECT doc_id, source,
+         |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |   || '@mail.example.com or 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+         |   || '.7 ext 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |   || CASE WHEN doc_id % 3 = 0 THEN ' cc bob@corp.io' ELSE '' END AS text
+         | FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS ne
+         | FROM planted),
+         |r2 AS (SELECT doc_id, source, ne,
+         |  regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS after_ip,
+         |  len(regexp_extract_all(after_email, '$Ipv4Re')) AS ni
+         | FROM r),
+         |r3 AS (SELECT doc_id, source, ne, ni,
+         |  len(regexp_extract_all(after_ip, '$PhoneRe')) AS np
+         | FROM r2),
+         |kept AS (SELECT * FROM r3 WHERE doc_id % 31 <> 0)
+         |SELECT md5('graft-salt|' || source) AS pseudo_source,
+         | COUNT(*) AS n_docs,
+         | CAST(SUM(ne) AS BIGINT) AS n_email,
+         | CAST(SUM(ni) AS BIGINT) AS n_ip,
+         | CAST(SUM(np) AS BIGINT) AS n_phone
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "cur_forget" ->
       """WITH tomb AS (SELECT DISTINCT user_id AS id FROM events
         |  WHERE user_id % 13 = 0)
