@@ -388,6 +388,32 @@ object Profiler {
     }.reduce(_ unionAll _)
   }
 
+  /** Referential-integrity audit — [[functionalDependencies]]'s
+    * cross-table sibling: does every child key exist in the parent?
+    * Per relation: distinct child keys, orphan keys, orphan ROWS (the
+    * blast radius a broken join would silently drop or null-extend),
+    * and the holds verdict.
+    *
+    * Scale shape: the child collapses to its key grain first (one
+    * map-side-combinable count), the parent to distinct keys, and the
+    * audit is one key-grain left join — never a row-level join of two
+    * 100 TB tables. Exact integers only.
+    */
+  def referentialIntegrity(relations: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one (label, child, ck, parent, pk)")
+    relations.map { case (label, child, ck, parent, pk) =>
+      val ckeys = child.groupBy(ck.as("k")).agg(count(lit(1)).as("n_rows"))
+      val pkeys = parent.select(pk.as("k")).distinct().withColumn("__p", lit(1))
+      ckeys.join(pkeys, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_keys"),
+          sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_orphan_keys"),
+          sum(when(col("__p").isNull, col("n_rows")).otherwise(0L)).as("n_orphan_rows"))
+        .select(lit(label).as("relation"), col("n_child_keys"),
+          col("n_orphan_keys"), col("n_orphan_rows"),
+          (col("n_orphan_keys") === 0).as("ri_holds"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Constraint-candidate discovery — the [[profile]] read out as
     * enforceable contracts: a column whose exact distinct count equals
     * its row count with zero nulls is a UNIQUE-key candidate; zero
@@ -633,6 +659,20 @@ object Profiler {
       functionalDependencies(table(s, dir, "part"), FdPairs)
         .orderBy("determinant", "dependent")),
 
+    // cross-table referential integrity: the lineitem->orders FK holds;
+    // events.user_id against an even-keys-only parent is violated
+    "dq_ri" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      referentialIntegrity(Seq(
+        ("lineitem.l_orderkey -> orders",
+          table(s, dir, "lineitem"), col("l_orderkey"),
+          table(s, dir, "orders"), col("o_orderkey")),
+        ("events.user_id -> customer(even)",
+          table(s, dir, "events"), col("user_id"),
+          cust.where(pmod(col("c_custkey"), lit(2)) === 0), col("c_custkey"))))
+        .orderBy("relation")
+    }),
+
     // profile read as contracts: unique-key / not-null candidates
     "dq_constraints" -> ((s, dir) =>
       constraintCandidates(table(s, dir, "orders")).orderBy("column_name")),
@@ -846,6 +886,24 @@ object Profiler {
          |  AND pa.max_str IS NOT DISTINCT FROM pb.max_str) AS bounds_equal
          |FROM pa FULL JOIN pb USING (column_name)
          |ORDER BY column_name""".stripMargin
+    },
+
+    "dq_ri" -> {
+      def rel(label: String, childSql: String, ck: String,
+          parentSql: String, pk: String): String =
+        s"""SELECT '$label' AS relation,
+           | COUNT(*) AS n_child_keys,
+           | CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+           | CAST(SUM(CASE WHEN p.k IS NULL THEN n_rows ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           | (CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0) AS ri_holds
+           |FROM (SELECT $ck AS k, COUNT(*) AS n_rows FROM $childSql GROUP BY 1) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parentSql) p ON c.k = p.k""".stripMargin
+      rel("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey") +
+        "\nUNION ALL\n" +
+        rel("events.user_id -> customer(even)", "events", "user_id",
+          "(SELECT * FROM customer WHERE c_custkey % 2 = 0)", "c_custkey") +
+        "\nORDER BY relation"
     },
 
     "dq_constraints" -> OrdersCols.map { c =>

@@ -168,6 +168,26 @@ object Sampling {
       salt: String = "qw"): DataFrame =
     df.where(hashFraction(key, salt) < score)
 
+  /** Leakage-safe train/val/test split — the near-dup-aware form of
+    * [[hashSplit]]: the split key is the document's near-duplicate
+    * CLUSTER id (MinHash-LSH candidates → connected components), not
+    * the document id, so two near-copies can never straddle the
+    * train/test boundary and silently inflate held-out scores — the
+    * eval-leakage failure [[graft.operators.Curation.decontaminate]]
+    * guards against across corpora, applied to the split itself.
+    * Costs one LSH candidate pass + O(log d) clustering rounds on top
+    * of the plain split; the assignment stays a pure hash function of
+    * the cluster key (stable under incremental ingestion as long as
+    * cluster identities are).
+    */
+  def leakageSafeSplit(docs: DataFrame, weights: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val clusters = Dedup
+      .connectedComponents(docs, Dedup.minhashCandidates(docs))
+      .select(col("doc_id"), col("cluster_id"))
+    hashSplit(docs.join(clusters, "doc_id"), col("cluster_id"), weights, salt)
+  }
+
   /** EXACT stratified sampling — within every stratum keep exactly
     * ⌈frac·n⌉ rows, chosen by salted-hash order (content-blind,
     * deterministic, engine-reproducible). The hash-threshold samplers
@@ -291,6 +311,22 @@ object Sampling {
 
     "ta_top_tokens" -> ((s, dir) =>
       heavyHitters(table(s, dir, "documents"), 20)),
+
+    // near-dup-aware split: per-split doc counts plus the count of
+    // candidate pairs straddling splits — which must be ZERO
+    "sa_leakage_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val labeled = leakageSafeSplit(d, GateWeights)
+      val pairs = Dedup.minhashCandidates(d)
+      val sa = labeled.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+      val sb = labeled.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+      val cross = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross_pairs"))
+      labeled.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cross))
+        .orderBy("split")
+    }),
 
     // exact 30% per source, hash-ordered — every source keeps
     // ceil(0.3 * n) docs precisely
@@ -421,6 +457,22 @@ object Sampling {
          |WHERE ${hashFractionSql("doc_id", "qw")}
          |  < CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
          |ORDER BY doc_id""".stripMargin,
+    "sa_leakage_split" ->
+      s"""WITH RECURSIVE ${Dedup.clustersCte},
+         |clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |labeled AS (SELECT d.doc_id,
+         |  ${splitCaseSql("cluster_id", GateWeights)} AS split
+         | FROM documents d JOIN clusters USING (doc_id)),
+         |cross_p AS (SELECT CAST(COALESCE(SUM(
+         |   CASE WHEN la.split <> lb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |   AS n_cross_pairs
+         |  FROM pairs p
+         |  JOIN labeled la ON la.doc_id = p.doc_a
+         |  JOIN labeled lb ON lb.doc_id = p.doc_b)
+         |SELECT split, COUNT(*) AS n_docs, n_cross_pairs
+         |FROM labeled, cross_p
+         |GROUP BY split, n_cross_pairs ORDER BY split""".stripMargin,
     "sa_stratified" ->
       s"""WITH r AS (SELECT doc_id, source,
          |  ROW_NUMBER() OVER (PARTITION BY source

@@ -157,6 +157,17 @@ class ProfilerSpec extends SparkSpec {
     assert(c.getDouble(4) == 0.0 && c.getDouble(5) == 0.0 && !c.getBoolean(6))
   }
 
+  test("referential integrity: orphan keys and rows counted exactly") {
+    import spark.implicits._
+    val child = Seq((1, "a"), (1, "b"), (2, "c"), (9, "d"), (9, "e")).toDF("fk", "v")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val r = Profiler.referentialIntegrity(
+      Seq(("child -> parent", child, col("fk"), parent, col("pk")))).head()
+    assert(r.getString(0) == "child -> parent")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1 && r.getLong(3) == 2)
+    assert(!r.getBoolean(4)) // key 9 (2 rows) is orphaned
+  }
+
   test("constraint candidates: unique needs all-distinct AND no nulls") {
     import spark.implicits._
     val d = Seq((Some(1), Some("a"), Some("x")), (Some(2), Some("a"), None),

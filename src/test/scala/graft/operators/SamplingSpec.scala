@@ -189,6 +189,21 @@ class SamplingSpec extends SparkSpec {
     assert(bySrc("s1") == 2 && bySrc("s2") == 2)
   }
 
+  test("leakage-safe split: near-duplicate documents always share a split") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),            // near-dups of each other
+      (3L, "completely unrelated words in this one here now for sure friend"),
+      (4L, base)).toDF("doc_id", "text")            // exact dup of 1
+    val labeled = Sampling.leakageSafeSplit(docs, Seq("train" -> 0.5, "test" -> 0.5))
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labeled.size == 4)
+    assert(labeled(1L) == labeled(2L) && labeled(1L) == labeled(4L),
+      s"near-dups split apart: $labeled")
+  }
+
   test("stratified sampling: exactly ceil(frac*n) kept per stratum, deterministic") {
     import spark.implicits._
     val d = ((1 to 10).map(i => (i.toLong, "a")) ++ (101 to 107).map(i => (i.toLong, "b")))
