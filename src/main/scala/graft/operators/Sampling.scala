@@ -181,9 +181,17 @@ object Sampling {
     * cluster identities are).
     */
   def leakageSafeSplit(docs: DataFrame, weights: Seq[(String, Double)],
-      salt: String = "split"): DataFrame = {
-    val clusters = Dedup
-      .connectedComponents(docs, Dedup.minhashCandidates(docs))
+      salt: String = "split"): DataFrame =
+    leakageSafeSplitFrom(docs, Dedup.minhashCandidates(docs), weights, salt)
+
+  /** [[leakageSafeSplit]] over an ALREADY-COMPUTED candidate pair set —
+    * for callers that also need the pairs themselves (e.g. the gate's
+    * cross-split audit): persist the pairs once and both consumers
+    * read the cache instead of re-running the LSH pass.
+    */
+  def leakageSafeSplitFrom(docs: DataFrame, pairs: DataFrame,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val clusters = Dedup.connectedComponents(docs, pairs)
       .select(col("doc_id"), col("cluster_id"))
     hashSplit(docs.join(clusters, "doc_id"), col("cluster_id"), weights, salt)
   }
@@ -316,8 +324,10 @@ object Sampling {
     // candidate pairs straddling splits — which must be ZERO
     "sa_leakage_split" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      val labeled = leakageSafeSplit(d, GateWeights)
+      // ONE LSH candidate pass feeds both the clustering and the audit
       val pairs = Dedup.minhashCandidates(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val labeled = leakageSafeSplitFrom(d, pairs, GateWeights)
       val sa = labeled.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
       val sb = labeled.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
       val cross = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
