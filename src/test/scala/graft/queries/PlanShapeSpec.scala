@@ -224,6 +224,17 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("referential integrity: both sides collapse to the key grain BELOW the join") {
+    val q = graft.operators.Profiler.queries("dq_ri")(spark, Sf0001)
+    val plan = initialPlan(q).toString
+    // the doc's claim: a partial (map-side) aggregate on each input
+    // precedes every join — never a row-level join of two tables
+    val joinIdx = plan.indexOf("Join")
+    val partialIdx = plan.indexOf("partial_count")
+    assert(joinIdx >= 0 && partialIdx >= 0, plan.take(800))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+  }
+
   test("keeper election: single max-struct aggregation, no window over the corpus") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
