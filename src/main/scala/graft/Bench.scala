@@ -180,6 +180,12 @@ object Bench {
       val canaryMed = if (allCanaries.isEmpty) -1.0 else median(allCanaries)
       val canaryMax = if (allCanaries.isEmpty) -1.0 else allCanaries.max
       println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"canary_med":${f"$canaryMed%.4f"},"canary_max":${f"$canaryMax%.4f"},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      // Totals-only line AFTER the cumulative one: at 134+ queries the
+      // full line outgrows the ~2 KB stdout tail the driver retains and
+      // the LEADING totals are what got truncated (r7). The retained
+      // suffix must always end in a short, parseable totals record; the
+      // full per-query map still ships in BENCH_DETAIL.json.
+      println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"canary_med":${f"$canaryMed%.4f"},"canary_max":${f"$canaryMax%.4f"},"n_queries":${mins.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
       val qmin = repDetail.map { case (k, ts) =>
         "\"" + k + "\":" + (if (ts.isEmpty) "-1" else ts.min) }
         .mkString("{", ",", "}")

@@ -545,11 +545,16 @@ object Comparator {
     * the change feed a downstream incremental consumer actually wants.
     *
     * One full-outer join on the PK; non-key columns travel as a single
-    * md5 digest (U+0001 sentinel for NULL so ("a", NULL) ≠ ("a", "") —
-    * both engines' concat_ws would otherwise silently skip the NULL,
-    * and DuckDB cannot hold U+0000 in a VARCHAR), so the shuffle
-    * carries keys + 32-byte digests, never full rows — the
-    * fingerprint economy applied to keyed diffing.
+    * md5 digest, so the shuffle carries keys + 32-byte digests, never
+    * full rows — the fingerprint economy applied to keyed diffing.
+    *
+    * The row encoding is INJECTIVE: each column hashes SEPARATELY and
+    * the fixed-width hex digests concatenate (NULL → the single token
+    * "N", outside md5's lowercase-hex alphabet, so the token stream is
+    * uniquely decodable). A delimiter-join of raw values collides
+    * under delimiter injection — ("a|b","c") vs ("a","b|c") — and any
+    * in-band NULL sentinel collides with a literal sentinel value;
+    * either would silently classify a changed row 'unchanged'.
     */
   /** (pk..., alias) projection carrying the non-key columns as one md5
     * digest -- shared by [[cdc]] and its streaming twin
@@ -557,8 +562,8 @@ object Comparator {
     */
   private[graft] def cdcHashed(df: DataFrame, pk: Seq[String],
       nonPk: Seq[String], h: String): DataFrame = df.select(
-    (pk.map(col) :+ md5(concat_ws("|",
-      nonPk.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)).as(h)): _*)
+    (pk.map(col) :+ md5(concat(
+      nonPk.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*)).as(h)): _*)
 
   def cdc(src: DataFrame, tgt: DataFrame, pk: Seq[String]): DataFrame = {
     require(pk.nonEmpty, "cdc needs at least one primary-key column")

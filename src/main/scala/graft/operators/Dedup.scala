@@ -37,8 +37,12 @@ import org.apache.spark.sql.functions._
 final case class DedupPlan(
     df: DataFrame,
     strategy: String,
-    private val retained: Seq[DataFrame] = Nil) {
-  def release(): Unit = retained.foreach(_.unpersist(blocking = false))
+    private val retained: Seq[DataFrame] = Nil,
+    private val finalizers: Seq[() => Unit] = Nil) {
+  def release(): Unit = {
+    retained.foreach(_.unpersist(blocking = false))
+    finalizers.foreach(_.apply()) // e.g. checkpoint-block release hooks
+  }
 }
 
 object Dedup {

@@ -88,15 +88,33 @@ object EntityResolution {
     * PER ATTRIBUTE, all at the (cluster, value) grain — never wider
     * than the input, usually far smaller; winners join back at the
     * O(clusters) grain. Attributes are independent single-pass
-    * aggregations over one shared base join.
+    * aggregations over ONE SHARED base join — which is therefore
+    * referenced attrs.size + 1 times and must be persisted (the
+    * engine's managed-plan rule: with a CC-derived cluster table
+    * upstream, an unpersisted base re-executes the records⋈clusters
+    * join once per attribute).
+    *
+    * Convenience form; callers needing cache hygiene in a long-lived
+    * session should use [[goldenRecordsPlan]] and call `release()`
+    * after consuming the result (the [[DedupPlan]] ownership
+    * contract).
     */
   def goldenRecords(records: DataFrame, id: Column,
-      clusters: DataFrame, attrs: Seq[String]): DataFrame = {
+      clusters: DataFrame, attrs: Seq[String]): DataFrame =
+    goldenRecordsPlan(records, id, clusters, attrs).df
+
+  /** Managed form of [[goldenRecords]]: the shared base join is cached
+    * MEMORY_AND_DISK_SER and owned by the returned plan's `release()`.
+    */
+  def goldenRecordsPlan(records: DataFrame, id: Column,
+      clusters: DataFrame, attrs: Seq[String]): DedupPlan = {
     require(attrs.nonEmpty, "need at least one attribute")
+    import org.apache.spark.storage.StorageLevel
     val base = records.select((id.as("rec_id") +: attrs.map(col)): _*)
       .join(clusters.select(col("rec_id"), col("cluster_id")), "rec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = base.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_records"))
-    attrs.foldLeft(sizes) { (acc, a) =>
+    val out = attrs.foldLeft(sizes) { (acc, a) =>
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("__cnt").desc, col(a).asc)
       val winner = base.where(col(a).isNotNull)
@@ -107,6 +125,7 @@ object EntityResolution {
         .select(col("cluster_id"), col(a))
       acc.join(winner, Seq("cluster_id"), "left")
     }
+    DedupPlan(out, "golden_records", Seq(base))
   }
 
   // Gate wiring: parts whose two-word names share a last token (the

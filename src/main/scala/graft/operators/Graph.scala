@@ -32,9 +32,16 @@ object Graph {
     * (src, dst). Returns (id, r) with r in [[Scale]] fixed-point.
     * Dangling nodes (no out-edges) keep the teleport term only —
     * their outflow is dropped, matching the common sparse formulation.
+    *
+    * Convenience form; callers needing cache hygiene in a long-lived
+    * session should use [[pageRankPlan]] and call `release()` after
+    * consuming the result — this wrapper necessarily leaves the edge/
+    * node/degree caches live because the returned lazy DataFrame still
+    * reads them.
     */
-  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame =
-    pageRankPlan(edges, iters, dampingPct).df
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
+               checkpointEvery: Int = 0): DataFrame =
+    pageRankPlan(edges, iters, dampingPct, checkpointEvery).df
 
   /** Managed form: the edge list and its two tiny derivations (node
     * set, out-degrees) are each referenced once per iteration plus the
@@ -42,11 +49,33 @@ object Graph {
     * full distinct over lineitem) re-executes 3·iters+ times. Cached
     * MEMORY_AND_DISK_SER and released via the [[DedupPlan]] ownership
     * contract, same as every other managed plan in the engine.
+    *
+    * `checkpointEvery` > 0 cuts the lazily-composed plan every that
+    * many rounds with the same checkpoint machinery
+    * [[Dedup.connectedComponents]] uses (reliable `checkpoint()` when
+    * the context has a checkpoint dir, else `localCheckpoint()`):
+    * beyond ~5 composed rounds Catalyst re-analysis of the
+    * accumulated lineage dominates, exactly the failure mode CC hit
+    * pre-checkpoint. Superseded round checkpoints are released with a
+    * one-round grace (the CC rule: never while a consumer could still
+    * be in flight); surviving checkpoint storage is owned by the
+    * returned plan's `release()`.
     */
-  def pageRankPlan(edges: DataFrame, iters: Int, dampingPct: Int = 85): DedupPlan = {
+  def pageRankPlan(edges: DataFrame, iters: Int, dampingPct: Int = 85,
+                   checkpointEvery: Int = 0): DedupPlan = {
     require(iters >= 1, "need iters >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
+    val sc = edges.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) {
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src").as("id"))
@@ -57,7 +86,10 @@ object Graph {
     val n = nodes.count() // one job, one long — bounded driver state
     val base = (100L - dampingPct) * Scale / (100L * n)
     var rank = nodes.select(col("id"), lit(Scale / n).as("r"))
-    (1 to iters).foreach { _ =>
+    // live round checkpoints, oldest first; all but the newest are
+    // grace-held inputs of the newest and release as it supersedes them
+    var ckpts = List.empty[DataFrame]
+    (1 to iters).foreach { i =>
       val contrib = e.join(rank, e("src") === rank("id"))
         .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
@@ -65,34 +97,60 @@ object Graph {
       rank = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($dampingPct * coalesce(sc, 0)) div 100")).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        rank = ckpt(rank) // eager: materializes before the next round composes
+        val live = rank :: ckpts // newest + one grace round retained
+        live.drop(2).foreach(CheckpointBridge.release)
+        ckpts = live.take(2)
+      }
     }
-    DedupPlan(rank, "pagerank", Seq(e, nodes, deg))
+    val owned = ckpts
+    DedupPlan(rank, "pagerank", Seq(e, nodes, deg),
+      finalizers = owned.map(d => () => CheckpointBridge.release(d)))
   }
 
-  /** Triangle count over a canonically-oriented (u < v, distinct) edge
-    * list — the clustering-coefficient numerator and the classic
-    * "how cliquish is this graph" audit. Wedge join (e1.v = e2.u)
-    * closed by a third edge lookup; the u < v orientation means every
-    * triangle is counted exactly once.
+  /** Triangle count over an undirected edge list given as distinct
+    * (u < v) pairs — the clustering-coefficient numerator and the
+    * classic "how cliquish is this graph" audit. Wedge join
+    * (e1.v = e2.u) closed by a third edge lookup; acyclic orientation
+    * means every triangle is counted exactly once.
     *
-    * Scale notes: the edge list is referenced three times, so it is
-    * persisted behind the [[DedupPlan]] release contract. Wedge count
-    * is Σ_v deg(v)² — on a skewed graph the refinement is
-    * DEGREE-ordered orientation (point edges low→high degree), which
-    * bounds the join fan-out by arboricity; the id-ordered form here
-    * is right for the thresholded gate graph and keeps the oracle
-    * expressible.
+    * Orientation is DEGREE-ordered (point each edge from its
+    * lower-degree endpoint to its higher-degree one, ties by id) —
+    * the standard skew refinement: wedge count is Σ_v outdeg(v)², and
+    * degree-ordering caps every out-degree at O(√m) (a node of degree
+    * d > √m has < √m higher-degree neighbors), so a hub of degree 10⁶
+    * contributes ~m wedges instead of 10¹². Total work is bounded by
+    * arboricity — O(m^{3/2}) worst case — where id-ordering degrades
+    * to Σ deg(hub)² on exactly the nodes a skewed co-purchase graph
+    * has. The triangle COUNT is orientation-invariant, so this is a
+    * pure plan-shape change.
+    *
+    * Scale notes: the oriented edge list is referenced three times and
+    * the degree table twice, so both are persisted behind the
+    * [[DedupPlan]] release contract.
     */
   def triangleCountPlan(pairs: DataFrame): DedupPlan = {
     import org.apache.spark.storage.StorageLevel
-    val e = pairs.select(col("u"), col("v"))
+    val p = pairs.select(col("u"), col("v"))
+    val deg = p.select(col("u").as("id"))
+      .unionAll(p.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
+    val e = p
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(flip, col("v")).otherwise(col("u")).as("u"),
+        when(flip, col("u")).otherwise(col("v")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),
         col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
       .agg(count(lit(1)).as("n_triangles"))
     val out = e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
-    DedupPlan(out, "triangles", Seq(e))
+    DedupPlan(out, "triangles", Seq(e, deg))
   }
 
   /** Co-purchase graph: parts appearing in the same order, kept only
@@ -155,13 +213,23 @@ object Graph {
          |${round("r0", "r1")},
          |${round("r1", "r2")},
          |${round("r2", "r3")}
-         |SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 25""".stripMargin
+         |SELECT id, CAST(r AS BIGINT) AS r
+         |FROM r3 ORDER BY r DESC, id LIMIT 25""".stripMargin
     },
+    // degree-ordered orientation mirrored from triangleCountPlan; the
+    // count is orientation-invariant but the oracle exercises the same
+    // edge list the engine joins on
     "q41_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |p0 AS (SELECT a.p AS u, b.p AS v FROM li a
         |      JOIN li b ON a.o = b.o AND a.p < b.p
         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT id, COUNT(*) AS d FROM
+        |        (SELECT u AS id FROM p0 UNION ALL SELECT v FROM p0)
+        |        GROUP BY id),
+        |e AS (SELECT CASE WHEN (du.d, p0.u) > (dv.d, p0.v) THEN p0.v ELSE p0.u END AS u,
+        |             CASE WHEN (du.d, p0.u) > (dv.d, p0.v) THEN p0.u ELSE p0.v END AS v
+        |      FROM p0 JOIN deg du ON p0.u = du.id JOIN deg dv ON p0.v = dv.id),
         |t AS (SELECT COUNT(*) AS n_triangles
         |      FROM e e1 JOIN e e2 ON e1.v = e2.u
         |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)

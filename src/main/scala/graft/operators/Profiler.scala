@@ -534,10 +534,15 @@ object Profiler {
       .agg(count(lit(1)).as("n"))
     val totals = perKey.agg(
       sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    // products widen to DECIMAL(38,0) before the div: n · n_keys · 1000
+    // wraps BIGINT at the scales this report targets (1e10-row hot key
+    // × 1e7 keys) — silently under non-ANSI Spark, where DuckDB's //
+    // would error; same guard joinCardinality uses. `div` of decimals
+    // returns BIGINT, matching the oracle's CAST.
     perKey.crossJoin(broadcast(totals))
       .select(col("key_value"), col("n"),
-        expr("n * 1000000 DIV total").as("share_ppm"),
-        expr("n * n_keys * 1000 DIV total").as("hot_x1000"))
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV total").as("share_ppm"),
+        expr("CAST(n AS DECIMAL(38,0)) * n_keys * 1000 DIV total").as("hot_x1000"))
       .orderBy(col("n").desc, col("key_value"))
       .limit(topK)
   }

@@ -196,6 +196,30 @@ object Sampling {
     hashSplit(docs.join(clusters, "doc_id"), col("cluster_id"), weights, salt)
   }
 
+  /** Split-quality report for [[leakageSafeSplit]]: per-split doc
+    * counts plus the number of near-dup candidate pairs straddling
+    * splits — ZERO by construction (both endpoints of a candidate pair
+    * share a cluster, clusters split atomically), and the audit proves
+    * it from the SAME candidate pass that fed the clustering. The
+    * shared pair set is persisted once and owned by the returned
+    * plan's `release()` ([[DedupPlan]] ownership contract).
+    */
+  def leakageReportPlan(docs: DataFrame,
+      weights: Seq[(String, Double)], salt: String = "split"): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = Dedup.minhashCandidates(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val labeled = leakageSafeSplitFrom(docs, pairs, weights, salt)
+    val sa = labeled.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val sb = labeled.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val cross = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_cross_pairs"))
+    val report = labeled.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(cross))
+    DedupPlan(report, "leakage_split_report", Seq(pairs))
+  }
+
   /** EXACT stratified sampling — within every stratum keep exactly
     * ⌈frac·n⌉ rows, chosen by salted-hash order (content-blind,
     * deterministic, engine-reproducible). The hash-threshold samplers
@@ -322,21 +346,12 @@ object Sampling {
 
     // near-dup-aware split: per-split doc counts plus the count of
     // candidate pairs straddling splits — which must be ZERO
-    "sa_leakage_split" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-      // ONE LSH candidate pass feeds both the clustering and the audit
-      val pairs = Dedup.minhashCandidates(d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val labeled = leakageSafeSplitFrom(d, pairs, GateWeights)
-      val sa = labeled.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
-      val sb = labeled.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
-      val cross = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-        .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_cross_pairs"))
-      labeled.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(cross))
-        .orderBy("split")
-    }),
+    "sa_leakage_split" -> ((s, dir) =>
+      // ONE LSH candidate pass feeds both the clustering and the audit;
+      // the persisted pairs are owned by the plan (harness clears
+      // caches per query; library callers hold the plan and release())
+      leakageReportPlan(table(s, dir, "documents"), GateWeights).df
+        .orderBy("split")),
 
     // exact 30% per source, hash-ordered — every source keeps
     // ceil(0.3 * n) docs precisely

@@ -316,10 +316,10 @@ object CompareQueries {
         |tgt AS (SELECT a, CASE WHEN a = 50 THEN b + 1 ELSE b END AS b, c
         |  FROM src WHERE a <> 77
         |  UNION ALL SELECT 1001, 7, 'new row'),
-        |hs AS (SELECT a, md5(COALESCE(CAST(b AS VARCHAR), chr(1)) || '|'
-        |  || COALESCE(c, chr(1))) AS h FROM src),
-        |ht AS (SELECT a, md5(COALESCE(CAST(b AS VARCHAR), chr(1)) || '|'
-        |  || COALESCE(c, chr(1))) AS h FROM tgt),
+        |hs AS (SELECT a, md5(COALESCE(md5(CAST(b AS VARCHAR)), 'N')
+        |  || COALESCE(md5(c), 'N')) AS h FROM src),
+        |ht AS (SELECT a, md5(COALESCE(md5(CAST(b AS VARCHAR)), 'N')
+        |  || COALESCE(md5(c), 'N')) AS h FROM tgt),
         |j AS (SELECT hs.h AS h1, ht.h AS h2
         |  FROM hs FULL JOIN ht ON hs.a = ht.a),
         |v AS (SELECT CASE WHEN h1 IS NULL THEN 'insert'

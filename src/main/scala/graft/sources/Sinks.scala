@@ -55,16 +55,23 @@ object Sinks {
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
       numFiles: Int, spec: SinkSpec = SinkSpec()): Unit = {
     require(numFiles > 0, "need numFiles > 0")
-    import org.apache.spark.sql.functions.{floor, lit, max, min}
+    import org.apache.spark.sql.functions.{coalesce, floor, lit, max, min}
     val mm = df.agg(
       min(a).cast("double"), max(a).cast("double"),
       min(b).cast("double"), max(b).cast("double")).head()
+    // empty input or an all-NULL layout column yields NULL min/max —
+    // degrade to constant scaling (plain write order) instead of an
+    // opaque NPE before any file lands
+    def bound(i: Int, dflt: Double): Double =
+      if (mm.isNullAt(i)) dflt else mm.getDouble(i)
     def scaled(c: Column, lo: Double, hi: Double): Column =
-      if (hi > lo) floor((c.cast("double") - lit(lo)) * 65535.0 / lit(hi - lo)).cast("long")
+      if (hi > lo)
+        floor((coalesce(c.cast("double"), lit(lo)) - lit(lo)) * 65535.0 / lit(hi - lo))
+          .cast("long")
       else lit(0L)
     val z = graft.functions.ZOrder.zorder2(
-      scaled(a, mm.getDouble(0), mm.getDouble(1)),
-      scaled(b, mm.getDouble(2), mm.getDouble(3)))
+      scaled(a, bound(0, 0.0), bound(1, 0.0)),
+      scaled(b, bound(2, 0.0), bound(3, 0.0)))
     val laid = df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -245,4 +245,19 @@ class ComparatorSpec extends SparkSpec {
       3L -> "update", // "" vs NULL must differ — the sentinel's job
       4L -> "delete", 5L -> "insert"))
   }
+
+  test("cdc: digest encoding is injective (delimiter injection, null-vs-sentinel)") {
+    import spark.implicits._
+    // delimiter injection: ("a|b","c") vs ("a","b|c") concatenate
+    // identically under any separator-join of raw values; a literal
+    // U+0001 value vs NULL collides with an in-band sentinel. Both
+    // must classify as 'update'.
+    val src = Seq((1L, Option("a|b"), Option("c")),
+      (2L, Option(""), Option("z"))).toDF("k", "b", "c")
+    val tgt = Seq((1L, Option("a"), Option("b|c")),
+      (2L, None: Option[String], Option("z"))).toDF("k", "b", "c")
+    val v = Comparator.cdc(src, tgt, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "update", 2L -> "update"))
+  }
 }

@@ -75,4 +75,20 @@ class EntityResolutionSpec extends SparkSpec {
     assert(g(1).getLong(0) == 4L && g(1).getLong(1) == 1L
       && g(1).getString(2) == "solo" && g(1).getString(3) == "z")
   }
+
+  test("golden records plan: shared base join is cached and released on release()") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "acme", "x"), (2L, "acme", "y"), (3L, "acmee", "x"),
+      (4L, "solo", "z")).toDF("id", "brand", "kind")
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("rec_id", "cluster_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 3).foreach { _ =>
+      val p = EntityResolution.goldenRecordsPlan(recs, col("id"), cl, Seq("brand", "kind"))
+      assert(p.df.count() == 2)
+      p.release()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"released golden-record plans leaked caches: $leaked")
+  }
 }

@@ -773,9 +773,12 @@ class OperatorsSpec extends SparkSpec {
     val purged = Curation.forget(d, col("uid"), tomb)
     assert(purged.collect().map(_.getString(1)).sorted.toSeq == Seq("b", "c"))
     // the corpus side must NOT shuffle: tombstones broadcast, anti-join
-    val plan = purged.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange"), plan)
-    assert(!plan.contains("ShuffleExchange"), plan)
+    // (collect the exec nodes — the string form renders shuffles as
+    // "Exchange hashpartitioning(...)", so a substring check is vacuous)
+    val exec = purged.queryExecution.executedPlan
+    assert(exec.toString.contains("BroadcastExchange"), exec.toString)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(exec.collect { case s: ShuffleExchangeExec => s }.isEmpty, exec.toString)
     val rep = Curation.forgetReport(Seq(("t", d, col("uid"))), tomb).head()
     assert(rep.getString(0) == "t" && rep.getLong(1) == 4
       && rep.getLong(2) == 2 && rep.getLong(3) == 2)

@@ -204,6 +204,25 @@ class SamplingSpec extends SparkSpec {
       s"near-dups split apart: $labeled")
   }
 
+  test("leakage report plan: zero cross-split pairs; pairs cache released on release()") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, "completely unrelated words in this one here now for sure friend"),
+      (4L, base)).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val p = Sampling.leakageReportPlan(docs, Seq("train" -> 0.5, "test" -> 0.5))
+    val rows = p.df.collect()
+    assert(rows.forall(_.getLong(2) == 0L), "cross-split pair count must be zero")
+    assert(rows.map(_.getLong(1)).sum == 4L)
+    p.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // connectedComponents' final label checkpoint backs the returned
+    // frame and may legitimately remain; the PAIRS cache must not
+    assert(leaked.size <= 1, s"released leakage plan leaked caches: $leaked")
+  }
+
   test("stratified sampling: exactly ceil(frac*n) kept per stratum, deterministic") {
     import spark.implicits._
     val d = ((1 to 10).map(i => (i.toLong, "a")) ++ (101 to 107).map(i => (i.toLong, "b")))
