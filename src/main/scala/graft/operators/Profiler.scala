@@ -547,6 +547,77 @@ object Profiler {
       .limit(topK)
   }
 
+  /** Count-min sketch twin of [[keySkew]] — the 100 TB path when even
+    * one row per DISTINCT key is too much shuffle state: the sketch
+    * aggregates in O(depth·width) constant memory per partition and
+    * merges associatively, so the key-count pass never materializes
+    * the key grain. Like [[profile]]'s `exact = false` gate row, the
+    * output carries the EXACT top-k values (hash-matchable
+    * cross-engine) plus a `sketch_ok` bit asserting the CMS estimate
+    * landed inside its one-sided guarantee (never under, ≤ exact +
+    * eps·N at the given confidence) — the sketch path genuinely
+    * executes, the gate stays bit-stable.
+    *
+    * Driver state: one serialized sketch + topK annotated rows —
+    * the kmeans-centroid bounded-collect pattern.
+    */
+  def keySkewSketch(df: DataFrame, key: Column, topK: Int = 10,
+      eps: Double = 1e-4, conf: Double = 0.99): DataFrame = {
+    val agg = df.agg(
+      count_min_sketch(key.cast("string"), lit(eps), lit(conf), lit(42)).as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
+    val slack = math.ceil(eps * agg.getLong(1)).toLong
+    val rows = keySkew(df, key, topK).collect().toSeq // ≤ topK rows
+    val sp = df.sparkSession
+    import sp.implicits._
+    rows.map { x =>
+      val est = cms.estimateCount(x.getString(0))
+      (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        est >= x.getLong(1) && est <= x.getLong(1) + slack)
+    }.toDF("key_value", "n", "share_ppm", "hot_x1000", "sketch_ok")
+      .orderBy(col("n").desc, col("key_value"))
+  }
+
+  /** Sketched join-size estimate — [[joinCardinality]]'s constant-
+    * state twin via the classic count-min INNER PRODUCT: hash each
+    * side's keys into `depth` independent rows of `width` buckets
+    * (one explode + one map-side-combinable count, ≤ depth·width rows
+    * of state per side regardless of key cardinality), then
+    * estimate Σ_k na(k)·nb(k) as min over rows of the bucket-count dot
+    * product. Never underestimates; a row's expected overshoot is
+    * ≤ n_left·n_right / width, and the min over `depth` rows
+    * concentrates it. The gate row carries the EXACT histogram values
+    * plus a `sketch_ok` bit checking the estimate against
+    * exact ≤ est ≤ exact + 3·n_left·n_right/width.
+    */
+  def joinCardinalitySketch(a: DataFrame, ka: Column, b: DataFrame, kb: Column,
+      width: Int = 65536, depth: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def cmTable(df: DataFrame, k: Column, cnt: String): DataFrame = {
+      val rb = (0 until depth).map { i =>
+        struct(lit(i).as("row"),
+          pmod(xxhash64(lit(i), k.cast("string")), lit(width.toLong)).as("bucket"))
+      }
+      df.select(explode(array(rb: _*)).as("rb"))
+        .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val est = cmTable(a, ka, "ca").join(cmTable(b, kb, "cb"), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("ca").cast(dec) * col("cb").cast(dec)).as("dot"))
+      .agg(coalesce(min(col("dot")), lit(0).cast(dec)).as("est"))
+    joinCardinality(a, ka, b, kb).crossJoin(broadcast(est))
+      .select(col("n_left"), col("n_right"),
+        col("n_join_rows").cast("long").as("n_join_rows"),
+        col("max_key_rows").cast("long").as("max_key_rows"),
+        (col("est") >= col("n_join_rows") &&
+          col("est").cast("double") <= col("n_join_rows").cast("double")
+            + lit(3.0) * col("n_left") * col("n_right") / lit(width.toDouble))
+          .as("sketch_ok"))
+  }
+
   /** Robust outlier stats via the median absolute deviation — the
     * z-score's ([[dailyAnomalies]]) breakdown-resistant sibling: one
     * corrupt upstream batch can drag a mean/stddev fence arbitrarily
@@ -723,6 +794,17 @@ object Profiler {
     // Pre-join skew audit: hottest event users by exact ppm share
     "dq_skew" -> ((s, dir) =>
       keySkew(table(s, dir, "events"), col("user_id"), topK = 10)),
+
+    // The sketch path beside it: CMS key counts, exact gate values,
+    // sketch_ok asserting the estimate obeyed its eps*N guarantee
+    "dq_skew_sketch" -> ((s, dir) =>
+      keySkewSketch(table(s, dir, "events"), col("user_id"), topK = 10)),
+
+    // CMS inner-product join-size estimate beside the exact histogram
+    "dq_join_sketch" -> ((s, dir) =>
+      joinCardinalitySketch(
+        table(s, dir, "lineitem"), col("l_orderkey"),
+        table(s, dir, "orders"), col("o_orderkey"))),
 
     // Robust MAD outlier fence over order value (k = 3 MADs)
     "dq_mad" -> ((s, dir) =>
@@ -965,6 +1047,30 @@ object Profiler {
         | CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
         | CAST(n * n_keys * 1000 // total AS BIGINT) AS hot_x1000
         |FROM k, t ORDER BY n DESC, key_value LIMIT 10""".stripMargin,
+
+    // the CMS estimate itself is engine-private (Spark's sketch
+    // hashing); the oracle checks the exact values and that the
+    // guarantee HELD (sketch_ok TRUE) — the q22/dq_profile_approx rule
+    "dq_skew_sketch" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k)
+        |SELECT key_value, n,
+        | CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+        | CAST(n * n_keys * 1000 // total AS BIGINT) AS hot_x1000,
+        | TRUE AS sketch_ok
+        |FROM k, t ORDER BY n DESC, key_value LIMIT 10""".stripMargin,
+
+    "dq_join_sketch" ->
+      """WITH ca AS (SELECT l_orderkey AS k, COUNT(*) AS na FROM lineitem GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(na AS HUGEINT) * nb AS p FROM ca JOIN cb USING (k))
+        |SELECT (SELECT COUNT(*) FROM lineitem) AS n_left,
+        | (SELECT COUNT(*) FROM orders) AS n_right,
+        | CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_join_rows,
+        | CAST(COALESCE(MAX(p), 0) AS BIGINT) AS max_key_rows,
+        | TRUE AS sketch_ok
+        |FROM p""".stripMargin,
 
     "dq_mad" ->
       """WITH m AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med

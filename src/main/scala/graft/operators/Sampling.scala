@@ -40,18 +40,26 @@ object Sampling {
       df: DataFrame,
       key: Column,
       weights: Seq[(String, Double)],
-      salt: String = "split"): DataFrame = {
+      salt: String = "split"): DataFrame =
+    df.withColumn("split", splitLabel(key, weights, salt))
+
+  /** The split-label expression behind [[hashSplit]] — exposed so
+    * other plans (e.g. the streaming assignment's no-match fallback,
+    * [[graft.streaming.Streaming.splitAssignStream]]) can embed the
+    * IDENTICAL assignment function instead of re-deriving it.
+    */
+  private[graft] def splitLabel(
+      key: Column, weights: Seq[(String, Double)], salt: String): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be positive")
     val total = weights.map(_._2).sum
     val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _)
     val f = hashFraction(key, salt)
     // last band is the otherwise-branch: float cumsum never excludes 1.0
-    val expr = weights.init.zipWithIndex.foldRight(
+    weights.init.zipWithIndex.foldRight(
       lit(weights.last._1): Column) { case (((label, _), i), rest) =>
       when(f < cuts(i + 1), label).otherwise(rest)
     }
-    df.withColumn("split", expr)
   }
 
   /** Exact corpus heavy-hitters: global top-k tokens by occurrence

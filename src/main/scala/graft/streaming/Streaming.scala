@@ -178,6 +178,61 @@ object Streaming {
       .select(col("new_doc"), col("corpus_doc"))
   }
 
+  /** Streaming leakage-safe split assignment — the ingest twin of
+    * [[graft.operators.Sampling.leakageSafeSplit]]: a document
+    * arriving AFTER the corpus was split must get a label CONSISTENT
+    * with the published assignment (a near-copy of a test doc landing
+    * in train is exactly the eval-leakage the batch operator exists to
+    * prevent), and published labels can never move. So: band the
+    * arriving doc against the persisted corpus signature `index`
+    * (the [[incrementalCandidatesStream]] shape); if it collides with
+    * an existing cluster, INHERIT that cluster's split (deterministic
+    * min-cluster_id choice when several clusters collide — a multi-
+    * cluster collision means those clusters would merge on re-cluster,
+    * and any single-label choice is equally leakage-bounded); otherwise
+    * the doc is a new singleton cluster and gets the batch operator's
+    * exact hash assignment keyed on its own doc_id — bit-identical to
+    * what a batch re-run would assign it
+    * ([[graft.operators.Sampling.splitLabel]], shared code).
+    *
+    * `corpusSplits` is (doc_id, cluster_id, split) — the persisted
+    * output of the batch split ([[graft.operators.Sampling
+    * .leakageSafeSplitFrom]] retains both columns). Matches the batch
+    * twin exactly whenever arriving ids exceed corpus ids (cluster
+    * identities stable — the [[graft.operators.Dedup
+    * .incrementalCandidates]] contract) and arriving docs don't pair
+    * among themselves within the horizon.
+    *
+    * Scale shape: stream side is shuffle-free signature projection;
+    * one stream-static left band join; one update-mode aggregation at
+    * the new-doc grain whose state the watermark bounds. Emit in
+    * UPDATE mode (the per-doc label can refine while in-horizon bands
+    * keep colliding; the last emission wins downstream).
+    */
+  def splitAssignStream(index: DataFrame, corpusSplits: DataFrame,
+      newDocs: DataFrame, weights: Seq[(String, Double)],
+      salt: String = "split",
+      watermarkCol: String = "ts", delay: String = "2 hours"): DataFrame = {
+    import graft.operators.{Dedup, Sampling}
+    val corpus = Dedup.lshBands(index)
+      .select(col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
+      .join(corpusSplits.select(col("doc_id").as("corpus_doc"),
+        col("cluster_id"), col("split")), Seq("corpus_doc"))
+    val fresh = Dedup.lshBands(
+        Dedup.minhashSignaturesNarrow(newDocs), keep = Seq(watermarkCol))
+      .withColumnRenamed("doc_id", "new_doc")
+      .withWatermark(watermarkCol, delay)
+    fresh.join(corpus, Seq("band", "bkey"), "left_outer")
+      // guard the min: an unmatched band row yields struct(NULL, NULL),
+      // which would sort BELOW every real match and steal the min
+      .groupBy(col("new_doc"))
+      .agg(min(when(col("corpus_doc").isNotNull,
+        struct(col("cluster_id"), col("split")))).as("best"))
+      .select(col("new_doc").as("doc_id"),
+        coalesce(col("best.split"),
+          Sampling.splitLabel(col("new_doc"), weights, salt)).as("split"))
+  }
+
   /** Incremental dataset fingerprint: the streaming twin of
     * [[graft.diff.Comparator.fingerprints]] — per-bucket running
     * (count, hash-sum) updated per micro-batch. Comparing two streams'

@@ -231,6 +231,30 @@ class ProfilerSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 200000L, 800L)))
   }
 
+  test("keySkew sketch twin: exact values identical, CMS estimate inside its guarantee") {
+    import spark.implicits._
+    val d = ((1 to 600).map(_ => "hot") ++ (1 to 400).map(i => s"k${i % 50}")).toDF("k")
+    val exact = Profiler.keySkew(d, col("k"), topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sk = Profiler.keySkewSketch(d, col("k"), topK = 5).collect()
+    assert(sk.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == exact.toSeq)
+    assert(sk.forall(_.getBoolean(4)), "CMS estimate escaped its eps*N bound")
+  }
+
+  test("joinCardinality sketch twin: exact histogram columns identical, inner product bounded") {
+    import spark.implicits._
+    val a = (1 to 2000).map(i => i % 97).toDF("k")
+    val b = (1 to 1500).map(i => i % 61).toDF("k")
+    val ex = Profiler.joinCardinality(a, col("k"), b, col("k")).head()
+    val r = Profiler.joinCardinalitySketch(a, col("k"), b, col("k")).head()
+    assert(r.getLong(0) == ex.getLong(0) && r.getLong(1) == ex.getLong(1))
+    assert(r.getLong(2) == ex.getDecimal(2).longValue)
+    assert(r.getLong(3) == ex.getDecimal(3).longValue)
+    assert(r.getBoolean(4), "CMS inner product escaped its 3*N_a*N_b/width bound")
+    assert(a.join(b, "k").count() == r.getLong(2)) // ground truth
+  }
+
   test("mad outliers: hand-computed fence flags only the planted outlier") {
     import spark.implicits._
     val d = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")

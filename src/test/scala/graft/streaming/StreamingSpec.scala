@@ -358,6 +358,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("inc_cand").count() == streamed.size)
   }
 
+  test("streaming split assignment inherits cluster splits and matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely unrelated words in this one here now for sure friend"
+    val third = "yet another entirely different document body with its own tokens"
+    val corpus = Seq((1L, base), (2L, base + " extra"), (3L, other), (4L, third))
+      .toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.5, "test" -> 0.5)
+    // published batch assignment over the corpus (keeps cluster_id + split)
+    val corpusSplits = graft.operators.Sampling.leakageSafeSplit(corpus, weights)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+    corpusSplits.persist(); corpusSplits.count()
+    val index = graft.operators.Dedup.minhashSignatures(corpus)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    // 10 near-dups cluster {1,2}; 12 exact-copies 3; 11 is genuinely new
+    val batch1 = Seq((10L, base, t0), (11L, "fresh text never seen in the corpus at all", t0))
+    val batch2 = Seq((12L, other, t0))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val st = Streaming.splitAssignStream(
+      index, corpusSplits, mem.toDF().toDF("doc_id", "text", "ts"), weights)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("sas")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sas").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val published = corpusSplits.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // inherited labels equal the PUBLISHED ones (never reshuffled)
+    assert(streamed(10L) == published(1L) && published(1L) == published(2L))
+    assert(streamed(12L) == published(3L))
+    // and the whole assignment equals a batch re-run over corpus+arrivals
+    // (arriving ids exceed corpus ids, so cluster identities are stable)
+    val combined = corpus.unionAll(
+      (batch1 ++ batch2).map(x => (x._1, x._2)).toDF("doc_id", "text"))
+    val twin = graft.operators.Sampling.leakageSafeSplit(combined, weights)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == twin.view.filterKeys(_ >= 10L).toMap,
+      s"streamed=$streamed twin=$twin")
+    corpusSplits.unpersist()
+  }
+
   test("incremental fingerprints converge to the batch fingerprints") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
