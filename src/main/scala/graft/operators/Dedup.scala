@@ -949,6 +949,61 @@ object Dedup {
     DedupPlan(out, "minhash-est", Seq(sh))
   }
 
+  /** Cross-SOURCE corpus overlap matrix — the corpus-composition
+    * audit run before mixing sources into a training set: for every
+    * source pair, the exact shingle-set Jaccard (ppm) AND the
+    * MinHash-signature estimate (0..8 matching hashes of the
+    * source-level signature) side by side. A pair of crawls with high
+    * overlap means double-counted mass under mixture weights; the
+    * minhash column is the O(1)-per-source sketch a 100 TB pipeline
+    * would consult FIRST, validated here against the exact value.
+    *
+    * Scale shape: one shingle pass collapsed to the (source, shingle)
+    * grain (persisted, shared by sizes + intersections + signatures);
+    * the intersection is a shingle-keyed join at that grain; the
+    * source-level signature is one 8-min aggregation (a source-level
+    * minhash is the min over its docs' minhashes, so it's computable
+    * without doc signatures); the final pair join runs at the SOURCE
+    * grain — thousands of rows at most, a broadcast nested loop by
+    * construction, never data-sized.
+    */
+  def sourceOverlapPlan(docs: DataFrame): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val ss = shingleDf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sig = ss.groupBy(col("source"))
+      .agg(min(mh(0)).as("h0"), (1 until NumHashes).map(i => min(mh(i)).as(s"h$i")): _*)
+    val common = ss.as("a").join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"ah$i") === col(s"bh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = pairs
+      .join(common, Seq("source_a", "source_b"), "left")
+      .join(sig.select(col("source").as("source_a") +:
+        (0 until NumHashes).map(i => col(s"h$i").as(s"ah$i")): _*), Seq("source_a"))
+      .join(sig.select(col("source").as("source_b") +:
+        (0 until NumHashes).map(i => col(s"h$i").as(s"bh$i")): _*), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        // DECIMAL(38,0) product: two billion-shingle sources would wrap
+        // BIGINT; greatest(…,1) keeps the empty-empty corner total-safe
+        // under ANSI div
+        expr("""CAST(coalesce(n_common, 0) AS DECIMAL(38,0)) * 1000000
+               | DIV greatest(n_a + n_b - coalesce(n_common, 0), 1)""".stripMargin)
+          .as("jaccard_ppm"),
+        matches.as("minhash_matches"))
+    DedupPlan(out, "source_overlap", Seq(ss))
+  }
+
   // ---------------------------------------------------------------- gate
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -967,6 +1022,12 @@ object Dedup {
 
     "dd_jaccard" -> ((s, dir) =>
       jaccardPairs(table(s, dir, "documents"), 0.1).orderBy("doc_a", "doc_b")),
+
+    // cross-source overlap matrix: exact shingle Jaccard beside the
+    // source-level minhash sketch estimate
+    "dd_source_overlap" -> ((s, dir) =>
+      sourceOverlapPlan(table(s, dir, "documents")).df
+        .orderBy("source_a", "source_b")),
 
     // stop-shingle prefiltered variant (maxDocFreq = 20)
     "dd_jaccard_prefiltered" -> ((s, dir) =>
@@ -1163,6 +1224,43 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_source_overlap" ->
+      s"""WITH sh0 AS ($shingleSql),
+         |ss AS (SELECT DISTINCT d.source, s.shingle
+         |       FROM sh0 s JOIN documents d USING (doc_id)),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY 1),
+         |common AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        COUNT(*) AS n_common
+         |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT source,
+         |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+         |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+         |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+         |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+         | FROM ss GROUP BY source),
+         |pairs AS (SELECT sa.source AS source_a, sb.source AS source_b,
+         |        sa.n AS n_a, sb.n AS n_b
+         |  FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+         |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+         | COALESCE(c.n_common, 0) AS n_common,
+         | CAST(CAST(COALESCE(c.n_common, 0) AS HUGEINT) * 1000000
+         |   // GREATEST(p.n_a + p.n_b - COALESCE(c.n_common, 0), 1) AS BIGINT)
+         |   AS jaccard_ppm,
+         | CAST((CASE WHEN x.h0 = y.h0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN x.h4 = y.h4 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN x.h5 = y.h5 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN x.h6 = y.h6 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN x.h7 = y.h7 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS minhash_matches
+         |FROM pairs p
+         | LEFT JOIN common c ON c.source_a = p.source_a AND c.source_b = p.source_b
+         | JOIN sig x ON x.source = p.source_a
+         | JOIN sig y ON y.source = p.source_b
+         |ORDER BY p.source_a, p.source_b""".stripMargin,
     "dd_jaccard_prefiltered" ->
       s"""WITH sh0 AS ($shingleSql),
          |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 20),

@@ -153,6 +153,46 @@ object Graph {
     DedupPlan(out, "triangles", Seq(e, deg))
   }
 
+  /** BFS hop distance — min hops from a SEED node set to every node
+    * reachable within `maxHops`, over a directed edge list. The third
+    * canonical iterative-graph shape next to score propagation
+    * (pageRank) and label convergence (connectedComponents):
+    * FRONTIER EXPANSION. Each round touches only the just-reached
+    * frontier — one edge join keyed on src, one distinct, one
+    * anti-join against the reached set — so total work is
+    * O(Σ frontier-adjacent edges), never rounds × |E|; exactly the
+    * incremental property a 100 TB reachability probe needs
+    * (neighborhood queries, contamination blast radius, supply-chain
+    * reach).
+    *
+    * Rounds materialize via the retained-persist pattern (each round's
+    * frontier is referenced by the next round's anti-join AND the
+    * final union — unpersisted, round k would re-execute rounds
+    * 1..k−1 geometrically); all round caches are owned by the returned
+    * plan's `release()`. Levels are exact integers; output one row per
+    * REACHED node: (id, lvl).
+    */
+  def bfsLevelsPlan(edges: DataFrame, seeds: DataFrame, maxHops: Int): DedupPlan = {
+    require(maxHops >= 0, "need maxHops >= 0")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var frontier = seeds.select(col("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var retained = List[DataFrame](e, frontier)
+    var lvl = frontier.select(col("id"), lit(0L).as("lvl"))
+    (1 to maxHops).foreach { h =>
+      val next = e.join(frontier, e("src") === frontier("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(lvl, Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      retained ::= next
+      lvl = lvl.unionAll(next.select(col("id"), lit(h.toLong).as("lvl")))
+      frontier = next
+    }
+    DedupPlan(lvl, "bfs_levels", retained)
+  }
+
   /** Co-purchase graph: parts appearing in the same order, kept only
     * at `minSupport`+ co-occurrences — the support threshold is what
     * keeps a dense accidental-co-occurrence graph (every pair that
@@ -190,7 +230,16 @@ object Graph {
 
     // triangles in the support-2 co-purchase graph
     "q41_triangles" -> ((s, dir) =>
-      triangleCountPlan(copurchaseEdges(table(s, dir, "lineitem"))).df))
+      triangleCountPlan(copurchaseEdges(table(s, dir, "lineitem"))).df),
+
+    // 4-hop reach from the lowest-keyed part over the part-supplier
+    // graph: which parts/suppliers are within two supply steps
+    "q42_bfs" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val seed = li.agg(concat(lit("p"), min(col("l_partkey"))).as("id"))
+      bfsLevelsPlan(partSupplierEdges(li), seed, maxHops = 4).df
+        .orderBy("lvl", "id")
+    }))
 
   def oracles: Map[String, String] = Map(
     "q40_pagerank" -> {
@@ -216,6 +265,22 @@ object Graph {
          |SELECT id, CAST(r AS BIGINT) AS r
          |FROM r3 ORDER BY r DESC, id LIMIT 25""".stripMargin
     },
+    // UNION (not UNION ALL) recursion: states dedup per (id, lvl), so
+    // the CTE is bounded by nodes × levels, never path counts
+    "q42_bfs" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s
+        |       FROM lineitem),
+        |e AS (SELECT p AS src, s AS dst FROM e0
+        |      UNION ALL SELECT s AS src, p AS dst FROM e0),
+        |seed AS (SELECT 'p' || MIN(l_partkey) AS id FROM lineitem),
+        |b(id, lvl) AS (
+        |  SELECT id, 0 FROM seed
+        |  UNION
+        |  SELECT e.dst, b.lvl + 1 FROM b JOIN e ON e.src = b.id WHERE b.lvl < 4)
+        |SELECT id, CAST(MIN(lvl) AS BIGINT) AS lvl
+        |FROM b GROUP BY id ORDER BY lvl, id""".stripMargin,
+
     // degree-ordered orientation mirrored from triangleCountPlan; the
     // count is orientation-invariant but the oracle exercises the same
     // edge list the engine joins on

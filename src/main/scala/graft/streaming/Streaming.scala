@@ -233,6 +233,18 @@ object Streaming {
           Sampling.splitLabel(col("new_doc"), weights, salt)).as("split"))
   }
 
+  /** Streaming corpus heavy-hitters — complete-mode twin of
+    * [[graft.operators.Sampling.heavyHitters]] (SHARED code, not a
+    * re-implementation): the token-grain count is maintained as
+    * streaming state (Zipf-bounded — one entry per distinct token,
+    * the same state the batch shuffle carries) and the top-k
+    * re-emits per trigger in complete mode. For stricter state
+    * bounds, feed [[graft.operators.Sampling.tokenSketch]]'s CMS
+    * instead; this form is the exact path.
+    */
+  def topTokensStream(docs: DataFrame, k: Int): DataFrame =
+    graft.operators.Sampling.heavyHitters(docs, k)
+
   /** Incremental dataset fingerprint: the streaming twin of
     * [[graft.diff.Comparator.fingerprints]] — per-bucket running
     * (count, hash-sum) updated per micro-batch. Comparing two streams'

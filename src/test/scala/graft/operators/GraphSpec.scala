@@ -87,6 +87,21 @@ class GraphSpec extends SparkSpec {
     assert(wedges == 1L, s"wedges=$wedges — id-ordering would form 400 through the hub")
   }
 
+  test("bfs levels: shortest hop wins, unreachable nodes excluded, caches released") {
+    import spark.implicits._
+    // chain a->b->c->d->e->f with shortcut a->d; x->y disconnected
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+      ("a", "d"), ("x", "y")).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val plan = Graph.bfsLevelsPlan(e, Seq("a").toDF("id"), maxHops = 3)
+    val m = plan.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // d reached at hop 1 via the shortcut, NOT hop 3 via the chain
+    assert(m == Map("a" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L, "e" -> 2L, "f" -> 3L))
+    plan.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"released bfs plan leaked caches: $leaked")
+  }
+
   test("co-purchase edges: support threshold drops accidental pairs") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))

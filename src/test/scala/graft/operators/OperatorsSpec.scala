@@ -8,6 +8,37 @@ class OperatorsSpec extends SparkSpec {
   private def docs = GraftSession.table(spark, Sf0001, "documents")
   private def emb  = GraftSession.table(spark, Sf0001, "embeddings")
 
+  test("source overlap: hand-computed jaccard ppm; minhash matches verified via md5") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5", "A"), // shingles {w1w2w3, w2w3w4, w3w4w5}
+      (2L, "w1 w2 w3 w4", "B"),    // {w1w2w3, w2w3w4} — subset of A
+      (3L, "z1 z2 z3 z4", "C"))    // {z1z2z3, z2z3z4} — disjoint
+      .toDF("doc_id", "text", "source")
+    val plan = Dedup.sourceOverlapPlan(d)
+    val rows = plan.df.orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    plan.release()
+    // exact side: |A|=3 |B|=2 |C|=2; A∩B=2 (union 3), A∩C=B∩C=0
+    assert(rows(("A", "B"))._3 == 2L && rows(("A", "B"))._4 == 2000000L / 3L)
+    assert(rows(("A", "C"))._3 == 0L && rows(("A", "C"))._4 == 0L)
+    assert(rows(("B", "C"))._3 == 0L && rows(("B", "C"))._4 == 0L)
+    // minhash side recomputed independently via MessageDigest
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sets = Map(
+      "A" -> Set("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"),
+      "B" -> Set("w1 w2 w3", "w2 w3 w4"),
+      "C" -> Set("z1 z2 z3", "z2 z3 z4"))
+    def sig(src: String) = (0 until 8).map(i => sets(src).map(sh => md5hex(s"$i|$sh")).min)
+    def expect(a: String, b: String) =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+    assert(rows(("A", "B"))._5 == expect("A", "B"))
+    assert(rows(("A", "C"))._5 == expect("A", "C")) // 0 — disjoint md5 mins
+    assert(rows(("B", "C"))._5 == expect("B", "C"))
+  }
+
   test("exact dedup groups account for every document") {
     val g = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
     assert(g.agg(sum("n")).head().getLong(0) == docs.count())

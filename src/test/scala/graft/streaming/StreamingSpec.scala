@@ -404,6 +404,27 @@ class StreamingSpec extends SparkSpec {
     corpusSplits.unpersist()
   }
 
+  test("streaming top-k tokens equals the batch heavy hitters in complete mode") {
+    implicit val sq = spark.sqlContext
+    val docs = GraftSession.table(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.topTokensStream(mem.toDF().toDF("doc_id", "text"), 15)
+      .writeStream.format("memory").queryName("toptok")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("toptok").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.operators.Sampling.heavyHitters(docs, 15).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch && streamed.size == 15)
+  }
+
   test("incremental fingerprints converge to the batch fingerprints") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
