@@ -204,6 +204,40 @@ object Curation {
       d.withColumn(c, md5(concat_ws("|", lit(salt), col(c).cast("string"))))
     }
 
+  /** k-anonymity audit — the check [[pseudonymize]]'s scaladoc warns
+    * is still needed after hashing direct identifiers: rows whose
+    * QUASI-IDENTIFIER combination (the released attribute columns) is
+    * shared by fewer than k rows are re-identifiable by linkage.
+    * Returns the violating groups (quasi values + their size), the
+    * actionable list for suppression or generalization.
+    *
+    * One map-side-combinable count at the quasi grain + one filter —
+    * the k-anonymity property is exactly a group-size predicate, so
+    * the plan is a single aggregation however wide the input. Output
+    * is bounded by the number of violating groups (each < k rows), not
+    * the data.
+    */
+  def kAnonymityViolations(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
+    require(quasi.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") < k)
+  }
+
+  /** Corpus-level k-anonymity summary — the dataset-card number next
+    * to [[kAnonymityViolations]]' row-level list: how many
+    * quasi-identifier groups exist, how many violate k, how many ROWS
+    * sit in violating groups (the re-identifiable mass), and the
+    * smallest group (the k the release actually achieves).
+    */
+  def kAnonymitySummary(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("n_rows_at_risk"),
+        min(col("n")).as("achieved_k"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pseudonymized per-user activity: the id column is hashed but the
     // per-entity grouping (and any join on it) is preserved
@@ -218,6 +252,19 @@ object Curation {
         .select(col("doc_id"), col("n_pii_email"), col("n_pii_ip"),
           col("n_pii_phone"), md5(col("text_redacted")).as("redacted_hash"))
         .orderBy("doc_id")),
+
+    // k-anonymity over (event_type, hour-of-day, value-decile): the
+    // violating groups and the dataset-card summary in one result
+    "cur_kanon" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val quasi = Seq(col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 100.0).cast("long").as("val_bucket"))
+      val v = kAnonymityViolations(ev, quasi, k = 5)
+        .select(col("event_type"), col("hr"), col("val_bucket"), col("n_rows"))
+      v.crossJoin(broadcast(kAnonymitySummary(ev, quasi, k = 5)))
+        .orderBy("event_type", "hr", "val_bucket")
+    }),
     // benchmark = every 97th doc; candidates = the rest; a candidate is
     // contaminated iff it shares a word 3-gram with any benchmark doc
     "cur_decontam" -> ((s, dir) => {
@@ -275,6 +322,22 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "cur_kanon" ->
+      """WITH g AS (SELECT event_type,
+        |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+        |  CAST(FLOOR(value / 100.0) AS BIGINT) AS val_bucket,
+        |  COUNT(*) AS n_rows
+        | FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(COALESCE(SUM(CASE WHEN n_rows < 5 THEN n_rows END), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  MIN(n_rows) AS achieved_k FROM g)
+        |SELECT g.event_type, g.hr, g.val_bucket, g.n_rows,
+        | s.n_groups, s.n_violating_groups, s.n_rows_at_risk, s.achieved_k
+        |FROM g, s WHERE g.n_rows < 5
+        |ORDER BY g.event_type, g.hr, g.val_bucket""".stripMargin,
     "cur_pseudonymize" ->
       """SELECT md5('graft-salt|' || CAST(user_id AS VARCHAR)) AS pseudo_user,
         | COUNT(*) AS n_events

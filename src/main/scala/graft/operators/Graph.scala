@@ -76,7 +76,11 @@ object Graph {
         cached.unpersist(blocking = false)
         out
       } else df.localCheckpoint()
-    val e = edges.select(col("src"), col("dst"))
+    // cached PRE-PARTITIONED on src: every round joins e by src, and a
+    // cached frame's output partitioning satisfies the join's
+    // requirement, so the per-round exchange of the (large) edge list
+    // disappears — iters × |E| shuffle becomes one
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
@@ -175,7 +179,10 @@ object Graph {
   def bfsLevelsPlan(edges: DataFrame, seeds: DataFrame, maxHops: Int): DedupPlan = {
     require(maxHops >= 0, "need maxHops >= 0")
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col("src"), col("dst"))
+    // pre-partitioned on src for the same reason as pageRankPlan: the
+    // per-round frontier join requires hashpartitioning(src), and the
+    // cached layout satisfies it — rounds stop re-exchanging the edges
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var frontier = seeds.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)

@@ -412,7 +412,36 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document content NOVELTY against ingestion order — for each
+    * doc, the fraction of its distinct word-3-gram shingles whose
+    * FIRST corpus occurrence (min doc_id) is this document. The
+    * dataset-composition curve a pipeline reads before ordering or
+    * pruning: a long tail of near-zero-novelty docs is redundancy the
+    * dedup family should be eating; a source whose docs stay
+    * high-novelty deep into ingestion is contributing new content.
+    * The per-source aggregate of this column is the marginal-value
+    * report for mixture weighting.
+    *
+    * Scale shape: one shingle pass ([[Dedup.shingleDf]], shared
+    * machinery), one min aggregation at the SHINGLE grain (first
+    * occurrence), one shingle-keyed join back, one per-doc count —
+    * all term-keyed shuffles with map-side combine, no broadcast of
+    * the shingle vocabulary anywhere. Novelty is exact integer ppm.
+    */
+  def noveltyStats(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleDf(docs)
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 DIV n_shingles").as("novelty_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_novelty" -> ((s, dir) =>
+      noveltyStats(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_bpe_pairs" -> ((s, dir) =>
       bpePairCounts(table(s, dir, "documents"))),
     "ta_tfidf" -> ((s, dir) =>
@@ -434,6 +463,16 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    "ta_novelty" ->
+      s"""WITH sh AS (${Dedup.shingleSql}),
+         |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT s.doc_id, COUNT(*) AS n_shingles,
+         | CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_novel,
+         | CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM sh s JOIN f USING (shingle)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     "ta_bpe_pairs" ->
       s"""WITH t AS (SELECT $toksSql AS ts FROM documents),
          |p AS (SELECT UNNEST(list_transform(range(1, len(ts)),

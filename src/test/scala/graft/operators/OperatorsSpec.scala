@@ -39,6 +39,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(("B", "C"))._5 == expect("B", "C"))
   }
 
+  test("k-anonymity: violating groups listed, summary counts the at-risk mass") {
+    import spark.implicits._
+    val d = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 3)).toDF("q1", "q2")
+    val quasi = Seq(col("q1"), col("q2"))
+    val v = Curation.kAnonymityViolations(d, quasi, k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(v == Set(("b", 2, 1L), ("b", 3, 1L)))
+    val s = Curation.kAnonymitySummary(d, quasi, k = 3).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+      ((3L, 2L, 2L, 1L)))
+  }
+
+  test("novelty: first occurrence owns the shingle, exact duplicate scores zero") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5"
+    val d = Seq((1L, base), (2L, base), (3L, "z1 z2 z3 z4"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.noveltyStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 3L, 1000000L)))
+    assert(r(2L) == ((3L, 0L, 0L))) // every shingle first seen in doc 1
+    assert(r(3L) == ((2L, 2L, 1000000L)))
+  }
+
   test("exact dedup groups account for every document") {
     val g = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
     assert(g.agg(sum("n")).head().getLong(0) == docs.count())
