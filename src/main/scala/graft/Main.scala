@@ -20,7 +20,8 @@ object Main {
       logLevel: String = "WARN",
       searchDiff: Option[Boolean] = None,
       master: String = "local[*]",
-      estimate: Boolean = false)
+      estimate: Boolean = false,
+      pipeline: Boolean = false)
 
   def parseArgs(argv: Array[String]): CliArgs = {
     def loop(acc: CliArgs, rest: List[String]): CliArgs = rest match {
@@ -31,6 +32,7 @@ object Main {
       case "--no-search-diff" :: t         => loop(acc.copy(searchDiff = Some(false)), t)
       case ("-m" | "--master") :: v :: t   => loop(acc.copy(master = v), t)
       case ("-e" | "--estimate") :: t      => loop(acc.copy(estimate = true), t)
+      case ("-p" | "--pipeline") :: t      => loop(acc.copy(pipeline = true), t)
       case other :: _ =>
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
@@ -86,6 +88,31 @@ object Main {
         case e: IllegalArgumentException =>
           System.err.println(e.getMessage); sys.exit(2)
       }
+    if (cli.pipeline) {
+      // curation-pipeline mode: run the YAML step list, write the sink
+      // if configured, report row count. Exit 0 on success, 2 on config
+      // error — there is no "difference" verdict in this mode.
+      val pspec =
+        try graft.config.PipelineLoader.load(cli.configPath)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"Config error: ${e.getMessage}"); sys.exit(2)
+        }
+      val spark = GraftSession.build(cli.master)
+      spark.sparkContext.setLogLevel(cli.logLevel)
+      try {
+        val out = Pipeline.execute(spark, pspec)
+        // count the WRITTEN files when a sink exists — counting the
+        // lazy frame again would re-execute the whole pipeline
+        val n = pspec.output match {
+          case Some(o) => spark.read.format(o.format).load(o.path).count()
+          case None    => out.count()
+        }
+        println(s"pipeline OK: $n rows" +
+          pspec.output.fold("")(o => s" -> ${o.path}"))
+        sys.exit(0)
+      } finally spark.stop()
+    }
     val spec =
       try ConfigLoader.load(cli.configPath)
       catch {

@@ -1,0 +1,77 @@
+package graft
+
+import graft.config.{PipelineSpec, StepSpec}
+import graft.operators.{Curation, Dedup, Sampling, TextAnalysis}
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor for YAML curation pipelines
+  * ([[graft.config.PipelineLoader]]): fold the validated step list
+  * over the resolved input. Each step delegates to its oracle-gated
+  * operator; this layer only adapts schemas (schema-stable in/out per
+  * step) so steps compose in any order. The whole run is ONE lazy
+  * plan — nothing materializes until the sink (or the caller) acts —
+  * with the usual CC-checkpoint exception inside near-dup steps.
+  */
+object Pipeline {
+
+  def run(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    spec.steps.foldLeft(Sources.resolve(spark, spec.input))(
+      (df, s) => applyStep(spark, df, s))
+
+  /** Run and, if the spec has an output, write it. Returns the final
+    * frame either way.
+    */
+  def execute(spark: SparkSession, spec: PipelineSpec): DataFrame = {
+    val out = run(spark, spec)
+    spec.output.foreach(o =>
+      Sinks.write(out, o.path, Sinks.SinkSpec(format = o.format)))
+    out
+  }
+
+  private[graft] def applyStep(
+      spark: SparkSession, df: DataFrame, step: StepSpec): DataFrame = step match {
+    case StepSpec.FilterStack =>
+      df.join(TextAnalysis.filterStack(df)
+        .where(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
+    case StepSpec.RedactPii(textCol) =>
+      Curation.redactPii(df, col(textCol))
+        .withColumn(textCol, col("text_redacted"))
+        .drop("text_redacted", "n_pii_email", "n_pii_ip", "n_pii_phone")
+
+    case StepSpec.Pseudonymize(cols, salt) =>
+      Curation.pseudonymize(df, cols, salt)
+
+    case StepSpec.DedupExact(idCol, textCol) =>
+      df.join(
+        df.groupBy(md5(col(textCol)).as("__h"))
+          .agg(min(col(idCol)).as(idCol)).drop("__h"),
+        Seq(idCol), "left_semi")
+
+    case StepSpec.DedupNear =>
+      val clusters = Dedup.connectedComponents(df, Dedup.minhashCandidates(df))
+      val scores = df.select(col("doc_id"),
+        length(col("text")).cast("long").as("score"))
+      val keepers = Dedup.keeperByQuality(clusters, scores)
+        .select(col("keeper").as("doc_id"))
+      df.join(keepers, Seq("doc_id"), "left_semi")
+
+    case StepSpec.Decontaminate(bench, maxHits) =>
+      val hits = Curation.decontaminate(df, Sources.resolve(spark, bench))
+      df.join(hits.where(col("bench_hits") > maxHits).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+    case StepSpec.SourceCap(groupCol, k) =>
+      Sampling.sourceCap(df, col(groupCol), k).drop("rank_in_source")
+
+    case StepSpec.Split(weights, salt, leakageSafe) =>
+      if (leakageSafe)
+        Sampling.leakageSafeSplit(df, weights, salt).drop("cluster_id")
+      else Sampling.hashSplit(df, col("doc_id"), weights, salt)
+
+    case StepSpec.Forget(tombstones, keyCol) =>
+      Curation.forget(df, col(keyCol), Sources.resolve(spark, tombstones))
+  }
+}

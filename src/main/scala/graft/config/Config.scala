@@ -92,7 +92,7 @@ final case class CompareSpec(
   */
 object ConfigLoader {
 
-  private val mapper = new ObjectMapper(new YAMLFactory())
+  private[config] val mapper = new ObjectMapper(new YAMLFactory())
 
   def load(path: String): CompareSpec = {
     val p = Paths.get(path)
@@ -138,7 +138,7 @@ object ConfigLoader {
       })
   }
 
-  private def side(node: JsonNode, where: String): SideSpec = {
+  private[config] def side(node: JsonNode, where: String): SideSpec = {
     val name = opt(node, "name").map(_.asText).getOrElse(where)
     val db = require(node, "db", where)
     val tpe = require(db, "type", s"$where.db").asText
@@ -188,13 +188,13 @@ object ConfigLoader {
     SideSpec(name, src)
   }
 
-  private def require(node: JsonNode, field: String, where: String = "config"): JsonNode = {
+  private[config] def require(node: JsonNode, field: String, where: String = "config"): JsonNode = {
     val n = node.get(field)
     if (n == null || n.isNull)
       throw new IllegalArgumentException(s"$where: missing required field '$field'")
     n
   }
 
-  private def opt(node: JsonNode, field: String): Option[JsonNode] =
+  private[config] def opt(node: JsonNode, field: String): Option[JsonNode] =
     Option(node.get(field)).filterNot(_.isNull)
 }

@@ -1,0 +1,157 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.JsonNode
+import scala.jdk.CollectionConverters._
+
+/** YAML-driven CURATION PIPELINE config — the reference's config-first
+  * philosophy (YAML in, validated spec out, fail fast —
+  * /root/reference/scribedb/configuration.py:19-37) extended from the
+  * compare engine to the training-data surface: a pipeline is an input
+  * source, an ordered list of curation steps, and an optional sink.
+  * Every step maps 1:1 onto an oracle-gated operator; the config layer
+  * adds NO new semantics, only declarative composition — so a YAML
+  * pipeline inherits each operator's scale bounds and the whole run
+  * stays one lazy Catalyst plan end to end (checkpoint boundaries
+  * inside connected components excepted, as documented there).
+  */
+sealed trait StepSpec
+
+object StepSpec {
+  /** Keep only docs passing the fused quality∧repetition∧language
+    * stack ([[graft.operators.TextAnalysis.filterStack]]).
+    */
+  case object FilterStack extends StepSpec
+
+  /** Replace `textCol` with its PII-redacted form
+    * ([[graft.operators.Curation.redactPii]]); audit counters are
+    * dropped to keep the pipeline schema stable.
+    */
+  final case class RedactPii(textCol: String) extends StepSpec
+
+  /** Salted-hash pseudonymization of identifier columns
+    * ([[graft.operators.Curation.pseudonymize]]).
+    */
+  final case class Pseudonymize(cols: Seq[String], salt: String) extends StepSpec
+
+  /** Exact content dedup: keep the min-`idCol` row per `textCol` hash. */
+  final case class DedupExact(idCol: String, textCol: String) extends StepSpec
+
+  /** Near-dup dedup: MinHash-LSH candidates → connected components →
+    * keep the highest-quality doc (char length) per cluster.
+    */
+  case object DedupNear extends StepSpec
+
+  /** Drop docs sharing more than `maxHits` word-3-grams with the
+    * benchmark corpus ([[graft.operators.Curation.decontaminate]]).
+    */
+  final case class Decontaminate(bench: SideSpec, maxHits: Long) extends StepSpec
+
+  /** Bound any one group's contribution to k docs
+    * ([[graft.operators.Sampling.sourceCap]]).
+    */
+  final case class SourceCap(groupCol: String, k: Int) extends StepSpec
+
+  /** Deterministic split assignment; `leakageSafe = true` keys the
+    * split on the near-dup cluster id
+    * ([[graft.operators.Sampling.leakageSafeSplit]]) instead of the
+    * doc id ([[graft.operators.Sampling.hashSplit]]).
+    */
+  final case class Split(weights: Seq[(String, Double)], salt: String,
+      leakageSafe: Boolean) extends StepSpec
+
+  /** Right-to-be-forgotten purge against a tombstone source
+    * ([[graft.operators.Curation.forget]]).
+    */
+  final case class Forget(tombstones: SideSpec, keyCol: String) extends StepSpec
+}
+
+final case class OutputSpec(path: String, format: String)
+
+final case class PipelineSpec(
+    input: SideSpec,
+    steps: Seq[StepSpec],
+    output: Option[OutputSpec])
+
+object PipelineLoader {
+  import ConfigLoader.{mapper, opt, require, side}
+
+  def load(path: String): PipelineSpec = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p))
+      throw new IllegalArgumentException(s"Config file not found: $path")
+    fromYaml(java.nio.file.Files.readString(p))
+  }
+
+  def fromYaml(text: String): PipelineSpec = {
+    val root =
+      try mapper.readTree(text)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"Malformed YAML: ${e.getMessage}")
+      }
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException("Config root must be a mapping")
+    val p = require(root, "pipeline")
+    val stepsNode = require(p, "steps", "pipeline")
+    if (!stepsNode.isArray || stepsNode.isEmpty)
+      throw new IllegalArgumentException("pipeline.steps must be a non-empty list")
+    PipelineSpec(
+      input = side(require(p, "input", "pipeline"), "pipeline.input"),
+      steps = stepsNode.elements().asScala.zipWithIndex.map {
+        case (n, i) => step(n, s"pipeline.steps[$i]")
+      }.toSeq,
+      output = opt(p, "output").map { o =>
+        OutputSpec(require(o, "path", "pipeline.output").asText,
+          opt(o, "format").map(_.asText).getOrElse("parquet"))
+      })
+  }
+
+  private def step(n: JsonNode, where: String): StepSpec = {
+    val kind = require(n, "kind", where).asText
+    kind match {
+      case "filter_stack" => StepSpec.FilterStack
+      case "redact_pii" =>
+        StepSpec.RedactPii(opt(n, "text_col").map(_.asText).getOrElse("text"))
+      case "pseudonymize" =>
+        val cols = require(n, "cols", where)
+        if (!cols.isArray || cols.isEmpty)
+          throw new IllegalArgumentException(s"$where: cols must be a non-empty list")
+        StepSpec.Pseudonymize(cols.elements().asScala.map(_.asText).toSeq,
+          require(n, "salt", where).asText)
+      case "dedup_exact" =>
+        StepSpec.DedupExact(
+          opt(n, "id_col").map(_.asText).getOrElse("doc_id"),
+          opt(n, "text_col").map(_.asText).getOrElse("text"))
+      case "dedup_near" => StepSpec.DedupNear
+      case "decontaminate" =>
+        StepSpec.Decontaminate(
+          side(require(n, "bench", where), s"$where.bench"),
+          opt(n, "max_hits").map(_.asLong).getOrElse(0L))
+      case "source_cap" =>
+        val k = require(n, "k", where).asInt
+        if (k <= 0) throw new IllegalArgumentException(s"$where: k must be positive")
+        StepSpec.SourceCap(opt(n, "group_col").map(_.asText).getOrElse("source"), k)
+      case "split" =>
+        val w = require(n, "weights", where)
+        if (!w.isObject || w.isEmpty)
+          throw new IllegalArgumentException(
+            s"$where: weights must be a non-empty mapping (order = band order)")
+        val weights = w.fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toSeq
+        if (weights.exists(_._2 <= 0))
+          throw new IllegalArgumentException(s"$where: weights must be positive")
+        StepSpec.Split(weights,
+          opt(n, "salt").map(_.asText).getOrElse("split"),
+          opt(n, "leakage_safe").exists(_.asBoolean(false)))
+      case "forget" =>
+        StepSpec.Forget(
+          side(require(n, "tombstones", where), s"$where.tombstones"),
+          require(n, "key_col", where).asText)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$where: unknown kind '$other' (valid: filter_stack, redact_pii, " +
+            "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
+            "split, forget)")
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.config.{PipelineLoader, SourceSpec, StepSpec}
+import org.apache.spark.sql.functions._
+
+class PipelineRunSpec extends SparkSpec {
+
+  private val docsPath = s"$Sf0001/documents.parquet"
+
+  test("pipeline yaml parses to the validated spec, preserving step and weight order") {
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: filter_stack
+         |    - kind: redact_pii
+         |    - kind: dedup_exact
+         |    - kind: split
+         |      weights: {train: 0.8, val: 0.1, test: 0.1}
+         |      leakage_safe: false
+         |  output: {path: /tmp/pipe_out, format: parquet}
+         |""".stripMargin)
+    assert(spec.input.source == SourceSpec.File("parquet", docsPath, None))
+    assert(spec.steps == Seq(
+      StepSpec.FilterStack,
+      StepSpec.RedactPii("text"),
+      StepSpec.DedupExact("doc_id", "text"),
+      StepSpec.Split(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        "split", leakageSafe = false)))
+    assert(spec.output.exists(o => o.path == "/tmp/pipe_out" && o.format == "parquet"))
+  }
+
+  test("pipeline yaml fails fast on unknown kinds, empty steps, bad weights") {
+    def bad(y: String): String =
+      intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
+    val head =
+      s"pipeline:\n  input:\n    db: {type: parquet, path: $docsPath}\n"
+    assert(bad(head + "  steps: []").contains("non-empty"))
+    assert(bad(head + "  steps:\n    - kind: frobnicate").contains("unknown kind"))
+    assert(bad(head + "  steps:\n    - kind: split\n      weights: {a: -1.0}")
+      .contains("positive"))
+    assert(bad(head + "  steps:\n    - kind: source_cap\n      k: 0").contains("positive"))
+    assert(bad("compare: {}").contains("missing required field 'pipeline'")
+      || bad("compare: {}").contains("pipeline"))
+  }
+
+  test("pipeline run equals the hand-composed operator chain") {
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: filter_stack
+         |    - kind: dedup_exact
+         |    - kind: split
+         |      weights: {train: 0.5, test: 0.5}
+         |""".stripMargin)
+    val got = Pipeline.run(spark, spec)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val docs = spark.read.parquet(docsPath)
+    val kept = docs.join(
+      graft.operators.TextAnalysis.filterStack(docs)
+        .where(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val deduped = kept.join(
+      kept.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val expect = graft.operators.Sampling
+      .hashSplit(deduped, col("doc_id"), Seq("train" -> 0.5, "test" -> 0.5))
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    assert(got == expect && got.nonEmpty)
+    assert(got.size < docs.count()) // the filter and dedup really dropped rows
+  }
+
+  test("pipeline execute writes the sink and round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/o"
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: source_cap
+         |      k: 3
+         |  output: {path: $out, format: parquet}
+         |""".stripMargin)
+    val df = Pipeline.execute(spark, spec)
+    val read = spark.read.parquet(out)
+    assert(read.count() == df.count() && read.count() > 0)
+    // cap honored per source
+    val mx = read.groupBy("source").count().agg(max("count")).head().getLong(0)
+    assert(mx <= 3)
+  }
+}

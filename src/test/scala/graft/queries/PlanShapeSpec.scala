@@ -224,6 +224,27 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("pagerank rounds reuse the cached edge partitioning: no per-round edge exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // enough distinct edges that a broadcast would NOT hide an exchange
+    val e = (1L to 2000L).map(i => (s"n${i % 400}", s"n${(i * 7) % 400}"))
+      .toDF("src", "dst")
+    def exchanges(iters: Int): Int = {
+      val p = graft.operators.Graph.pageRankPlan(e, iters)
+      val n = initialPlan(p.df).collect { case s: ShuffleExchangeExec => s }.size
+      p.release(); n
+    }
+    val c1 = exchanges(1)
+    val c3 = exchanges(3)
+    // the edge list is cached pre-partitioned on src and deg/nodes carry
+    // aggregation partitionings, so each extra round may add only the
+    // two INHERENT shuffles (rank re-keyed for the join + the dst-grain
+    // contribution sum) — an edge-side exchange per round would make
+    // the delta 3+ per round
+    assert((c3 - c1) <= 4, s"per-round exchange growth too high: c1=$c1 c3=$c3")
+  }
+
   test("referential integrity: both sides collapse to the key grain BELOW the join") {
     val q = graft.operators.Profiler.queries("dq_ri")(spark, Sf0001)
     val plan = initialPlan(q).toString
