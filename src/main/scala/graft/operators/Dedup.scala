@@ -980,8 +980,11 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
+    // broadcast turns the inequality pair join into a nested loop over
+    // the SOURCE-grain aggregate (thousands of rows at most) instead of
+    // a raw CartesianProduct of two shuffled sides
     val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
-      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
         col("source_a") < col("source_b"))
     val matches = (0 until NumHashes)
       .map(i => when(col(s"ah$i") === col(s"bh$i"), 1L).otherwise(0L))

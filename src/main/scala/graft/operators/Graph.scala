@@ -169,35 +169,51 @@ object Graph {
     * (neighborhood queries, contamination blast radius, supply-chain
     * reach).
     *
-    * Rounds materialize via the retained-persist pattern (each round's
-    * frontier is referenced by the next round's anti-join AND the
-    * final union — unpersisted, round k would re-execute rounds
-    * 1..k−1 geometrically); all round caches are owned by the returned
-    * plan's `release()`. Levels are exact integers; output one row per
-    * REACHED node: (id, lvl).
+    * The reached set is CHECKPOINTED per round with the CC machinery
+    * (reliable `checkpoint()` when a checkpoint dir is set, else
+    * `localCheckpoint()`): each round's frontier filter, anti-join,
+    * and final output all read one flat LogicalRDD instead of a union
+    * tree that grows O(rounds²) in plan nodes — exactly the lineage
+    * failure connectedComponents hit pre-checkpoint. Superseded rounds
+    * release with a one-round grace; survivors are owned by the
+    * returned plan's `release()`. Levels are exact integers; output
+    * one row per REACHED node: (id, lvl).
     */
   def bfsLevelsPlan(edges: DataFrame, seeds: DataFrame, maxHops: Int): DedupPlan = {
     require(maxHops >= 0, "need maxHops >= 0")
+    import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
+    val sc = edges.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) {
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
     // pre-partitioned on src for the same reason as pageRankPlan: the
     // per-round frontier join requires hashpartitioning(src), and the
     // cached layout satisfies it — rounds stop re-exchanging the edges
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    var frontier = seeds.select(col("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    var retained = List[DataFrame](e, frontier)
-    var lvl = frontier.select(col("id"), lit(0L).as("lvl"))
+    var lvl = ckpt(seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("lvl")))
+    var ckpts = List(lvl) // newest first; one grace round retained
     (1 to maxHops).foreach { h =>
+      val frontier = lvl.where(col("lvl") === h - 1).select(col("id"))
       val next = e.join(frontier, e("src") === frontier("id"))
         .select(col("dst").as("id")).distinct()
         .join(lvl, Seq("id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      retained ::= next
-      lvl = lvl.unionAll(next.select(col("id"), lit(h.toLong).as("lvl")))
-      frontier = next
+        .select(col("id"), lit(h.toLong).as("lvl"))
+      lvl = ckpt(lvl.unionAll(next)) // eager — flattens before round h+1
+      val live = lvl :: ckpts
+      live.drop(2).foreach(CheckpointBridge.release)
+      ckpts = live.take(2)
     }
-    DedupPlan(lvl, "bfs_levels", retained)
+    val owned = ckpts
+    DedupPlan(lvl, "bfs_levels", Seq(e),
+      finalizers = owned.map(d => () => CheckpointBridge.release(d)))
   }
 
   /** Co-purchase graph: parts appearing in the same order, kept only
