@@ -215,7 +215,8 @@ object Bench {
     def costRank(n: String): Int =
       if (n.startsWith("dd_") || n.startsWith("pipe_")) 0
       else if (n.startsWith("cmp_") || n.startsWith("er_") || n.startsWith("ss_")
-        || n == "q40_pagerank" || n == "q41_triangles" || n == "q42_bfs") 1
+        || n == "q40_pagerank" || n == "q41_triangles" || n == "q42_bfs"
+        || n == "q43_components") 1
       else 2
     SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (costRank(n), n) }

@@ -255,6 +255,21 @@ object Graph {
     "q41_triangles" -> ((s, dir) =>
       triangleCountPlan(copurchaseEdges(table(s, dir, "lineitem"))).df),
 
+    // component structure of the co-purchase graph: how many product
+    // communities exist and how big the giant one is — the shared CC
+    // engine (pointer doubling) applied to a product graph, aggregated
+    // to a 1-row structural summary
+    "q43_components" -> ((s, dir) => {
+      val e = copurchaseEdges(table(s, dir, "lineitem"))
+      val nodes = e.select(col("u").as("doc_id"))
+        .unionAll(e.select(col("v").as("doc_id"))).distinct()
+      Dedup.connectedComponents(nodes,
+          e.select(col("u").as("doc_a"), col("v").as("doc_b")))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"), max(col("sz")).as("largest"),
+          sum(col("sz")).as("n_nodes"))
+    }),
+
     // 4-hop reach from the lowest-keyed part over the part-supplier
     // graph: which parts/suppliers are within two supply steps
     "q42_bfs" -> ((s, dir) => {
@@ -288,6 +303,24 @@ object Graph {
          |SELECT id, CAST(r AS BIGINT) AS r
          |FROM r3 ORDER BY r DESC, id LIMIT 25""".stripMargin
     },
+    "q43_components" ->
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |reach(u, v) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (SELECT u, MIN(v) AS c FROM reach GROUP BY u),
+        |szs AS (SELECT c, COUNT(*) AS sz FROM cl GROUP BY c)
+        |SELECT COUNT(*) AS n_components, MAX(sz) AS largest,
+        | CAST(SUM(sz) AS BIGINT) AS n_nodes
+        |FROM szs""".stripMargin,
+
     // UNION (not UNION ALL) recursion: states dedup per (id, lvl), so
     // the CTE is bounded by nodes × levels, never path counts
     "q42_bfs" ->

@@ -547,6 +547,35 @@ object Profiler {
       .limit(topK)
   }
 
+  /** EQUI-DEPTH histogram — [[histogram]]'s bound-free sibling: bucket
+    * BOUNDARIES are the exact 1/b..(b−1)/b quantiles of the data, so
+    * every bucket holds ≈ n/b rows however skewed the distribution
+    * (the report an optimizer or a drift monitor wants when fixed
+    * bounds would pile 99% of the mass into one bucket). Output per
+    * bucket: row count + observed min/max (the realized bounds).
+    *
+    * Cost: one exact-percentile aggregation (all b−1 quantiles ride
+    * ONE `percentile` call) broadcast back as a (b−1)-element array
+    * literal, then one map-side-combinable count — two passes, no
+    * global sort. At 100 TB swap the boundary pass to
+    * `approx_percentile` for a genuine single-shuffle sketch; the gate
+    * uses the exact form because DuckDB's `quantile_cont` matches
+    * Spark's exact `percentile` bit-for-bit, so bucket assignment
+    * (strict `boundary < x` on both engines) cannot diverge.
+    */
+  def histogramEquiDepth(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need buckets >= 2")
+    val x = col(c).cast("double")
+    val bounds = df.where(x.isNotNull)
+      .agg(expr(s"percentile(CAST($c AS DOUBLE), array(${
+        (1 until buckets).map(i => s"${i.toDouble / buckets}").mkString(",")}))")
+        .as("bs"))
+    df.where(x.isNotNull).crossJoin(broadcast(bounds))
+      .select(x.as("x"), size(filter(col("bs"), b => b < x)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+  }
+
   /** Count-min sketch twin of [[keySkew]] — the 100 TB path when even
     * one row per DISTINCT key is too much shuffle state: the sketch
     * aggregates in O(depth·width) constant memory per partition and
@@ -682,6 +711,11 @@ object Profiler {
     // bounds (the streaming/100 TB-friendly shape — no quantile sort)
     "dq_histogram" -> ((s, dir) =>
       histogram(table(s, dir, "orders"), "o_totalprice", 0.0, 600000.0, 12)
+        .orderBy("bucket")),
+
+    // Equi-depth variant: exact-quantile boundaries, ~n/8 rows each
+    "dq_histogram_eqdepth" -> ((s, dir) =>
+      histogramEquiDepth(table(s, dir, "orders"), "o_totalprice", 8)
         .orderBy("bucket")),
 
     // Exact numeric stats: mean via DECIMAL(38,6) sums — deterministic
@@ -911,6 +945,17 @@ object Profiler {
          |SELECT CAST(num AS DOUBLE)
          |  / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
          |FROM s""".stripMargin,
+    "dq_histogram_eqdepth" ->
+      """WITH bs AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+        |   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |a AS (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |   CAST(len(list_filter(bs.b, v -> v < CAST(o_totalprice AS DOUBLE)))
+        |     AS BIGINT) AS bucket
+        |  FROM orders, bs WHERE o_totalprice IS NOT NULL)
+        |SELECT bucket, COUNT(*) AS n, MIN(x) AS x_min, MAX(x) AS x_max
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "dq_histogram" ->
       """WITH b AS (
         | SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN CAST(-1 AS BIGINT)

@@ -43,6 +43,21 @@ object Streaming {
           .cast("double").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** SLIDING-window counts — [[windowedCounts]]' overlapping sibling
+    * (1-hour windows advancing every 15 minutes): each event lands in
+    * 4 windows, the shape a latency-sensitive rate monitor wants
+    * (a tumbling window reports a spike up to a full hour late).
+    * State = (horizon / slide) windows per key — 4× the tumbling
+    * state, still watermark-bounded. The same expression tree runs on
+    * a static frame, so the batch twin is this function verbatim.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
   /** Batch sessionization: per user, a >30-min gap starts a new
     * session. Single shuffle on user_id; windows are partition-local.
     */

@@ -231,6 +231,21 @@ class ProfilerSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 200000L, 800L)))
   }
 
+  test("equi-depth histogram: near-equal bucket masses, ordered realized bounds") {
+    import spark.implicits._
+    // heavily skewed: fixed-bound buckets would pile everything left
+    val d = ((1 to 700).map(_.toDouble) ++ (1 to 100).map(_ * 1000.0)).toDF("x")
+    val r = Profiler.histogramEquiDepth(d, "x", 8).orderBy("bucket").collect()
+    assert(r.map(_.getLong(0)).toSeq == (0 until 8).map(_.toLong))
+    assert(r.map(_.getLong(1)).sum == 800L)
+    val sizes = r.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 2, sizes.mkString(","))   // ~n/8 each
+    // realized bounds are increasing and non-overlapping
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2))
+    }
+  }
+
   test("keySkew sketch twin: exact values identical, CMS estimate inside its guarantee") {
     import spark.implicits._
     val d = ((1 to 600).map(_ => "hot") ++ (1 to 400).map(i => s"k${i % 50}")).toDF("k")

@@ -37,6 +37,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("sliding-window counts: each event lands in 4 windows; stream equals batch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    mem.addData(typedEvents)
+    // complete mode needs no watermark eviction — mirror windowedCounts' twin check
+    val agg = mem.toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("slide")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("slide")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // batch twin: the SAME expression tree on the static frame
+    val batch = eventsDf
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // overlap factor: every event contributes to exactly 4 sliding windows
+    assert(streamed.toSeq.map(_._3).sum == eventsDf.count() * 4)
+  }
+
   test("curation front-end (quality scores + split assignment) runs unchanged on a stream") {
     // the stateless stages of the curation pipeline are pure narrow
     // projections, so the SAME operator code must run on a stream with
