@@ -576,6 +576,45 @@ object Profiler {
       .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"), max(col("x")).as("x_max"))
   }
 
+  /** Benford's-law first-digit audit — the classic "were these
+    * numbers generated or measured" data-quality screen (fabricated,
+    * truncated, or unit-mangled amount columns drift from the
+    * log-uniform first-digit distribution real multiplicative data
+    * follows). Per digit 1..9: observed count, observed ppm, expected
+    * Benford ppm (⌊log10(1+1/d)·10⁶⌋ as integer LITERALS — no float
+    * log in either engine), and the absolute deviation.
+    *
+    * The digit comes from the STRING of the floored integer part —
+    * arithmetic `floor(x / 10^floor(log10 x))` would hit
+    * correctly-rounded-log10 edge cases near powers of ten and
+    * diverge cross-engine; integer-to-string is exact everywhere.
+    * Rows with |x| < 1 are excluded (no leading digit). One
+    * map-side-combinable aggregation at the 9-row digit grain.
+    */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L) // floor(log10(1+1/d) * 1e6)
+    val whole = abs(col(c).cast("double"))
+    val digit = substring(floor(whole).cast("long").cast("string"), 1, 1).cast("long")
+    val counts = df
+      .where(col(c).isNotNull && whole >= 1.0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val exp = expected.zipWithIndex
+      .map { case (ppm, i) => struct(lit(i + 1L).as("digit"), lit(ppm).as("expected_ppm")) }
+    val expDf = df.sparkSession.range(1).select(
+        explode(array(exp: _*)).as("e"))
+      .select(col("e.digit").as("digit"), col("e.expected_ppm").as("expected_ppm"))
+    counts.crossJoin(broadcast(total))
+      .join(broadcast(expDf), Seq("digit"))
+      .select(col("digit"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV total").as("observed_ppm"),
+        col("expected_ppm"),
+        abs(expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV total")
+          - col("expected_ppm")).as("deviation_ppm"))
+  }
+
   /** Count-min sketch twin of [[keySkew]] — the 100 TB path when even
     * one row per DISTINCT key is too much shuffle state: the sketch
     * aggregates in O(depth·width) constant memory per partition and
@@ -717,6 +756,10 @@ object Profiler {
     "dq_histogram_eqdepth" -> ((s, dir) =>
       histogramEquiDepth(table(s, dir, "orders"), "o_totalprice", 8)
         .orderBy("bucket")),
+
+    // Benford first-digit screen over order value
+    "dq_benford" -> ((s, dir) =>
+      benford(table(s, dir, "orders"), "o_totalprice").orderBy("digit")),
 
     // Exact numeric stats: mean via DECIMAL(38,6) sums — deterministic
     // across engines and partitionings, unlike a float avg()
@@ -945,6 +988,25 @@ object Profiler {
          |SELECT CAST(num AS DOUBLE)
          |  / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
          |FROM s""".stripMargin,
+    "dq_benford" ->
+      """WITH d AS (SELECT CAST(substring(
+        |   CAST(CAST(FLOOR(ABS(CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR),
+        |   1, 1) AS BIGINT) AS digit
+        | FROM orders
+        | WHERE o_totalprice IS NOT NULL AND ABS(CAST(o_totalprice AS DOUBLE)) >= 1.0),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM c),
+        |e AS (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS digit,
+        |      UNNEST([301029,176091,124938,96910,79181,66946,57991,51152,45757])
+        |        AS expected_ppm)
+        |SELECT c.digit, c.n,
+        | CAST(c.n * 1000000 // t.total AS BIGINT) AS observed_ppm,
+        | CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        | CAST(ABS(c.n * 1000000 // t.total - e.expected_ppm) AS BIGINT)
+        |   AS deviation_ppm
+        |FROM c JOIN e ON e.digit = c.digit CROSS JOIN t
+        |ORDER BY c.digit""".stripMargin,
+
     "dq_histogram_eqdepth" ->
       """WITH bs AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
         |   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b

@@ -217,7 +217,11 @@ object Sampling {
     import org.apache.spark.storage.StorageLevel
     val pairs = Dedup.minhashCandidates(docs)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // labeled feeds the audit twice (pair endpoints) plus the counts —
+    // the 2+-references rule: persist, or the docs⋈clusters join
+    // re-executes per reference
     val labeled = leakageSafeSplitFrom(docs, pairs, weights, salt)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val sa = labeled.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
     val sb = labeled.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
     val cross = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -225,7 +229,7 @@ object Sampling {
         .otherwise(0L)), lit(0L)).as("n_cross_pairs"))
     val report = labeled.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(cross))
-    DedupPlan(report, "leakage_split_report", Seq(pairs))
+    DedupPlan(report, "leakage_split_report", Seq(pairs, labeled))
   }
 
   /** EXACT stratified sampling — within every stratum keep exactly

@@ -231,6 +231,20 @@ class ProfilerSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 200000L, 800L)))
   }
 
+  test("benford: exact first-digit counts, sub-1 values excluded, ppm arithmetic") {
+    import spark.implicits._
+    val d = Seq(1.5, 19.0, 123.0, 2.0, 0.4, -3.0, 900.0, 1000.0).toDF("x")
+    // digits: 1(1.5), 1(19), 1(123), 2(2.0), 3(|-3|), 9(900), 1(1000); 0.4 excluded
+    val r = Profiler.benford(d, "x").orderBy("digit").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 9L))
+    assert(r(1L)._1 == 4L && r(1L)._2 == 4L * 1000000L / 7L)
+    assert(r(2L)._1 == 1L && r(2L)._3 == 176091L)
+    assert(r(9L)._1 == 1L && r(9L)._4 ==
+      math.abs(1000000L / 7L - 45757L))
+  }
+
   test("equi-depth histogram: near-equal bucket masses, ordered realized bounds") {
     import spark.implicits._
     // heavily skewed: fixed-bound buckets would pile everything left
