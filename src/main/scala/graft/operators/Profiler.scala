@@ -597,7 +597,10 @@ object Profiler {
     val whole = abs(col(c).cast("double"))
     val digit = substring(floor(whole).cast("long").cast("string"), 1, 1).cast("long")
     val counts = df
-      .where(col(c).isNotNull && whole >= 1.0)
+      // <= MaxValue excludes Infinity (and NaN fails both comparisons) —
+      // an infinite value would long-overflow here and error in engines
+      // that check the cast
+      .where(col(c).isNotNull && whole >= 1.0 && whole <= Double.MaxValue)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))
@@ -641,7 +644,9 @@ object Profiler {
     val sp = df.sparkSession
     import sp.implicits._
     rows.map { x =>
-      val est = cms.estimateCount(x.getString(0))
+      // a NULL key never entered the sketch (agg inputs skip nulls):
+      // est 0 under its exact count reads as an honest sketch_ok=false
+      val est = Option(x.getString(0)).map(cms.estimateCount(_)).getOrElse(0L)
       (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         est >= x.getLong(1) && est <= x.getLong(1) + slack)
     }.toDF("key_value", "n", "share_ppm", "hot_x1000", "sketch_ok")
@@ -993,7 +998,8 @@ object Profiler {
         |   CAST(CAST(FLOOR(ABS(CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR),
         |   1, 1) AS BIGINT) AS digit
         | FROM orders
-        | WHERE o_totalprice IS NOT NULL AND ABS(CAST(o_totalprice AS DOUBLE)) >= 1.0),
+        | WHERE o_totalprice IS NOT NULL AND ABS(CAST(o_totalprice AS DOUBLE)) >= 1.0
+        |   AND ABS(CAST(o_totalprice AS DOUBLE)) <= 1.7976931348623157e308),
         |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
         |t AS (SELECT SUM(n) AS total FROM c),
         |e AS (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS digit,
