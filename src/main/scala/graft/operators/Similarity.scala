@@ -174,15 +174,22 @@ object Similarity {
     * (k, dim), independent of corpus size, the same driver state any
     * k-means fit (e.g. Spark MLlib's) keeps between rounds.
     */
-  def kmeansFit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val q = quantized(emb).select(col("vec_id"), col("v"))
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFitQ(quantized(emb).select(col("vec_id"), col("v")), k, iters, Dim)
+
+  /** [[kmeansFit]]'s core over an ALREADY-quantized (vec_id, v) frame
+    * of `dims`-long vectors — shared with [[pqCodes]], which fits one
+    * codebook per sub-vector block.
+    */
+  private[operators] def kmeansFitQ(
+      q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
     var cents: Seq[(Long, Seq[Long])] =
       q.orderBy(col("vec_id")).limit(k).collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
     var assigned = assignToCentroids(q, cents)
     (1 to iters).foreach { _ =>
       cents = assigned.groupBy(col("cluster"))
-        .agg(array((0 until Dim).map(j =>
+        .agg(array((0 until dims).map(j =>
           floor(sum(element_at(col("v"), j + 1)) / count(lit(1))).cast("long")): _*).as("cv"))
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
@@ -190,6 +197,34 @@ object Similarity {
       assigned = assignToCentroids(q, cents)
     }
     assigned.select(col("vec_id"), col("cluster"))
+  }
+
+  /** Product-quantization codes — the memory-side member of the ANN
+    * triple next to the LSH tables and the IVF probe: the vector
+    * splits into `blocks` contiguous sub-vectors, each block gets its
+    * OWN k-centroid codebook (the shared deterministic integer
+    * [[kmeansFitQ]]), and a vector compresses to `blocks` small codes
+    * — k^blocks virtual cells from only blocks·k centroids. At 100 TB
+    * this is what makes a billion-vector index fit in memory:
+    * blocks·log2(k) bits per vector instead of dims·32, with
+    * asymmetric distances reconstructible from blocks tiny
+    * query-to-codebook tables. Codebook fitting inherits kmeans'
+    * bounds (per block: narrow assignment passes + one k·sub-dim
+    * aggregation to the driver); code assignment is shuffle-free
+    * (centroids ride as plan literals); the final code table joins
+    * the blocks on vec_id.
+    *
+    * Output: (vec_id, c0..c{blocks−1}) — flat BIGINT code columns,
+    * engine-reproducible bit-for-bit.
+    */
+  def pqCodes(emb: DataFrame, blocks: Int, k: Int, iters: Int): DataFrame = {
+    require(blocks >= 1 && Dim % blocks == 0, s"blocks must divide Dim=$Dim")
+    val sub = Dim / blocks
+    val q = quantized(emb).select(col("vec_id"), col("v"))
+    (0 until blocks).map { b =>
+      val qb = q.select(col("vec_id"), slice(col("v"), b * sub + 1, sub).as("v"))
+      kmeansFitQ(qb, k, iters, sub).select(col("vec_id"), col("cluster").as(s"c$b"))
+    }.reduce(_.join(_, Seq("vec_id")))
   }
 
   /** Cluster-balanced (diversity) sampling: k-means the embeddings,
@@ -334,6 +369,11 @@ object Similarity {
     "ss_kmeans" -> ((s, dir) =>
       kmeansFit(table(s, dir, "embeddings"), k = 4, iters = 1)
         .orderBy("vec_id")),
+    // product-quantization codes: 4 blocks of 16 dims, 4-centroid
+    // codebook each — 256 virtual cells from 16 centroids
+    "ss_pq_codes" -> ((s, dir) =>
+      pqCodes(table(s, dir, "embeddings"), blocks = 4, k = 4, iters = 1)
+        .orderBy("vec_id")),
     // 25 hash-chosen vectors from each of 4 k-means clusters
     "ss_diverse_sample" -> ((s, dir) =>
       clusterBalancedSample(table(s, dir, "embeddings"),
@@ -445,7 +485,40 @@ object Similarity {
        |     ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.cid) AS r
        |  FROM q CROSS JOIN c1 c) WHERE r = 1)""".stripMargin
 
+  /** One block's codebook fit for the ss_pq_codes oracle — the
+    * kmeansSqlCtes chain over the b-th `sub`-dim slice, CTE names
+    * suffixed so `blocks` copies compose in one WITH.
+    */
+  private def pqBlockSqlCtes(b: Int, sub: Int, k: Int): String = {
+    val lo = b * sub + 1
+    val hi = (b + 1) * sub
+    s"""qb$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM q),
+       |c0_$b AS (SELECT vec_id AS cid, v AS cv FROM qb$b ORDER BY vec_id LIMIT $k),
+       |a1_$b AS (SELECT vec_id, v, cid AS cluster FROM (
+       |  SELECT qb.vec_id, qb.v, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY qb.vec_id
+       |     ORDER BY ${cosSql("qb.v", "c.cv")} DESC, c.cid) AS r
+       |  FROM qb$b qb CROSS JOIN c0_$b c) WHERE r = 1),
+       |c1_$b AS (SELECT cluster AS cid, list(cj ORDER BY j) AS cv FROM (
+       |  SELECT cluster, j, CAST(FLOOR(SUM(v[j]) / COUNT(*)) AS BIGINT) AS cj
+       |  FROM a1_$b, UNNEST(range(1, ${sub + 1})) AS r(j) GROUP BY cluster, j)
+       | GROUP BY cluster),
+       |a2_$b AS (SELECT vec_id, cid AS cluster FROM (
+       |  SELECT qb.vec_id, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY qb.vec_id
+       |     ORDER BY ${cosSql("qb.v", "c.cv")} DESC, c.cid) AS r
+       |  FROM qb$b qb CROSS JOIN c1_$b c) WHERE r = 1)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "ss_pq_codes" ->
+      s"""WITH q AS ($quantSql),
+         |${(0 until 4).map(b => pqBlockSqlCtes(b, 16, 4)).mkString(",\n")}
+         |SELECT vec_id, a2_0.cluster AS c0, a2_1.cluster AS c1,
+         | a2_2.cluster AS c2, a2_3.cluster AS c3
+         |FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
+         | JOIN a2_3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "ss_recall" ->
       s"""WITH q AS ($quantSql),
          |$lshBucketsSqlCte,

@@ -494,6 +494,28 @@ class OperatorsSpec extends SparkSpec {
     assert(a(0L) != a(3L), s"groups merged: $a")
   }
 
+  test("pq codes: per-block codebooks, identical vectors share codes, block independence") {
+    import spark.implicits._
+    // blocks of 16 dims; vectors differing ONLY in block 3 must share
+    // codes c0..c2 and may split on c3
+    def mk(block3Axis: Int): Seq[Float] =
+      (0 until 64).map(j =>
+        if (j >= 48 && j == 48 + block3Axis) 1.0f
+        else if (j < 48) (j % 7).toFloat / 7 + 0.1f else 0.01f)
+    val df = Seq(
+      (0L, mk(0), 0), (1L, mk(0), 0),    // identical everywhere
+      (2L, mk(1), 0), (3L, mk(15), 0))   // differ only in block 3
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pqCodes(df, blocks = 4, k = 2, iters = 1).collect()
+      .map(x => x.getLong(0) -> (1 to 4).map(x.getLong).toSeq).toMap
+    assert(r.size == 4)
+    assert(r(0L) == r(1L)) // identical vectors -> identical code words
+    // blocks 0..2 identical across all rows -> same first three codes
+    assert(r.values.map(_.take(3)).toSet.size == 1)
+    // cluster ids come from the k lowest-id seeds
+    assert(r.values.flatten.toSet.subsetOf(Set(0L, 1L)))
+  }
+
   test("kmeans on the corpus: full coverage, deterministic, objective improves with rounds") {
     val fit = Similarity.kmeansFit(emb, k = 10, iters = 3)
     val n = emb.count()
