@@ -182,7 +182,16 @@ object Similarity {
     * codebook per sub-vector block.
     */
   private[operators] def kmeansFitQ(
-      q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+      q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    kmeansFitQCents(q, k, iters, dims)._1
+
+  /** [[kmeansFitQ]] plus the FINAL centroid table — [[pqTopK]] needs
+    * the codebook itself to reconstruct vectors for asymmetric
+    * distances. Centroids are k·dims longs of driver state, the
+    * bounded-collect pattern.
+    */
+  private[operators] def kmeansFitQCents(
+      q: DataFrame, k: Int, iters: Int, dims: Int): (DataFrame, Seq[(Long, Seq[Long])]) = {
     var cents: Seq[(Long, Seq[Long])] =
       q.orderBy(col("vec_id")).limit(k).collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
@@ -196,7 +205,49 @@ object Similarity {
         .sortBy(_._1)
       assigned = assignToCentroids(q, cents)
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    (assigned.select(col("vec_id"), col("cluster")), cents)
+  }
+
+  /** PQ asymmetric-distance top-k — the search side of [[pqCodes]]:
+    * corpus vectors are replaced by their codebook RECONSTRUCTIONS
+    * (per block, the centroid the code names — a when-chain over plan
+    * literals, shuffle-free), queries keep their EXACT vectors, and
+    * ranking runs on cos(query, reconstruction). This is the standard
+    * ADC trade: ~blocks·log2(k) bits per corpus vector in exchange
+    * for quantization error the recall report quantifies. Scale
+    * shape matches [[bruteForceTopK]] (queries broadcast, corpus
+    * streams, per-query window top-k) with the corpus column now
+    * codebook-compressed — at 100 TB the reconstruction would read
+    * the stored codes instead of refitting.
+    */
+  def pqTopK(emb: DataFrame, blocks: Int, kCodebook: Int, iters: Int,
+      numQueries: Int, k: Int): DataFrame = {
+    require(blocks >= 1 && Dim % blocks == 0, s"blocks must divide Dim=$Dim")
+    val sub = Dim / blocks
+    val q = quantized(emb).select(col("vec_id"), col("v"))
+    val recon = (0 until blocks).map { b =>
+      val qb = q.select(col("vec_id"), slice(col("v"), b * sub + 1, sub).as("v"))
+      val (assigned, cents) = kmeansFitQCents(qb, kCodebook, iters, sub)
+      val reconB = cents.tail.foldLeft(
+        when(col("cluster") === cents.head._1, typedLit(cents.head._2))) {
+        case (acc, (cid, cv)) => acc.when(col("cluster") === cid, typedLit(cv))
+      }
+      assigned.select(col("vec_id"), reconB.as(s"r$b"))
+    }.reduce(_.join(_, Seq("vec_id")))
+      .select(col("vec_id"),
+        concat((0 until blocks).map(b => col(s"r$b")): _*).as("rv"))
+    val queries = broadcast(q.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    recon.select(col("vec_id").as("neighbor_id"), col("rv"))
+      .crossJoin(queries)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("rv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
   }
 
   /** Product-quantization codes — the memory-side member of the ANN
@@ -374,6 +425,15 @@ object Similarity {
     "ss_pq_codes" -> ((s, dir) =>
       pqCodes(table(s, dir, "embeddings"), blocks = 4, k = 4, iters = 1)
         .orderBy("vec_id")),
+    // PQ asymmetric-distance recall vs the exact top-10 — quantifies
+    // the compression/recall trade of the 4x4 codebook
+    "ss_pq_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      annRecall(
+        pqTopK(emb, blocks = 4, kCodebook = 4, iters = 1, numQueries = 5, k = 10),
+        bruteForceTopK(emb, numQueries = 5, k = 10), k = 10)
+        .orderBy("query_id")
+    }),
     // 25 hash-chosen vectors from each of 4 k-means clusters
     "ss_diverse_sample" -> ((s, dir) =>
       clusterBalancedSample(table(s, dir, "embeddings"),
@@ -519,6 +579,40 @@ object Similarity {
          |FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
          | JOIN a2_3 USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    "ss_pq_recall" ->
+      s"""WITH q AS ($quantSql),
+         |${(0 until 4).map(b => pqBlockSqlCtes(b, 16, 4)).mkString(",\n")},
+         |codes AS (SELECT vec_id, a2_0.cluster AS c0, a2_1.cluster AS c1,
+         |  a2_2.cluster AS c2, a2_3.cluster AS c3
+         | FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
+         |  JOIN a2_3 USING (vec_id)),
+         |rec AS (SELECT codes.vec_id, x0.cv || x1.cv || x2.cv || x3.cv AS rv
+         | FROM codes JOIN c1_0 x0 ON x0.cid = codes.c0
+         |  JOIN c1_1 x1 ON x1.cid = codes.c1
+         |  JOIN c1_2 x2 ON x2.cid = codes.c2
+         |  JOIN c1_3 x3 ON x3.cid = codes.c3),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 5),
+         |ascored AS (SELECT query_id, rec.vec_id AS neighbor_id,
+         |  ${cosSql("qv", "rv")} AS cos
+         | FROM rec CROSS JOIN qs WHERE rec.vec_id <> query_id),
+         |aranked AS (SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         | FROM ascored),
+         |ann AS (SELECT query_id, neighbor_id FROM aranked WHERE rk <= 10),
+         |bscored AS (SELECT query_id, q.vec_id AS neighbor_id,
+         |  ${cosSql("qv", "v")} AS cos
+         | FROM q CROSS JOIN qs WHERE q.vec_id <> query_id),
+         |branked AS (SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         | FROM bscored),
+         |ex AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= 10),
+         |h AS (SELECT ex.query_id, COUNT(*) AS n_hit
+         |      FROM ex JOIN ann USING (query_id, neighbor_id) GROUP BY ex.query_id)
+         |SELECT e.query_id, COALESCE(n_hit, 0) AS n_hit,
+         | CAST(COALESCE(n_hit, 0) AS DOUBLE) / 10 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) e
+         | LEFT JOIN h ON e.query_id = h.query_id
+         |ORDER BY e.query_id""".stripMargin,
     "ss_recall" ->
       s"""WITH q AS ($quantSql),
          |$lshBucketsSqlCte,

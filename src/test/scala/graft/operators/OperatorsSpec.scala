@@ -516,6 +516,28 @@ class OperatorsSpec extends SparkSpec {
     assert(r.values.flatten.toSet.subsetOf(Set(0L, 1L)))
   }
 
+  test("pq search: valid ranked lists per query, deterministic, recall in range") {
+    val ann = Similarity.pqTopK(emb, blocks = 4, kCodebook = 4, iters = 1,
+      numQueries = 3, k = 5)
+    val rows = ann.collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length).toSeq)
+      // ranked by reconstructed cosine, descending
+      assert(g.sortBy(_.getLong(1)).map(_.getDouble(3)).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    val rec = Similarity.annRecall(ann,
+      Similarity.bruteForceTopK(emb, numQueries = 3, k = 5), k = 5).collect()
+    assert(rec.length == 3)
+    assert(rec.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // deterministic: a second fit reproduces the same lists
+    val again = Similarity.pqTopK(emb, blocks = 4, kCodebook = 4, iters = 1,
+      numQueries = 3, k = 5).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("kmeans on the corpus: full coverage, deterministic, objective improves with rounds") {
     val fit = Similarity.kmeansFit(emb, k = 10, iters = 3)
     val n = emb.count()
