@@ -426,11 +426,12 @@ object Similarity {
       pqCodes(table(s, dir, "embeddings"), blocks = 4, k = 4, iters = 1)
         .orderBy("vec_id")),
     // PQ asymmetric-distance recall vs the exact top-10 — quantifies
-    // the compression/recall trade of the 4x4 codebook
+    // the compression/recall trade at a realistic operating point
+    // (16-centroid codebooks -> 16^4 virtual cells, 16 bits/vector)
     "ss_pq_recall" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       annRecall(
-        pqTopK(emb, blocks = 4, kCodebook = 4, iters = 1, numQueries = 5, k = 10),
+        pqTopK(emb, blocks = 4, kCodebook = 16, iters = 1, numQueries = 5, k = 10),
         bruteForceTopK(emb, numQueries = 5, k = 10), k = 10)
         .orderBy("query_id")
     }),
@@ -581,7 +582,7 @@ object Similarity {
          |ORDER BY vec_id""".stripMargin,
     "ss_pq_recall" ->
       s"""WITH q AS ($quantSql),
-         |${(0 until 4).map(b => pqBlockSqlCtes(b, 16, 4)).mkString(",\n")},
+         |${(0 until 4).map(b => pqBlockSqlCtes(b, 16, 16)).mkString(",\n")},
          |codes AS (SELECT vec_id, a2_0.cluster AS c0, a2_1.cluster AS c1,
          |  a2_2.cluster AS c2, a2_3.cluster AS c3
          | FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
