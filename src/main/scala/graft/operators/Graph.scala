@@ -216,6 +216,28 @@ object Graph {
       finalizers = owned.map(d => () => CheckpointBridge.release(d)))
   }
 
+  /** Component census over an undirected (u, v) pair list: component
+    * count, giant-component size, node count — the 1-row structural
+    * summary behind the q43 gate, built on the shared
+    * [[Dedup.connectedComponents]] engine. The pair list feeds BOTH
+    * the node derivation and the edge set, so it is persisted behind
+    * the [[DedupPlan]] contract (unpersisted, an expensive upstream —
+    * here the co-purchase self-join — would execute twice).
+    */
+  def componentSummaryPlan(pairs: DataFrame): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val e = pairs.select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("u").as("doc_id"))
+      .unionAll(e.select(col("v").as("doc_id"))).distinct()
+    val out = Dedup.connectedComponents(nodes,
+        e.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_components"), max(col("sz")).as("largest"),
+        sum(col("sz")).as("n_nodes"))
+    DedupPlan(out, "component_summary", Seq(e))
+  }
+
   /** Co-purchase graph: parts appearing in the same order, kept only
     * at `minSupport`+ co-occurrences — the support threshold is what
     * keeps a dense accidental-co-occurrence graph (every pair that
@@ -259,16 +281,8 @@ object Graph {
     // communities exist and how big the giant one is — the shared CC
     // engine (pointer doubling) applied to a product graph, aggregated
     // to a 1-row structural summary
-    "q43_components" -> ((s, dir) => {
-      val e = copurchaseEdges(table(s, dir, "lineitem"))
-      val nodes = e.select(col("u").as("doc_id"))
-        .unionAll(e.select(col("v").as("doc_id"))).distinct()
-      Dedup.connectedComponents(nodes,
-          e.select(col("u").as("doc_a"), col("v").as("doc_b")))
-        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_components"), max(col("sz")).as("largest"),
-          sum(col("sz")).as("n_nodes"))
-    }),
+    "q43_components" -> ((s, dir) =>
+      componentSummaryPlan(copurchaseEdges(table(s, dir, "lineitem"))).df),
 
     // 4-hop reach from the lowest-keyed part over the part-supplier
     // graph: which parts/suppliers are within two supply steps
