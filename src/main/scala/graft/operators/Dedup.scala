@@ -966,13 +966,33 @@ object Dedup {
     * without doc signatures); the final pair join runs at the SOURCE
     * grain — thousands of rows at most, a broadcast nested loop by
     * construction, never data-sized.
+    *
+    * The intersection join's cost per shingle is f² where f = how many
+    * sources contain it — with many sources, a UNIVERSAL stop-shingle
+    * costs sources² for that one key (the hot-shingle skew the jaccard
+    * family prefilters). `maxSourceFreq` drops shingles present in
+    * more than that many sources before everything (sizes, Jaccard,
+    * and signatures all see the filtered set consistently): a shingle
+    * in nearly every source carries no overlap SIGNAL anyway — it
+    * shifts all pairs equally — so the capped report ranks pairs the
+    * same while bounding the join at f ≤ cap. The gate runs the exact
+    * (uncapped) form; at real source counts set the cap.
     */
-  def sourceOverlapPlan(docs: DataFrame): DedupPlan = {
+  def sourceOverlapPlan(docs: DataFrame,
+      maxSourceFreq: Option[Int] = None): DedupPlan = {
     import org.apache.spark.storage.StorageLevel
-    val ss = shingleDf(docs)
+    val ss0 = shingleDf(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("shingle")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val filtered = maxSourceFreq.fold(ss0) { cap =>
+      // unhinted anti-join against the tiny hot-shingle set — AQE picks
+      // broadcast vs shuffle from runtime size (the jaccard prefilter's
+      // established shape)
+      val hot = ss0.groupBy(col("shingle")).agg(count(lit(1)).as("__f"))
+        .where(col("__f") > cap).select(col("shingle"))
+      ss0.join(hot, Seq("shingle"), "left_anti")
+    }
+    val ss = filtered.persist(StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val sig = ss.groupBy(col("source"))
       .agg(min(mh(0)).as("h0"), (1 until NumHashes).map(i => min(mh(i)).as(s"h$i")): _*)

@@ -39,6 +39,32 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(("B", "C"))._5 == expect("B", "C"))
   }
 
+  test("source overlap: maxSourceFreq drops universal shingles consistently everywhere") {
+    import spark.implicits._
+    // "u1 u2 u3" appears in all three sources (a stop-shingle); only
+    // A and B share a real shingle beyond it
+    val d = Seq(
+      (1L, "u1 u2 u3 a1 a2", "A"),  // {u1u2u3, u2u3a1, u3a1a2}
+      (2L, "u1 u2 u3 a1 a2", "B"),  // same set
+      (3L, "u1 u2 u3 zz yy", "C"))  // {u1u2u3, u2u3zz, u3zzyy}
+      .toDF("doc_id", "text", "source")
+    val capped = Dedup.sourceOverlapPlan(d, maxSourceFreq = Some(2))
+    val rows = capped.df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    capped.release()
+    // the universal shingle is gone from sizes AND intersections:
+    // |A|=|B|=2 (was 3), A∩B=2, A∩C=B∩C=0 (was 1 via the stop-shingle)
+    assert(rows(("A", "B")) == ((2L, 2L, 2L)))
+    assert(rows(("A", "C"))._3 == 0L && rows(("B", "C"))._3 == 0L)
+    // uncapped form still counts it
+    val exact = Dedup.sourceOverlapPlan(d)
+    val ac = exact.df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    exact.release()
+    assert(ac(("A", "C")) == 1L)
+  }
+
   test("k-anonymity: violating groups listed, summary counts the at-risk mass") {
     import spark.implicits._
     val d = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 3)).toDF("q1", "q2")
