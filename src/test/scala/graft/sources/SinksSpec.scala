@@ -55,6 +55,26 @@ class SinksSpec extends SparkSpec {
     assert(files >= 10, s"expected >=10 files, got $files")
   }
 
+  test("z-ordered write degrades gracefully on empty and all-null layout columns") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zord-null").toString
+    // empty input: min/max are NULL — must write (nothing) without NPE
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Sinks.writeZOrdered(empty, s"$base/empty", col("a"), col("b"), numFiles = 2)
+    assert(spark.read.parquet(s"$base/empty").count() == 0)
+    // all-null layout column: rows still land, values preserved
+    val nulls = Seq((Some(1L), None: Option[Long]), (Some(2L), None))
+      .toDF("a", "b")
+    Sinks.writeZOrdered(nulls, s"$base/nulls", col("a"), col("b"), numFiles = 2)
+    val back = spark.read.parquet(s"$base/nulls")
+    assert(back.count() == 2)
+    assert(back.select("a").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // mixed: one row's layout value null — row kept, not dropped
+    val mixed = Seq((Some(1L), Some(5L)), (Some(2L), None)).toDF("a", "b")
+    Sinks.writeZOrdered(mixed, s"$base/mixed", col("a"), col("b"), numFiles = 2)
+    assert(spark.read.parquet(s"$base/mixed").count() == 2)
+  }
+
   test("zorder spread/interleave matches hand-computed Morton codes") {
     import spark.implicits._
     val r = Seq((10L, 6L)).toDF("a", "b")
