@@ -565,6 +565,28 @@ object Comparator {
     (pk.map(col) :+ md5(concat(
       nonPk.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*)).as(h)): _*)
 
+  /** SAMPLED keyed audit — [[cdc]] restricted to a deterministic
+    * `fraction` of the KEYSPACE (salted md5 hash of the PK below the
+    * threshold, [[graft.operators.Sampling.hashFraction]] — the same
+    * function on both sides, so a key is either fully in or fully out
+    * and every verdict in the sample is exact). The 100 TB shape for
+    * CONTINUOUS drift auditing: scanning 1% of the keys each run costs
+    * 1% of the full diff, detects any change affecting ≥ p of the keys
+    * with probability 1−(1−fraction)^(p·keys), and rotating the salt
+    * sweeps the whole keyspace over successive runs. Row-hash sampling
+    * would NOT work here — a mutated row hashes differently on the two
+    * sides and its pair would split across the sample boundary; keying
+    * the sample on the PK keeps both versions of a key together.
+    */
+  def cdcSampled(src: DataFrame, tgt: DataFrame, pk: Seq[String],
+      fraction: Double, salt: String = "cdc"): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "need 0 < fraction <= 1")
+    val keyCol = concat_ws("|", pk.map(c => col(c).cast("string")): _*)
+    def sampled(df: DataFrame) =
+      df.where(graft.operators.Sampling.hashFraction(keyCol, salt) < fraction)
+    cdc(sampled(src), sampled(tgt), pk)
+  }
+
   def cdc(src: DataFrame, tgt: DataFrame, pk: Seq[String]): DataFrame = {
     require(pk.nonEmpty, "cdc needs at least one primary-key column")
     val nonPk = src.columns.filterNot(pk.contains).toSeq

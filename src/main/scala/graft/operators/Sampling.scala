@@ -436,13 +436,13 @@ object Sampling {
     * other operator modules' oracles so every hash-derived fraction in
     * the gate surface means exactly the same bits.
     */
-  private[operators] def hex8ToLong(expr: String): String =
+  private[graft] def hex8ToLong(expr: String): String =
     s"""list_sum(list_transform(range(1, 9),
        | i -> CAST((strpos('0123456789abcdef', substr($expr, i, 1)) - 1) AS BIGINT)
        |      * CAST(POWER(16, 8 - i) AS BIGINT)))""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB twin of [[hashFraction]] as a [0,1) double expression. */
-  private[operators] def hashFractionSql(keyExpr: String, salt: String): String =
+  private[graft] def hashFractionSql(keyExpr: String, salt: String): String =
     s"CAST(${hex8ToLong(s"md5('$salt|' || $keyExpr)")} AS DOUBLE) / 4294967296.0"
 
   /** DuckDB twin of the [[hashSplit]] CASE over an arbitrary key

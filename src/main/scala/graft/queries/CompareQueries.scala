@@ -188,6 +188,23 @@ object CompareQueries {
         .orderBy("verdict")
     }),
 
+    // sampled keyed audit: the same snapshots, 25% of the KEYSPACE —
+    // every verdict inside the sample is exact (keys are fully in or
+    // fully out on both sides)
+    "cmp_cdc_sampled" -> ((s, dir) => {
+      val src = s.range(1, 1001).select(
+        col("id").as("a"), (col("id") % 97).as("b"),
+        concat(lit("row "), col("id")).as("c"))
+      val tgt = src
+        .withColumn("b", when(col("a") === 50, col("b") + 1).otherwise(col("b")))
+        .where(col("a") =!= 77)
+        .unionAll(s.range(1001, 1002).select(
+          col("id").as("a"), lit(7L).as("b"), lit("new row").as("c")))
+      Comparator.cdcSampled(src, tgt, Seq("a"), fraction = 0.25)
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .orderBy("verdict")
+    }),
+
     // Morton layout code over two layout columns — the clustered-write
     // ordering key (Sinks.writeZOrdered); pure codegen'd bit ladder
     "fn_zorder" -> ((s, dir) => {
@@ -327,6 +344,28 @@ object CompareQueries {
         |  WHEN h1 <> h2 THEN 'update' ELSE 'unchanged' END AS verdict FROM j)
         |SELECT verdict, COUNT(*) AS n FROM v
         |GROUP BY verdict ORDER BY verdict""".stripMargin,
+    "cmp_cdc_sampled" -> {
+      val frac = graft.operators.Sampling.hashFractionSql("CAST(a AS VARCHAR)", "cdc")
+      s"""WITH src0 AS (SELECT r AS a, r % 97 AS b, 'row ' || r AS c
+         |  FROM range(1, 1001) t(r)),
+         |tgt0 AS (SELECT a, CASE WHEN a = 50 THEN b + 1 ELSE b END AS b, c
+         |  FROM src0 WHERE a <> 77
+         |  UNION ALL SELECT 1001, 7, 'new row'),
+         |src AS (SELECT * FROM src0 WHERE $frac < 0.25),
+         |tgt AS (SELECT * FROM tgt0 WHERE $frac < 0.25),
+         |hs AS (SELECT a, md5(COALESCE(md5(CAST(b AS VARCHAR)), 'N')
+         |  || COALESCE(md5(c), 'N')) AS h FROM src),
+         |ht AS (SELECT a, md5(COALESCE(md5(CAST(b AS VARCHAR)), 'N')
+         |  || COALESCE(md5(c), 'N')) AS h FROM tgt),
+         |j AS (SELECT hs.h AS h1, ht.h AS h2
+         |  FROM hs FULL JOIN ht ON hs.a = ht.a),
+         |v AS (SELECT CASE WHEN h1 IS NULL THEN 'insert'
+         |  WHEN h2 IS NULL THEN 'delete'
+         |  WHEN h1 <> h2 THEN 'update' ELSE 'unchanged' END AS verdict FROM j)
+         |SELECT verdict, COUNT(*) AS n FROM v
+         |GROUP BY verdict ORDER BY verdict""".stripMargin
+    },
+
     "fn_zorder" ->
       """WITH s0 AS (SELECT p_partkey, p_size,
         |  CAST(p_partkey AS BIGINT) & 65535 AS a,

@@ -246,6 +246,25 @@ class ComparatorSpec extends SparkSpec {
       4L -> "delete", 5L -> "insert"))
   }
 
+  test("cdc sampled: verdicts agree with the full audit on every sampled key") {
+    import spark.implicits._
+    val src = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    val tgt = (1L to 400L).filter(_ != 7L)
+      .map(i => (i, if (i % 10 == 0) s"w$i" else s"v$i")).toDF("k", "v")
+    val full = Comparator.cdc(src, tgt, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sampled = Comparator.cdcSampled(src, tgt, Seq("k"), fraction = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sampled.nonEmpty && sampled.size < full.size)
+    // exactness inside the sample: never a spurious insert/delete from
+    // a half-sampled pair
+    sampled.foreach { case (k, v) => assert(full(k) == v, s"key $k: $v vs ${full(k)}") }
+    // deterministic: same fraction+salt -> same keyspace slice
+    val again = Comparator.cdcSampled(src, tgt, Seq("k"), fraction = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == sampled)
+  }
+
   test("cdc: digest encoding is injective (delimiter injection, null-vs-sentinel)") {
     import spark.implicits._
     // delimiter injection: ("a|b","c") vs ("a","b|c") concatenate
