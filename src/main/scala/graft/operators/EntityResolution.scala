@@ -68,6 +68,36 @@ object EntityResolution {
     records.groupBy(block.as("block")).agg(count(lit(1)).as("n_records"))
       .where(col("n_records") > maxBlockSize)
 
+  /** Weighted multi-evidence match scoring — the Fellegi–Sunter
+    * agreement step [[blockedPairs]]' single edit-distance gate only
+    * approximates: each verified pair rejoins its two records and
+    * accumulates INTEGER evidence weights (null-safe equality per
+    * exact attribute, plus (maxDist − name_dist) · per-edit weight for
+    * the fuzzy name), so downstream clustering can threshold on
+    * total evidence instead of one field. Integer weights keep the
+    * score hash-identical cross-engine where probabilistic m/u logits
+    * would diverge in ulps.
+    *
+    * Scale shape: two id-keyed joins at the O(pairs) grain (pairs are
+    * already block-bounded) — the records table shuffles on its key
+    * once per side, never pairwise.
+    */
+  def matchScores(records: DataFrame, id: Column, pairs: DataFrame,
+      exactAttrs: Seq[(String, Long)],
+      nameWeightPerEdit: Long = 10L, maxDist: Long = 3L): DataFrame = {
+    require(exactAttrs.nonEmpty, "need at least one exact attribute")
+    val a = records.select(id.as("id_a") +:
+      exactAttrs.map { case (c, _) => col(c).as(s"a_$c") }: _*)
+    val b = records.select(id.as("id_b") +:
+      exactAttrs.map { case (c, _) => col(c).as(s"b_$c") }: _*)
+    val agree = exactAttrs.map { case (c, w) =>
+      when(col(s"a_$c") <=> col(s"b_$c"), lit(w)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_dist"),
+        ((lit(maxDist) - col("name_dist")) * nameWeightPerEdit + agree).as("score"))
+  }
+
   /** Verified pairs → entity clusters (connected components +
     * min-id canonical record election).
     */
@@ -140,6 +170,12 @@ object EntityResolution {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_pairs" -> ((s, dir) => partPairs(s, dir).orderBy("id_a", "id_b")),
+    // evidence-weighted pair scores: brand agreement 30, type 20,
+    // plus 10 per unspent name edit
+    "er_scored" -> ((s, dir) =>
+      matchScores(table(s, dir, "part"), col("p_partkey"), partPairs(s, dir),
+        Seq("p_brand" -> 30L, "p_type" -> 20L))
+        .orderBy("id_a", "id_b")),
     "er_clusters" -> ((s, dir) =>
       clusters(table(s, dir, "part"), col("p_partkey"), partPairs(s, dir))
         .orderBy("rec_id")),
@@ -163,6 +199,17 @@ object EntityResolution {
     "er_pairs" ->
       s"""WITH $pairsCte
          |SELECT block, id_a, id_b, name_dist FROM vp ORDER BY id_a, id_b""".stripMargin,
+    "er_scored" ->
+      s"""WITH $pairsCte
+         |SELECT vp.id_a, vp.id_b, vp.name_dist,
+         | (3 - vp.name_dist) * 10
+         |  + (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN 30 ELSE 0 END)
+         |  + (CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type THEN 20 ELSE 0 END)
+         |   AS score
+         |FROM vp
+         | JOIN part a ON a.p_partkey = vp.id_a
+         | JOIN part b ON b.p_partkey = vp.id_b
+         |ORDER BY vp.id_a, vp.id_b""".stripMargin,
     "er_clusters" ->
       s"""WITH RECURSIVE $pairsCte,
          |edges AS (SELECT id_a AS u, id_b AS v FROM vp

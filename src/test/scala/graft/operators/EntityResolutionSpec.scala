@@ -76,6 +76,21 @@ class EntityResolutionSpec extends SparkSpec {
       && g(1).getString(2) == "solo" && g(1).getString(3) == "z")
   }
 
+  test("match scores: evidence weights accumulate; equality is null-safe") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "x", "B1", Option("JAR")),
+      (2L, "x", "B1", None: Option[String]),
+      (3L, "x", "B2", None: Option[String])).toDF("id", "name", "brand", "cont")
+    val pairs = Seq((1L, 2L, 0L), (2L, 3L, 1L)).toDF("id_a", "id_b", "name_dist")
+    val r = EntityResolution.matchScores(recs, col("id"), pairs,
+      Seq("brand" -> 30L, "cont" -> 20L)).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(3)).toMap
+    // (1,2): 3 edits unspent ·10 + brand 30 + cont JAR vs NULL 0 = 60
+    // (2,3): 2·10 + brand differs 0 + NULL <=> NULL agrees 20 = 40
+    assert(r == Map((1L, 2L) -> 60L, (2L, 3L) -> 40L))
+  }
+
   test("golden records plan: shared base join is cached and released on release()") {
     import spark.implicits._
     val recs = Seq(
