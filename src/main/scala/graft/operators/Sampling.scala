@@ -62,6 +62,21 @@ object Sampling {
     }
   }
 
+  /** k-fold cross-validation assignment — every row gets a fold index
+    * 0..k−1 from the salted key hash: folds are equal in expectation,
+    * assignment is a pure function of (salt, key) (stable under
+    * ingestion, reproducible cross-engine), and fold i's
+    * train/validate complement is just `fold =!= i` — no k separate
+    * splits to keep consistent. Shuffle-free narrow pass, the
+    * [[hashSplit]] cost shape.
+    */
+  def kfold(df: DataFrame, key: Column, k: Int, salt: String = "fold"): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    // frac = m/2^32 and k·m < 2^53, so frac·k is EXACT in IEEE double
+    // and the floor is engine-identical
+    df.withColumn("fold", floor(hashFraction(key, salt) * k).cast("long"))
+  }
+
   /** Exact corpus heavy-hitters: global top-k tokens by occurrence
     * count (not per-doc distinct — frequency weighting is the point).
     * One explode-and-count aggregation with map-side partial combine,
@@ -365,6 +380,12 @@ object Sampling {
       leakageReportPlan(table(s, dir, "documents"), GateWeights).df
         .orderBy("split")),
 
+    // 5-fold cross-validation assignment, every doc labeled 0..4
+    "sa_kfold" -> ((s, dir) =>
+      kfold(table(s, dir, "documents"), col("doc_id"), k = 5)
+        .select(col("doc_id"), col("fold"))
+        .orderBy("doc_id")),
+
     // exact 30% per source, hash-ordered — every source keeps
     // ceil(0.3 * n) docs precisely
     "sa_stratified" -> ((s, dir) =>
@@ -470,6 +491,10 @@ object Sampling {
 
   def oracles: Map[String, String] = Map(
     "sa_split" -> s"SELECT doc_id, split FROM ($splitSql) ORDER BY doc_id",
+    "sa_kfold" ->
+      s"""SELECT doc_id,
+         | CAST(FLOOR(${hashFractionSql("doc_id", "fold")} * 5) AS BIGINT) AS fold
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "sa_split_counts" ->
       s"SELECT split, COUNT(*) AS n FROM ($splitSql) GROUP BY split ORDER BY split",
     "ta_top_tokens" ->

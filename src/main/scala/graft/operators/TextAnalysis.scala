@@ -439,7 +439,30 @@ object TextAnalysis {
         expr("n_novel * 1000000 DIV n_shingles").as("novelty_ppm"))
   }
 
+  /** Zipf rank–frequency audit — natural text keeps rank·frequency
+    * roughly constant over the head of the vocabulary; generated,
+    * templated, or truncated corpora bend that curve, making this a
+    * one-glance "does this read like language" screen next to the
+    * per-doc quality stack. Output per head token: rank, count, and
+    * the exact integer rank·count product (the constant under Zipf).
+    *
+    * Cost: the [[graft.operators.Sampling.heavyHitters]] aggregation
+    * (map-side combine, TakeOrdered top-k) plus one window over the
+    * ALREADY-LIMITED k rows — the single-partition window is over k
+    * rows by construction, never the corpus.
+    */
+  def zipfProfile(docs: DataFrame, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("token"))
+    Sampling.heavyHitters(docs, k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("token"), col("n"),
+        (col("rank") * col("n")).as("rank_x_n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_zipf" -> ((s, dir) =>
+      zipfProfile(table(s, dir, "documents")).orderBy("rank")),
     "ta_novelty" -> ((s, dir) =>
       noveltyStats(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_bpe_pairs" -> ((s, dir) =>
@@ -463,6 +486,16 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    "ta_zipf" ->
+      """WITH h AS (SELECT token, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+        |        FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 30),
+        |r AS (SELECT token, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+        | FROM h)
+        |SELECT rank, token, n, rank * n AS rank_x_n
+        |FROM r ORDER BY rank""".stripMargin,
     "ta_novelty" ->
       s"""WITH sh AS (${Dedup.shingleSql}),
          |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)

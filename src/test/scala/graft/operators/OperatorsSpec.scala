@@ -77,6 +77,14 @@ class OperatorsSpec extends SparkSpec {
       ((3L, 2L, 2L, 1L)))
   }
 
+  test("zipf profile: ranked head tokens with exact rank-frequency products") {
+    import spark.implicits._
+    val d = Seq("a a a b b c", "a b").toDF("text")
+    val r = TextAnalysis.zipfProfile(d, k = 3).orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, "a", 4L, 4L), (2L, "b", 3L, 6L), (3L, "c", 1L, 3L)))
+  }
+
   test("novelty: first occurrence owns the shingle, exact duplicate scores zero") {
     import spark.implicits._
     val base = "w1 w2 w3 w4 w5"

@@ -223,6 +223,20 @@ class SamplingSpec extends SparkSpec {
     assert(leaked.size <= 1, s"released leakage plan leaked caches: $leaked")
   }
 
+  test("kfold: all folds in 0..k-1, near-equal sizes, assignment stable under subsetting") {
+    import spark.implicits._
+    val d = (1L to 1000L).toDF("doc_id")
+    val f = Sampling.kfold(d, col("doc_id"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f.values.toSet == Set(0L, 1L, 2L, 3L, 4L))
+    val sizes = f.values.groupBy(identity).values.map(_.size)
+    assert(sizes.min > 120 && sizes.max < 280, sizes.mkString(","))
+    // removing other rows never moves a row's fold
+    val sub = Sampling.kfold(d.where(col("doc_id") <= 100), col("doc_id"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sub.forall { case (k2, v) => f(k2) == v })
+  }
+
   test("stratified sampling: exactly ceil(frac*n) kept per stratum, deterministic") {
     import spark.implicits._
     val d = ((1 to 10).map(i => (i.toLong, "a")) ++ (101 to 107).map(i => (i.toLong, "b")))
