@@ -576,6 +576,24 @@ object Profiler {
       .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"), max(col("x")).as("x_max"))
   }
 
+  /** Weekly seasonality profile — volume by (day-of-week, hour): the
+    * baseline grid [[dailyAnomalies]]-style monitors compare against
+    * (traffic has a weekly pulse; a flat z-score fence over raw daily
+    * volume false-alarms every weekend). One map-side-combinable count
+    * at the 168-cell grain + a 1-row broadcast total; share in exact
+    * integer ppm. `dow` is 0=Sunday..6 (Spark's `dayofweek` − 1,
+    * matching SQL EXTRACT(DOW)).
+    */
+  def weeklyProfile(df: DataFrame, ts: Column): DataFrame =
+    df.where(ts.isNotNull)
+      .groupBy((dayofweek(ts) - 1).cast("long").as("dow"),
+        hour(ts).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        df.where(ts.isNotNull).agg(count(lit(1)).as("total"))))
+      .select(col("dow"), col("hr"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV total").as("share_ppm"))
+
   /** Benford's-law first-digit audit — the classic "were these
     * numbers generated or measured" data-quality screen (fabricated,
     * truncated, or unit-mangled amount columns drift from the
@@ -765,6 +783,10 @@ object Profiler {
     // Benford first-digit screen over order value
     "dq_benford" -> ((s, dir) =>
       benford(table(s, dir, "orders"), "o_totalprice").orderBy("digit")),
+
+    // weekly (dow x hour) volume grid with exact ppm shares
+    "dq_weekly" -> ((s, dir) =>
+      weeklyProfile(table(s, dir, "events"), col("ts")).orderBy("dow", "hr")),
 
     // Exact numeric stats: mean via DECIMAL(38,6) sums — deterministic
     // across engines and partitionings, unlike a float avg()
@@ -993,6 +1015,15 @@ object Profiler {
          |SELECT CAST(num AS DOUBLE)
          |  / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
          |FROM s""".stripMargin,
+    "dq_weekly" ->
+      """WITH g AS (SELECT CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS dow,
+        |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr, COUNT(*) AS n
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT g.dow, g.hr, g.n,
+        | CAST(g.n * 1000000 // t.total AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY g.dow, g.hr""".stripMargin,
+
     "dq_benford" ->
       """WITH d AS (SELECT CAST(substring(
         |   CAST(CAST(FLOOR(ABS(CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR),
