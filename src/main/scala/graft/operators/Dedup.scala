@@ -1092,6 +1092,21 @@ object Dedup {
       connectedComponents(docs, minhashCandidates(docs)).orderBy("doc_id")
     }),
 
+    // Duplication profile: cluster-SIZE histogram (how much of the
+    // corpus sits in singletons vs n-way near-dup groups) plus the
+    // doc mass per size — the dedup-savings estimate a curation run
+    // reads before deciding thresholds; two tiny-grain aggregations
+    // over the CC output
+    "dd_cluster_sizes" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      connectedComponents(docs, minhashCandidates(docs))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     // Clusters + quality scores → per-cluster keeper election (keep
     // the longest copy, exact integer score, tie-break min doc_id).
     "dd_keeper_quality" -> ((s, dir) => {
@@ -1338,6 +1353,13 @@ object Dedup {
       s"""WITH RECURSIVE $clustersCte
          |SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "dd_cluster_sizes" ->
+      s"""WITH RECURSIVE $clustersCte,
+         |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |szs AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         | sz * COUNT(*) AS n_docs
+         |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dd_keeper_quality" ->
       s"""WITH RECURSIVE $clustersCte,
          |clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),

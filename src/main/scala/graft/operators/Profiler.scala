@@ -576,6 +576,44 @@ object Profiler {
       .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"), max(col("x")).as("x_max"))
   }
 
+  /** Grouped exact quantiles — per-group p50/p90/… in ONE aggregation
+    * (all quantiles ride a single `percentile(col, array(…))` call per
+    * group, so the pass costs one shuffle at the group grain however
+    * many quantiles are asked). The per-segment latency/spend
+    * dashboard shape; at 100 TB swap `percentile` for
+    * `approx_percentile` exactly like [[quantileDrift]]'s sketch path
+    * — same plan, sketch state.
+    */
+  def groupQuantiles(df: DataFrame, group: Column, c: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), "quantiles in (0,1)")
+    df.where(col(c).isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(expr(s"percentile(CAST($c AS DOUBLE), array(${qs.mkString(",")}))")
+        .as("__q"))
+      .select(col("grp") +: qs.zipWithIndex.map { case (q, i) =>
+        element_at(col("__q"), i + 1).as(s"p${math.round(q * 100)}")
+      }: _*)
+  }
+
+  /** Missingness-pattern profile — which NULL COMBINATIONS occur and
+    * how often: per-column null counts ([[profile]]) can't distinguish
+    * "custkey and totalprice are null on the SAME rows" (one broken
+    * upstream join) from independent 1% drips; the pattern bitmask
+    * can, and is the standard MCAR-vs-systematic screening view. One
+    * map-side-combinable count at the ≤ 2^cols pattern grain.
+    */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val mask = concat(cols.map(c =>
+      when(col(c).isNull, lit("1")).otherwise(lit("0"))): _*)
+    df.groupBy(mask.as("pattern"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("total"))))
+      .select(col("pattern"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV total").as("share_ppm"))
+  }
+
   /** Weekly seasonality profile — volume by (day-of-week, hour): the
     * baseline grid [[dailyAnomalies]]-style monitors compare against
     * (traffic has a weekly pulse; a flat z-score fence over raw daily
@@ -787,6 +825,28 @@ object Profiler {
     // weekly (dow x hour) volume grid with exact ppm shares
     "dq_weekly" -> ((s, dir) =>
       weeklyProfile(table(s, dir, "events"), col("ts")).orderBy("dow", "hr")),
+
+    // per-event-type exact value quantiles, one aggregation
+    "dq_group_quantiles" -> ((s, dir) =>
+      groupQuantiles(table(s, dir, "events"), col("event_type"), "value",
+        Seq(0.5, 0.9, 0.99)).orderBy("grp")),
+
+    // missingness patterns over a frame with PLANTED correlated nulls
+    // (custkey+totalprice null together every 7th order, priority null
+    // independently every 11th) — the correlation is visible as its
+    // own pattern row
+    "dq_null_pattern" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val planted = o.select(
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      nullPatterns(planted, Seq("o_custkey", "o_totalprice", "o_orderpriority"))
+        .orderBy("pattern")
+    }),
 
     // Exact numeric stats: mean via DECIMAL(38,6) sums — deterministic
     // across engines and partitionings, unlike a float avg()
@@ -1015,6 +1075,30 @@ object Profiler {
          |SELECT CAST(num AS DOUBLE)
          |  / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
          |FROM s""".stripMargin,
+    "dq_group_quantiles" ->
+      """SELECT event_type AS grp, q[1] AS p50, q[2] AS p90, q[3] AS p99
+        |FROM (SELECT event_type,
+        |   quantile_cont(CAST(value AS DOUBLE), [0.5, 0.9, 0.99]) AS q
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |ORDER BY grp""".stripMargin,
+
+    "dq_null_pattern" ->
+      """WITH p AS (SELECT
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS c1,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS c2,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS c3
+        | FROM orders),
+        |g AS (SELECT
+        |  (CASE WHEN c1 IS NULL THEN '1' ELSE '0' END)
+        |   || (CASE WHEN c2 IS NULL THEN '1' ELSE '0' END)
+        |   || (CASE WHEN c3 IS NULL THEN '1' ELSE '0' END) AS pattern,
+        |  COUNT(*) AS n
+        | FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT g.pattern, g.n,
+        | CAST(g.n * 1000000 // t.total AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY g.pattern""".stripMargin,
+
     "dq_weekly" ->
       """WITH g AS (SELECT CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS dow,
         |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr, COUNT(*) AS n

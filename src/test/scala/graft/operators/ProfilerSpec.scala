@@ -231,6 +231,34 @@ class ProfilerSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 200000L, 800L)))
   }
 
+  test("group quantiles: per-group exact percentiles in one pass") {
+    import spark.implicits._
+    val d = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 10.0))).toDF("g", "x")
+    val r = Profiler.groupQuantiles(d, col("g"), "x", Seq(0.5, 0.9)).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // exact interpolated percentiles — the p90 literal is the IEEE
+    // value of 90 + 0.1·(91−90), which is not decimal 90.1
+    assert(r("a") == ((50.5, 90.10000000000001)))
+    assert(r("b") == ((55.0, 91.0)))
+  }
+
+  test("null patterns: correlated nulls surface as their own pattern row") {
+    import spark.implicits._
+    val d = Seq(
+      (Option(1), Option("x")), (Option(2), Option("y")),
+      (None: Option[Int], None: Option[String]),   // correlated pair
+      (None: Option[Int], None: Option[String]),
+      (Option(5), None: Option[String]))           // independent drip
+      .toDF("a", "b")
+    val r = Profiler.nullPatterns(d, Seq("a", "b")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(
+      "00" -> ((2L, 400000L)),
+      "11" -> ((2L, 400000L)),
+      "01" -> ((1L, 200000L))))
+  }
+
   test("benford: exact first-digit counts, sub-1 values excluded, ppm arithmetic") {
     import spark.implicits._
     val d = Seq(1.5, 19.0, 123.0, 2.0, 0.4, -3.0, 900.0, 1000.0).toDF("x")
