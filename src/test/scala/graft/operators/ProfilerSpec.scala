@@ -231,6 +231,23 @@ class ProfilerSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 200000L, 800L)))
   }
 
+  test("weekly profile: known timestamps land in the right (dow, hour) cells") {
+    import spark.implicits._
+    // 2026-08-14 is a Friday (EXTRACT(DOW) = 5); 2026-08-16 a Sunday (0)
+    val d = Seq(
+      java.sql.Timestamp.valueOf("2026-08-14 10:15:00"),
+      java.sql.Timestamp.valueOf("2026-08-14 10:45:00"),
+      java.sql.Timestamp.valueOf("2026-08-16 23:05:00"),
+      java.sql.Timestamp.valueOf("2026-08-17 00:00:00")) // Monday = 1
+      .toDF("ts")
+    val r = Profiler.weeklyProfile(d, col("ts")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(
+      (5L, 10L) -> ((2L, 500000L)),
+      (0L, 23L) -> ((1L, 250000L)),
+      (1L, 0L) -> ((1L, 250000L))))
+  }
+
   test("group quantiles: per-group exact percentiles in one pass") {
     import spark.implicits._
     val d = ((1 to 100).map(i => ("a", i.toDouble)) ++
