@@ -77,6 +77,19 @@ class OperatorsSpec extends SparkSpec {
       ((3L, 2L, 2L, 1L)))
   }
 
+  test("cluster-size histogram: hand graph yields the expected duplication profile") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {4,5}, singletons 6 and 7
+    val vertices = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val hist = Dedup.connectedComponents(vertices, pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz"), col("n_clusters"), (col("sz") * col("n_clusters")).as("n_docs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
+
   test("zipf profile: ranked head tokens with exact rank-frequency products") {
     import spark.implicits._
     val d = Seq("a a a b b c", "a b").toDF("text")
