@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW. sbt's default LoggedOutput
+// prefixes every line with "[info] ", which made the bench totals line
+// unparseable for the driver (BENCH_r08 "parsed": null) — the artifact
+// contract is "final stdout line is bare JSON".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -185,7 +185,14 @@ object Bench {
       // the LEADING totals are what got truncated (r7). The retained
       // suffix must always end in a short, parseable totals record; the
       // full per-query map still ships in BENCH_DETAIL.json.
-      println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"canary_med":${f"$canaryMed%.4f"},"canary_max":${f"$canaryMax%.4f"},"n_queries":${mins.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      val totalsLine = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"canary_med":${f"$canaryMed%.4f"},"canary_max":${f"$canaryMax%.4f"},"n_queries":${mins.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+      println(totalsLine)
+      // Mirror the totals to a file too: even if stdout framing breaks
+      // again (logger prefixes, tail truncation), the driver/tooling can
+      // read a guaranteed-bare JSON artifact from disk.
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_TOTALS.json"), totalsLine)
+      catch { case _: Throwable => () }
       val qmin = repDetail.map { case (k, ts) =>
         "\"" + k + "\":" + (if (ts.isEmpty) "-1" else ts.min) }
         .mkString("{", ",", "}")

@@ -103,10 +103,17 @@ object Main {
       try {
         val out = Pipeline.execute(spark, pspec)
         // count the WRITTEN files when a sink exists — counting the
-        // lazy frame again would re-execute the whole pipeline
+        // lazy frame again would re-execute the whole pipeline. The
+        // read-back must mirror the sink's write options (csv writes
+        // header=true, so a bare read would count every part file's
+        // header line as data) and pin the frame's schema so types
+        // match without an inference pass.
         val n = pspec.output match {
-          case Some(o) => spark.read.format(o.format).load(o.path).count()
-          case None    => out.count()
+          case Some(o) =>
+            var r = spark.read.format(o.format).schema(out.schema)
+            if (o.format == "csv") r = r.option("header", "true")
+            r.load(o.path).count()
+          case None => out.count()
         }
         println(s"pipeline OK: $n rows" +
           pspec.output.fold("")(o => s" -> ${o.path}"))

@@ -993,7 +993,14 @@ object Dedup {
       ss0.join(hot, Seq("shingle"), "left_anti")
     }
     val ss = filtered.persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // the source universe comes from DOCS (one tiny distinct, no
+    // shingle pass), not from the filtered shingle set: a source whose
+    // shingles are ALL above the cap must still appear in the overlap
+    // matrix with n=0 rather than silently vanish (no-silent-caps)
+    val allSources = docs.select(col("source")).distinct()
+    val sizes = allSources
+      .join(ss.groupBy(col("source")).agg(count(lit(1)).as("__n")), Seq("source"), "left")
+      .select(col("source"), coalesce(col("__n"), lit(0L)).as("n"))
     val sig = ss.groupBy(col("source"))
       .agg(min(mh(0)).as("h0"), (1 until NumHashes).map(i => min(mh(i)).as(s"h$i")): _*)
     val common = ss.as("a").join(ss.as("b"),
@@ -1011,10 +1018,13 @@ object Dedup {
       .reduce(_ + _)
     val out = pairs
       .join(common, Seq("source_a", "source_b"), "left")
+      // LEFT joins: a capped-out source has no signature row; inner
+      // joins here would drop its pairs again after the sizes fix above
+      // (null === null is null → the match counter falls to otherwise 0)
       .join(sig.select(col("source").as("source_a") +:
-        (0 until NumHashes).map(i => col(s"h$i").as(s"ah$i")): _*), Seq("source_a"))
+        (0 until NumHashes).map(i => col(s"h$i").as(s"ah$i")): _*), Seq("source_a"), "left")
       .join(sig.select(col("source").as("source_b") +:
-        (0 until NumHashes).map(i => col(s"h$i").as(s"bh$i")): _*), Seq("source_b"))
+        (0 until NumHashes).map(i => col(s"h$i").as(s"bh$i")): _*), Seq("source_b"), "left")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         // DECIMAL(38,0) product: two billion-shingle sources would wrap

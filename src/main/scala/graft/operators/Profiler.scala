@@ -99,25 +99,34 @@ object Profiler {
     * totals/cross_delta finish below needs a second pass over the
     * aggregate, which streaming state cannot nest).
     */
-  def driftBucketCounts(
-      a: DataFrame, b: DataFrame, c: String,
-      lo: Double, hi: Double, bins: Int): DataFrame = {
+  /** Bucket-and-tag one drift side: (bucket, side) rows, optionally
+    * carrying `keep` columns through (the streaming bounded twin keeps
+    * its event-time column so a window can ride the same prep).
+    * Shared by [[driftBucketCounts]] and
+    * [[graft.streaming.Streaming.driftStreamBounded]].
+    */
+  def driftSideTag(df: DataFrame, c: String, lo: Double, hi: Double,
+      bins: Int, tag: Int, keep: Seq[String] = Nil): DataFrame = {
     require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
     val width = (hi - lo) / bins
-    // Missing buckets need no outer join: a bucket seen on one side
-    // simply counts 0 on the other.
-    def side(df: DataFrame, tag: Int) = {
-      val x = col(c).cast("double")
-      df.where(x.isNotNull).select(
+    val x = col(c).cast("double")
+    df.where(x.isNotNull).select(
+      keep.map(col) ++ Seq(
         when(x < lo, lit(-1L)).when(x >= hi, lit(bins.toLong))
           .otherwise(floor((x - lo) / width).cast("long")).as("bucket"),
-        lit(tag).as("side"))
-    }
-    side(a, 0).unionAll(side(b, 1))
+        lit(tag).as("side")): _*)
+  }
+
+  def driftBucketCounts(
+      a: DataFrame, b: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int): DataFrame =
+    // Missing buckets need no outer join: a bucket seen on one side
+    // simply counts 0 on the other.
+    driftSideTag(a, c, lo, hi, bins, 0)
+      .unionAll(driftSideTag(b, c, lo, hi, bins, 1))
       .groupBy(col("bucket"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
-  }
 
   def histogramDrift(
       a: DataFrame, b: DataFrame, c: String,
@@ -653,10 +662,14 @@ object Profiler {
     val whole = abs(col(c).cast("double"))
     val digit = substring(floor(whole).cast("long").cast("string"), 1, 1).cast("long")
     val counts = df
-      // <= MaxValue excludes Infinity (and NaN fails both comparisons) —
-      // an infinite value would long-overflow here and error in engines
-      // that check the cast
-      .where(col(c).isNotNull && whole >= 1.0 && whole <= Double.MaxValue)
+      // upper bound is 2^63 (not Double.MaxValue): the digit extraction
+      // casts floor(whole) to LONG, which saturates to Long.MaxValue for
+      // |x| >= 2^63 under non-ANSI Spark (digit misreported as 9) and
+      // ERRORS under ANSI Spark / the DuckDB oracle — exactly the
+      // cross-engine divergence this guard exists to exclude. NaN fails
+      // both comparisons; 9.223372036854776e18 is exactly 2^63 in
+      // binary64, and `<` keeps every double whose floor fits a long.
+      .where(col(c).isNotNull && whole >= 1.0 && whole < 9.223372036854776e18)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))

@@ -220,14 +220,23 @@ object Streaming {
     *
     * Scale shape: stream side is shuffle-free signature projection;
     * one stream-static left band join; one update-mode aggregation at
-    * the new-doc grain whose state the watermark bounds. Emit in
-    * UPDATE mode (the per-doc label can refine while in-horizon bands
-    * keep colliding; the last emission wins downstream).
+    * the (event-time window, new-doc) grain. The WINDOW in the group
+    * key is what makes the state watermark-EVICTABLE: a bare
+    * `groupBy(new_doc)` key has no event-time component, so Spark
+    * would hold one state row per distinct doc_id forever (the
+    * watermark would only drop late input rows) — an eventual OOM on
+    * the continuous-ingest deployment this operator is for. A doc's
+    * band rows all share its single arrival timestamp, so the added
+    * window never splits a doc's aggregation; once the watermark
+    * passes a window, its per-doc state drops. Emit in UPDATE mode
+    * (the per-doc label can refine while in-horizon bands keep
+    * colliding; the last emission wins downstream).
     */
   def splitAssignStream(index: DataFrame, corpusSplits: DataFrame,
       newDocs: DataFrame, weights: Seq[(String, Double)],
       salt: String = "split",
-      watermarkCol: String = "ts", delay: String = "2 hours"): DataFrame = {
+      watermarkCol: String = "ts", delay: String = "2 hours",
+      stateWindow: String = "1 hour"): DataFrame = {
     import graft.operators.{Dedup, Sampling}
     val corpus = Dedup.lshBands(index)
       .select(col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
@@ -240,7 +249,7 @@ object Streaming {
     fresh.join(corpus, Seq("band", "bkey"), "left_outer")
       // guard the min: an unmatched band row yields struct(NULL, NULL),
       // which would sort BELOW every real match and steal the min
-      .groupBy(col("new_doc"))
+      .groupBy(window(col(watermarkCol), stateWindow), col("new_doc"))
       .agg(min(when(col("corpus_doc").isNotNull,
         struct(col("cluster_id"), col("split")))).as("best"))
       .select(col("new_doc").as("doc_id"),
@@ -253,12 +262,37 @@ object Streaming {
     * re-implementation): the token-grain count is maintained as
     * streaming state (Zipf-bounded — one entry per distinct token,
     * the same state the batch shuffle carries) and the top-k
-    * re-emits per trigger in complete mode. For stricter state
-    * bounds, feed [[graft.operators.Sampling.tokenSketch]]'s CMS
-    * instead; this form is the exact path.
+    * re-emits per trigger in complete mode. For a long-running
+    * deployment use [[topTokensStreamBounded]] (watermark-evicted
+    * windowed state) or feed [[graft.operators.Sampling
+    * .tokenSketch]]'s CMS; this form is the exact corpus-lifetime
+    * path.
     */
   def topTokensStream(docs: DataFrame, k: Int): DataFrame =
     graft.operators.Sampling.heavyHitters(docs, k)
+
+  /** Bounded-state sibling of [[topTokensStream]] — the form a
+    * long-running ingest deployment should run: per-window token
+    * counts with the window key making the O(vocab) aggregation state
+    * watermark-EVICTABLE ([[topTokensStream]]'s complete-mode state is
+    * one row per distinct token FOREVER; this holds only the tokens of
+    * windows still inside the horizon). Emits (w_start, token, n) in
+    * append mode when a window closes; the top-k finish is a stateless
+    * per-window rank the consumer applies (or feed
+    * [[graft.operators.Sampling.tokenSketch]] for a corpus-lifetime
+    * top-k at constant state). StreamingSpec asserts both the batch
+    * twin equality and the state-eviction bound.
+    */
+  def topTokensStreamBounded(docs: DataFrame,
+      watermarkCol: String = "ts", windowDur: String = "1 hour",
+      delay: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(watermarkCol, delay)
+      .select(col(watermarkCol),
+        explode(split(trim(col("text")), " +")).as("token"))
+      .groupBy(window(col(watermarkCol), windowDur).as("w"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("token"), col("n"))
 
   /** Incremental dataset fingerprint: the streaming twin of
     * [[graft.diff.Comparator.fingerprints]] — per-bucket running
@@ -283,11 +317,37 @@ object Streaming {
     * stateless O(bins) arithmetic the consumer applies per trigger —
     * the stream itself never holds more than the bucket counts, so a
     * reference snapshot can be compared against an unbounded live feed
-    * indefinitely.
+    * indefinitely. [[driftStreamBounded]] is the watermark-evicted
+    * per-window sibling for when the drift TRAJECTORY matters.
     */
   def driftStream(a: DataFrame, b: DataFrame, c: String,
       lo: Double, hi: Double, bins: Int): DataFrame =
     graft.operators.Profiler.driftBucketCounts(a, b, c, lo, hi, bins)
+
+  /** Bounded-state sibling of [[driftStream]]: per-event-time-window
+    * drift bucket counts, sharing [[graft.operators.Profiler
+    * .driftSideTag]]'s bucket prep verbatim. The window key makes the
+    * state watermark-evictable — O(bins) per OPEN window instead of
+    * O(bins) forever-complete — and the output is the drift trajectory
+    * over time (which window drifted, not just whether the lifetime
+    * distributions differ): each closed window appends
+    * (w_start, bucket, n_a, n_b), to which the stateless TVD /
+    * cross-delta finish applies per window.
+    */
+  def driftStreamBounded(a: DataFrame, b: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int,
+      watermarkCol: String = "ts", windowDur: String = "1 hour",
+      delay: String = "2 hours"): DataFrame = {
+    import graft.operators.Profiler
+    def prep(df: DataFrame, tag: Int) =
+      Profiler.driftSideTag(df.withWatermark(watermarkCol, delay),
+        c, lo, hi, bins, tag, keep = Seq(watermarkCol))
+    prep(a, 0).unionByName(prep(b, 1))
+      .groupBy(window(col(watermarkCol), windowDur).as("w"), col("bucket"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("w.start").as("w_start"), col("bucket"), col("n_a"), col("n_b"))
+  }
 
   // transition-stream state: the user's chronologically-last event
   final case class LastEvent(tsMicros: Long, eventId: Long, tpe: String)
@@ -332,11 +392,34 @@ object Streaming {
     * complete mode. The z-score finish
     * ([[graft.operators.Profiler.anomaliesFromGrain]]) is stateless
     * tiny-grain arithmetic the consumer applies per trigger — live
-    * anomaly flags over an unbounded feed with bounded state.
+    * anomaly flags over an unbounded feed. State here is O(keys × days)
+    * complete-mode (grows with stream lifetime);
+    * [[anomalyGrainStreamBounded]] is the watermark-evicted form for
+    * continuous deployments.
     */
   def anomalyGrainStream(events: DataFrame, ts: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column): DataFrame =
     graft.operators.Profiler.anomalyGrainCounts(events, ts, key)
+
+  /** Bounded-state sibling of [[anomalyGrainStream]]: the (key, day)
+    * grain expressed as a 1-DAY EVENT-TIME WINDOW so the per-(key, day)
+    * state evicts once the watermark passes the day — the complete-mode
+    * form holds O(keys × days) forever, this holds only the days still
+    * inside the horizon. In UTC (the engine's pinned session TZ) a
+    * 1-day tumbling window start IS `date_trunc('day', ts)`, so the
+    * output schema/values match [[graft.operators.Profiler
+    * .anomalyGrainCounts]] row-for-row over closed days and the same
+    * stateless [[graft.operators.Profiler.anomaliesFromGrain]] finish
+    * applies to the appended sink table.
+    */
+  def anomalyGrainStreamBounded(events: DataFrame,
+      key: org.apache.spark.sql.Column,
+      watermarkCol: String = "ts", delay: String = "2 days"): DataFrame =
+    events
+      .withWatermark(watermarkCol, delay)
+      .groupBy(key.as("key"), window(col(watermarkCol), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"), col("w.start").cast("date").as("day"), col("n"))
 
   /** Continuous two-stream diff: union both streams with a side tag
     * and keep ONE stateful aggregation of per-(bucket, side)

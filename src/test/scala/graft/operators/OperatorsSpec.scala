@@ -65,6 +65,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ac(("A", "C")) == 1L)
   }
 
+  test("source overlap: a source whose shingles are ALL capped still appears with n=0") {
+    import spark.implicits._
+    // every shingle of C is shared by all three sources, so with
+    // cap=2 C's entire shingle set is filtered out — no-silent-caps
+    // requires C to stay in the matrix with n=0, not vanish
+    val d = Seq(
+      (1L, "u1 u2 u3 u4 a1 a2", "A"), // {u1u2u3,u2u3u4,u3u4a1,u4a1a2}
+      (2L, "u1 u2 u3 u4 b1 b2", "B"),
+      (3L, "u1 u2 u3 u4", "C"))       // {u1u2u3, u2u3u4} — all universal
+      .toDF("doc_id", "text", "source")
+    val capped = Dedup.sourceOverlapPlan(d, maxSourceFreq = Some(2))
+    val rows = capped.df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+    capped.release()
+    // all three pairs present — C included, with size 0 and 0 overlap
+    assert(rows.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(rows(("A", "C")) == ((2L, 0L, 0L, 0L)))
+    assert(rows(("B", "C")) == ((2L, 0L, 0L, 0L)))
+    assert(rows(("A", "B"))._3 == 0L) // A and B share only capped shingles
+  }
+
   test("k-anonymity: violating groups listed, summary counts the at-risk mass") {
     import spark.implicits._
     val d = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 3)).toDF("q1", "q2")

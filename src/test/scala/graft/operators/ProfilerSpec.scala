@@ -290,6 +290,17 @@ class ProfilerSpec extends SparkSpec {
       math.abs(1000000L / 7L - 45757L))
   }
 
+  test("benford: values at or above 2^63 are excluded (long-cast saturation guard)") {
+    import spark.implicits._
+    // 1e19 > 2^63 would saturate floor(x).cast(long) to Long.MaxValue
+    // under non-ANSI Spark (digit misread as 9) and ERROR under ANSI /
+    // DuckDB — the guard excludes it; 9.2e18 (< 2^63) still counts
+    val d = Seq(1e19, 9.2e18, 5.0, Double.PositiveInfinity, Double.NaN).toDF("x")
+    val r = Profiler.benford(d, "x").orderBy("digit").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(5L -> 1L, 9L -> 1L))
+  }
+
   test("equi-depth histogram: near-equal bucket masses, ordered realized bounds") {
     import spark.implicits._
     // heavily skewed: fixed-bound buckets would pile everything left

@@ -468,6 +468,137 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  // total state-store rows across all stateful operators in the query's
+  // last progress — the bounded-state assertions below compare this
+  // against the count an unbounded (complete-mode) twin would hold
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+
+  test("bounded top-tokens stream: closed-window counts equal the batch twin; state evicts") {
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:30:00")
+    def at(days: Int, mins: Int = 0) =
+      new Timestamp(t0.getTime + days * 86400000L + mins * 60000L)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val st = Streaming.topTokensStreamBounded(mem.toDF().toDF("doc_id", "text", "ts"))
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("toptok_b")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, "a b c a", t0), (2L, "b c", t0))); q.processAllAvailable()
+      // 10 days later: advances the watermark far past batch 1's window
+      mem.addData(Seq((3L, "d e f", at(10)))); q.processAllAvailable()
+      mem.addData(Seq((4L, "g", at(10, 1)))); q.processAllAvailable()
+      val streamed = spark.table("toptok_b").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // batch 1's window closed and appended with the batch-twin counts
+      val w0 = Timestamp.valueOf("2026-01-01 00:00:00")
+      assert(streamed == Set((w0, "a", 2L), (w0, "b", 2L), (w0, "c", 2L)))
+      // eviction: the stream has seen 7 distinct (window, token) pairs;
+      // only the open window's 4 (d, e, f, g) may remain in state
+      val s = stateRows(q)
+      assert(s > 0 && s <= 4, s"state rows = $s (unbounded twin would hold 7)")
+    } finally q.stop()
+  }
+
+  test("bounded anomaly grain stream: closed days equal anomalyGrainCounts; state evicts") {
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, ts: String, tpe: String) =
+      Streaming.Event(id, Timestamp.valueOf(ts), 1L, tpe, 1.0)
+    val b1 = Seq(ev(1, "2026-01-01 10:00:00", "A"), ev(2, "2026-01-01 11:00:00", "B"),
+      ev(3, "2026-01-02 10:00:00", "A"))
+    val mem = MemoryStream[Streaming.Event]
+    val st = Streaming.anomalyGrainStreamBounded(mem.toDF(), col("event_type"))
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("sanom_b")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(Seq(ev(4, "2026-02-01 10:00:00", "A"))); q.processAllAvailable()
+      mem.addData(Seq(ev(5, "2026-02-01 11:00:00", "B"))); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getDate(1).toString, r.getLong(2))
+      val streamed = spark.table("sanom_b").collect().map(key).toSet
+      // closed days carry the batch operator's exact grain rows
+      val batch = graft.operators.Profiler
+        .anomalyGrainCounts(b1.toDF(), col("ts"), col("event_type"))
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.size == 3)
+      // state holds only the open day's (A, Feb 1) and (B, Feb 1), not
+      // all 5 (key, day) pairs ever seen
+      val s = stateRows(q)
+      assert(s > 0 && s <= 2, s"state rows = $s (unbounded twin would hold 5)")
+    } finally q.stop()
+  }
+
+  test("bounded drift stream: closed-window bucket counts match; state evicts") {
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:10:00")
+    def at(days: Int, mins: Int = 0) =
+      new Timestamp(t0.getTime + days * 86400000L + mins * 60000L)
+    def ev(id: Long, ts: Timestamp, v: Double) = Streaming.Event(id, ts, 1L, "t", v)
+    val memA = MemoryStream[Streaming.Event]
+    val memB = MemoryStream[Streaming.Event]
+    val st = Streaming.driftStreamBounded(memA.toDF(), memB.toDF(), "value",
+      lo = 0.0, hi = 40.0, bins = 4)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("sdrift_b")
+      .outputMode("append").start()
+    try {
+      memA.addData(Seq(ev(1, t0, 5.0), ev(2, t0, 15.0)))
+      memB.addData(Seq(ev(3, t0, 5.0)))
+      q.processAllAvailable()
+      memA.addData(Seq(ev(4, at(10), 25.0))); q.processAllAvailable()
+      memB.addData(Seq(ev(5, at(10, 1), 35.0))); q.processAllAvailable()
+      val streamed = spark.table("sdrift_b").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val w0 = Timestamp.valueOf("2026-01-01 00:00:00")
+      // the closed window's per-bucket counts == the batch drift prep
+      assert(streamed == Set((w0, 0L, 1L, 1L), (w0, 1L, 1L, 0L)))
+      // only the open window's two buckets remain in state (not 4 ever)
+      val s = stateRows(q)
+      assert(s > 0 && s <= 2, s"state rows = $s (unbounded twin would hold 4)")
+    } finally q.stop()
+  }
+
+  test("split-assign stream: per-doc aggregation state is watermark-evicted") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely unrelated words in this one here now for sure friend"
+    val third = "yet another entirely different document body with its own tokens"
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.5, "test" -> 0.5)
+    val corpusSplits = graft.operators.Sampling.leakageSafeSplit(corpus, weights)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+    corpusSplits.persist(); corpusSplits.count()
+    val index = graft.operators.Dedup.minhashSignatures(corpus)
+    val t0 = Timestamp.valueOf("2026-01-01 00:10:00")
+    def at(days: Int, mins: Int = 0) =
+      new Timestamp(t0.getTime + days * 86400000L + mins * 60000L)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val st = Streaming.splitAssignStream(
+      index, corpusSplits, mem.toDF().toDF("doc_id", "text", "ts"), weights)
+    val q = st.writeStream.format("memory").queryName("sas_b")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq((10L, base, t0))); q.processAllAvailable()
+      mem.addData(Seq((11L, other, at(10)))); q.processAllAvailable()
+      mem.addData(Seq((12L, third, at(10, 1)))); q.processAllAvailable()
+      // labels still emitted for every doc (update mode emits on update,
+      // eviction is silent)
+      val streamed = spark.table("sas_b").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val published = corpusSplits.collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed(10L) == published(1L) && streamed(11L) == published(2L))
+      assert(streamed.contains(12L))
+      // doc 10's window is behind the watermark: its state row dropped —
+      // a bare groupBy(new_doc) would hold all 3 docs forever
+      val s = stateRows(q)
+      assert(s > 0 && s <= 2, s"state rows = $s (unbounded twin would hold 3)")
+    } finally { q.stop(); corpusSplits.unpersist() }
+  }
+
   test("cdc stream: arriving rows classify against the static baseline like batch cdc") {
     implicit val sq = spark.sqlContext
     val baseline = Seq((1L, "x", "p"), (2L, "y", "q"), (3L, "z", "r"))
