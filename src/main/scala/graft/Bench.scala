@@ -225,7 +225,14 @@ object Bench {
         || n == "q40_pagerank" || n == "q41_triangles" || n == "q42_bfs"
         || n == "q43_components") 1
       else 2
+    // SPARK_GRAFT_BENCH_FILTER: comma-separated names or prefixes —
+    // the scale-rehearsal hook (run just the heavy families at sf1)
+    // and the local dev loop's narrow-timing hook. Unset = all.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     SparkEntry.queries.toSeq
+      .filter { case (n, _) =>
+        filter.forall(_.exists(f => n == f || n.startsWith(f))) }
       .sortBy { case (n, _) => (costRank(n), n) }
       .foreach { case (name, fn) =>
       // settle the session once per query, outside any timed window

@@ -36,4 +36,39 @@ object ZOrder {
     */
   def zorder2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Per-dimension bit budget for an n-column interleave: 16 bits per
+    * column up to the 62-bit signed-long budget (3 cols → 16 bits,
+    * 4 cols → 15).
+    */
+  def bitsFor(n: Int): Int = math.min(16, 62 / n)
+
+  /** Spread the low `bits` bits of `c` with stride `n`: bit i moves to
+    * position n·i. The generic (bit-at-a-time) ladder — `bits` OR'd
+    * shift/mask terms, all codegen'd builtins; [[spread16]] is the
+    * mask-parallel n=2 special case. The term list is reproduced
+    * verbatim in SQL by the fn_zorder3 oracle, so the code is
+    * engine-exact bit-for-bit.
+    */
+  def spreadN(c: Column, n: Int, bits: Int): Column = {
+    val x = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits)
+      .map(i => shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * n))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** n-column Morton code (2 ≤ n ≤ 4): column j's bits land at
+    * positions n·i + j, so a sort by the code gives every column
+    * ≈(1/n)-power min/max file pruning — the multi-predicate layout
+    * a real table wants (date + customer + region, not just two).
+    * For n = 2 this is bit-identical to [[zorder2]].
+    */
+  def zorderN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 4, "zorderN takes 2..4 columns")
+    val n = cols.size
+    val bits = bitsFor(n)
+    cols.zipWithIndex
+      .map { case (c, j) => shiftleft(spreadN(c, n, bits), j) }
+      .reduce(_.bitwiseOR(_))
+  }
 }

@@ -584,7 +584,19 @@ object Dedup {
     * FILES in reliable mode) once `changed` is computed, so total
     * footprint holds at O(|V|), not O(rounds × |V|).
     */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    connectedComponentsPlan(vertices, pairs, maxIters).df
+
+  /** Managed form of [[connectedComponents]]: the returned plan's
+    * `release()` also frees the FINAL round checkpoint the label table
+    * reads (the convenience form leaves it to the ContextCleaner).
+    * Callers composing CC into their own managed plans (the graph
+    * census, golden records) should use this and forward the
+    * finalizers, so an eager materialize-then-release wrapper frees
+    * every block CC created.
+    */
+  def connectedComponentsPlan(vertices: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DedupPlan = {
     import org.apache.spark.sql.graftshim.CheckpointBridge
     val sc = vertices.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
@@ -646,8 +658,12 @@ object Dedup {
     }
     if (grace != null) release(grace)
     release(sym)
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("is_keeper"))
+    val ownedFinal = prev // the final round checkpoint labels reads
+    DedupPlan(
+      labels.select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_keeper")),
+      "connected_components", Nil,
+      finalizers = Seq(() => release(ownedFinal)))
   }
 
   /** Quality-aware keeper election — the step after clustering that

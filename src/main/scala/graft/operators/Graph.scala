@@ -28,20 +28,57 @@ object Graph {
 
   val Scale = 1000000000000L // rank fixed-point: 1.0 == 10^12
 
+  /** Materialize a managed plan's result into its OWN result-sized
+    * storage (eager local checkpoint) and release every intermediate
+    * cache/checkpoint the plan retained. This is what makes the
+    * convenience wrappers leak-free: the INPUT-sized persists (edge
+    * lists, degree tables, round checkpoints) are all gone by the time
+    * the wrapper returns; what survives is only the result's own
+    * blocks, which (a) the returned frame is itself the handle for
+    * (`CheckpointBridge.release`) and (b) the ContextCleaner drops
+    * automatically when the frame is garbage-collected — neither is
+    * true of a cacheManager persist, which lives until an explicit
+    * unpersist. Cost: the plan executes at call time (the wrapper is
+    * eager, the managed `*Plan` forms stay lazy).
+    */
+  private def eagerReleased(plan: DedupPlan): DataFrame = {
+    val out = plan.df.localCheckpoint() // eager: materializes now
+    plan.release()
+    out
+  }
+
   /** `iters` rounds of damped PageRank over a DIRECTED edge list
     * (src, dst). Returns (id, r) with r in [[Scale]] fixed-point.
     * Dangling nodes (no out-edges) keep the teleport term only —
     * their outflow is dropped, matching the common sparse formulation.
     *
-    * Convenience form; callers needing cache hygiene in a long-lived
-    * session should use [[pageRankPlan]] and call `release()` after
-    * consuming the result — this wrapper necessarily leaves the edge/
-    * node/degree caches live because the returned lazy DataFrame still
-    * reads them.
+    * EAGER convenience form: runs the plan at call time, returns the
+    * materialized O(nodes) rank table, and releases every
+    * intermediate cache before returning (see [[eagerReleased]]).
+    * Long-lived sessions that want lazy composition or reliable
+    * checkpoints use [[pageRankPlan]] + `release()`.
     */
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                checkpointEvery: Int = 0): DataFrame =
-    pageRankPlan(edges, iters, dampingPct, checkpointEvery).df
+    eagerReleased(pageRankPlan(edges, iters, dampingPct, checkpointEvery))
+
+  /** Eager convenience form of [[triangleCountPlan]] — 1-row result,
+    * all input-sized caches released before returning.
+    */
+  def triangleCount(pairs: DataFrame): DataFrame =
+    eagerReleased(triangleCountPlan(pairs))
+
+  /** Eager convenience form of [[bfsLevelsPlan]] — materialized
+    * (id, lvl) table, caches and round checkpoints released.
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    eagerReleased(bfsLevelsPlan(edges, seeds, maxHops))
+
+  /** Eager convenience form of [[componentSummaryPlan]] — 1-row
+    * result, all input-sized caches released before returning.
+    */
+  def componentSummary(pairs: DataFrame): DataFrame =
+    eagerReleased(componentSummaryPlan(pairs))
 
   /** Managed form: the edge list and its two tiny derivations (node
     * set, out-degrees) are each referenced once per iteration plus the
@@ -230,12 +267,16 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("u").as("doc_id"))
       .unionAll(e.select(col("v").as("doc_id"))).distinct()
-    val out = Dedup.connectedComponents(nodes,
-        e.select(col("u").as("doc_a"), col("v").as("doc_b")))
+    // managed CC form: forward its finalizer so release() also frees
+    // the final round checkpoint the label table reads
+    val cc = Dedup.connectedComponentsPlan(nodes,
+      e.select(col("u").as("doc_a"), col("v").as("doc_b")))
+    val out = cc.df
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_components"), max(col("sz")).as("largest"),
         sum(col("sz")).as("n_nodes"))
-    DedupPlan(out, "component_summary", Seq(e))
+    DedupPlan(out, "component_summary", Seq(e),
+      finalizers = Seq(() => cc.release()))
   }
 
   /** Co-purchase graph: parts appearing in the same order, kept only
@@ -275,21 +316,21 @@ object Graph {
 
     // triangles in the support-2 co-purchase graph
     "q41_triangles" -> ((s, dir) =>
-      triangleCountPlan(copurchaseEdges(table(s, dir, "lineitem"))).df),
+      triangleCount(copurchaseEdges(table(s, dir, "lineitem")))),
 
     // component structure of the co-purchase graph: how many product
     // communities exist and how big the giant one is — the shared CC
     // engine (pointer doubling) applied to a product graph, aggregated
     // to a 1-row structural summary
     "q43_components" -> ((s, dir) =>
-      componentSummaryPlan(copurchaseEdges(table(s, dir, "lineitem"))).df),
+      componentSummary(copurchaseEdges(table(s, dir, "lineitem")))),
 
     // 4-hop reach from the lowest-keyed part over the part-supplier
     // graph: which parts/suppliers are within two supply steps
     "q42_bfs" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val seed = li.agg(concat(lit("p"), min(col("l_partkey"))).as("id"))
-      bfsLevelsPlan(partSupplierEdges(li), seed, maxHops = 4).df
+      bfsLevels(partSupplierEdges(li), seed, maxHops = 4)
         .orderBy("lvl", "id")
     }))
 

@@ -48,28 +48,43 @@ object Multimodal {
     * still produces deterministic, oracle-able output.
     *
     * Features (FeatureDim floats in [0,1)): mean R, mean G, mean B,
-    * mean luma — each /256. The per-pixel loop runs on the executor
-    * inside mapPartitions; at scale swap `getRGB` for a raster bulk
-    * read, the seam stays identical.
+    * mean luma — each /256. Pixel access is ROW-BULK (`getRGB`'s
+    * scanline overload into a reusable buffer): one array conversion
+    * call per row instead of w·h per-pixel virtual calls + bounds
+    * checks — the decode hot loop's dominant cost at scale. Values are
+    * bit-identical to the per-pixel form (same ARGB conversion, same
+    * integer sums); memory stays O(width), never O(pixels).
     */
   object ImageCodec {
     final case class Decoded(width: Int, height: Int, features: Array[Float])
+
+    /** Whole-image channel sums via row-bulk reads: (ΣR, ΣG, ΣB).
+      * Shared by [[decode]] and the video codec's luma mean.
+      */
+    private[operators] def rgbSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rowBuf = new Array[Int](w)
+      var (r, g, b) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = rowBuf(x)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (r, g, b)
+    }
+
     def decode(payload: Array[Byte]): Option[Decoded] =
       try {
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
           .map { img =>
             val (w, h) = (img.getWidth, img.getHeight)
-            var (r, g, b) = (0L, 0L, 0L)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (r, g, b) = rgbSums(img)
             val n = (w.toLong * h).toDouble
             val luma = (0.299 * r + 0.587 * g + 0.114 * b) / n / 256.0
             Decoded(w, h, Array(
@@ -89,29 +104,40 @@ object Multimodal {
     def dhash(img: java.awt.image.BufferedImage): Option[Long] = {
       val (w, h) = (img.getWidth, img.getHeight)
       if (w < 9 || h < 8) return None
-      // cell (gy, gx) = mean luma (×1000, integer) over its pixel block
-      val cell = Array.ofDim[Long](8, 9)
+      // cell (gy, gx) = mean luma (×1000, integer) over its pixel
+      // block. Row-bulk traversal: each scanline is fetched ONCE with
+      // getRGB's array overload and split across its row of cells —
+      // same integer sums as the per-pixel form (bit-identical hash,
+      // fixture-asserted), one conversion call per row instead of
+      // 72 block-nested per-pixel calls re-walking the image
+      val cellSum = Array.ofDim[Long](8, 9)
+      val xBound = Array.tabulate(10)(gx => gx * w / 9)
+      val rowBuf = new Array[Int](w)
       var gy = 0
       while (gy < 8) {
         val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
-        var gx = 0
-        while (gx < 9) {
-          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
-          var sum = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val p = img.getRGB(x, y)
-              sum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        var y = y0
+        while (y < y1) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var gx = 0
+          while (gx < 9) {
+            var x = xBound(gx); val xEnd = xBound(gx + 1)
+            var s = 0L
+            while (x < xEnd) {
+              val p = rowBuf(x)
+              s += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
               x += 1
             }
-            y += 1
+            cellSum(gy)(gx) += s
+            gx += 1
           }
-          cell(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
-          gx += 1
+          y += 1
         }
         gy += 1
+      }
+      val cell = Array.tabulate(8, 9) { (cy, cx) =>
+        val rows = (cy + 1) * h / 8 - cy * h / 8
+        cellSum(cy)(cx) / (rows.toLong * (xBound(cx + 1) - xBound(cx)))
       }
       var bits = 0L
       var i = 0
@@ -299,17 +325,7 @@ object Multimodal {
     }
 
     private def lumaMean(img: java.awt.image.BufferedImage): Double = {
-      var (r, g, bl) = (0L, 0L, 0L)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
-          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; bl += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
+      val (r, g, bl) = ImageCodec.rgbSums(img) // row-bulk, see ImageCodec
       val n = img.getWidth.toLong * img.getHeight
       (0.299 * r + 0.587 * g + 0.114 * bl) / n / 256.0
     }

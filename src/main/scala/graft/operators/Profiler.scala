@@ -768,10 +768,10 @@ object Profiler {
     * Exact form is inherently multi-pass (median → MAD needs the
     * median first): pass 1 exact `percentile(x, 0.5)`, pass 2
     * `percentile(|x − med|, 0.5)` with the 1-row median broadcast,
-    * pass 3 counts rows beyond `med ± k·mad`. At 100 TB swap both
-    * percentiles for `approx_percentile` and the plan collapses to
-    * sketch passes with O(1) state — same trade as
-    * [[profile]]'s `exact = false`. The fence arithmetic is one fixed
+    * pass 3 counts rows beyond `med ± k·mad`. [[madOutliersApprox]] is
+    * the 100 TB form — both percentiles as `approx_percentile`, sketch
+    * passes with bounded state — same trade as [[profile]]'s
+    * `exact = false`. The fence arithmetic is one fixed
     * double expression tree (`k * mad`, no reassociation), so the
     * verdict is bit-identical cross-engine.
     */
@@ -790,6 +790,54 @@ object Profiler {
         count(lit(1)).as("n"),
         sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
+  }
+
+  /** Sketch form of [[madOutliers]] — the same three-pass shape with
+    * both exact percentiles swapped for `approx_percentile` (KLL-style
+    * bounded sketch state per pass instead of the exact percentile's
+    * hold-every-value aggregation buffer): the 100 TB path the exact
+    * form's scaladoc promises. `accuracy` is Spark's approx_percentile
+    * knob (error ≤ 1/accuracy of rank).
+    */
+  def madOutliersApprox(df: DataFrame, c: String, k: Double = 3.0,
+      accuracy: Int = 10000): DataFrame = {
+    require(k > 0, "need k > 0")
+    val x = col(c).cast("double")
+    val med = df.agg(
+      expr(s"approx_percentile(CAST($c AS DOUBLE), 0.5, $accuracy)").as("med"))
+    val dev = df.select(x.as("x")).crossJoin(broadcast(med))
+      .select(col("x"), col("med"), abs(col("x") - col("med")).as("dev"))
+    val mad = dev.agg(expr(s"approx_percentile(dev, 0.5, $accuracy)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .agg(
+        min(col("med")).as("median"),
+        min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Gate twin pairing [[madOutliers]] with [[madOutliersApprox]] —
+    * the dq_qdrift / dq_skew_sketch rule: the row carries the EXACT
+    * values (hash-matchable cross-engine) plus a `sketch_ok` bit
+    * asserting the sketch path genuinely executed and landed inside
+    * tolerance (median/MAD within `relTol` relative, outlier count
+    * within max(5, relTol·n) absolute — the fence is a threshold, so
+    * a sketch-moved fence flips only boundary rows).
+    */
+  def madOutliersSketch(df: DataFrame, c: String, k: Double = 3.0,
+      relTol: Double = 0.05): DataFrame = {
+    val a = madOutliersApprox(df, c, k).select(
+      col("median").as("amed"), col("mad").as("amad"),
+      col("n_outliers").as("aout"))
+    def close(e: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =
+      abs(g - e) <= lit(relTol) * greatest(abs(e), lit(1.0))
+    madOutliers(df, c, k).crossJoin(broadcast(a))
+      .select(col("median"), col("mad"), col("n"), col("n_outliers"),
+        (close(col("median"), col("amed")) && close(col("mad"), col("amad")) &&
+          abs(col("aout") - col("n_outliers")).cast("double")
+            <= greatest(lit(5.0), lit(relTol) * col("n").cast("double")))
+          .as("sketch_ok"))
   }
 
   // ---------------------------------------------------------------- gate
@@ -986,6 +1034,12 @@ object Profiler {
     // Robust MAD outlier fence over order value (k = 3 MADs)
     "dq_mad" -> ((s, dir) =>
       madOutliers(table(s, dir, "orders"), "o_totalprice")),
+
+    // The sketch path beside it: approx_percentile passes executed,
+    // exact gate values, sketch_ok asserting the sketch landed inside
+    // tolerance — the dq_skew_sketch rule
+    "dq_mad_sketch" -> ((s, dir) =>
+      madOutliersSketch(table(s, dir, "orders"), "o_totalprice")),
 
     // Two-snapshot profile diff (even vs odd orderkey halves)
     "dq_profile_diff" -> ((s, dir) => {
@@ -1323,5 +1377,19 @@ object Profiler {
         |SELECT MIN(med) AS median, MIN(mad) AS mad, COUNT(*) AS n,
         | CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_outliers
+        |FROM d, s""".stripMargin,
+
+    // sketch estimates are engine-private (KLL merge order); the
+    // oracle checks the exact values and that the guarantee HELD
+    "dq_mad_sketch" ->
+      """WITH m AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+        |  FROM orders),
+        |d AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, med,
+        |   ABS(CAST(o_totalprice AS DOUBLE) - med) AS dev
+        |  FROM orders, m),
+        |s AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+        |SELECT MIN(med) AS median, MIN(mad) AS mad, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_outliers, TRUE AS sketch_ok
         |FROM d, s""".stripMargin)
 }

@@ -95,6 +95,18 @@ object CompareQueries {
         .orderBy("bucket")
     }),
 
+    // Hierarchical (Merkle) fingerprint tree over the same canonical
+    // text: 256 leaf digests -> 16 prefix digests -> 1 root, parents =
+    // md5 over child digests in node order. The store/localize walk
+    // (FingerprintStore.writeMerkle/merkleLocalize) is spec-tested;
+    // this gates the tree construction bit-for-bit.
+    "cmp_merkle" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val c = li.select(liCanon.as("canon"))
+      graft.diff.FingerprintStore.merkleTreePlan(c, hexLen = 2).df
+        .orderBy("level", "node")
+    }),
+
     // O15: hash-compare src vs mutated tgt at bucket granularity — the
     // mutated row's canon moves bucket, so up to 2 buckets differ.
     // 256 buckets (2 hex chars). Same streaming-fold fingerprint as
@@ -214,6 +226,19 @@ object CompareQueries {
         .orderBy("p_partkey")
     }),
 
+    // 3-column Morton code (the zorderN generic ladder) — same
+    // bit-for-bit contract as fn_zorder, third dimension from the
+    // type-string length (deterministic in both engines)
+    "fn_zorder3" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      p.select(col("p_partkey"), col("p_size"),
+        length(col("p_type")).cast("long").as("tlen"),
+        graft.functions.ZOrder.zorderN(Seq(
+          col("p_partkey"), col("p_size"),
+          length(col("p_type")))).as("z"))
+        .orderBy("p_partkey")
+    }),
+
     // The reference's own worked example, end to end: t_test(a,b,c)
     // with 50,000 generated rows, one row mutated (`update … where
     // a=50`), the mutated row reported from BOTH sides
@@ -286,6 +311,24 @@ object CompareQueries {
          |  md5(string_agg(canon, chr(10) ORDER BY canon)) AS fingerprint,
          |  COUNT(*) AS n
          |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "cmp_merkle" ->
+      s"""WITH c AS (SELECT $liCanonSql AS canon FROM lineitem),
+         |l0 AS (SELECT substr(md5(canon), 1, 2) AS node,
+         |   md5(string_agg(canon, chr(10) ORDER BY canon)) AS fingerprint,
+         |   COUNT(*) AS n
+         |  FROM c GROUP BY 1),
+         |l1 AS (SELECT substr(node, 1, 1) AS node,
+         |   md5(string_agg(fingerprint, chr(10) ORDER BY node)) AS fingerprint,
+         |   CAST(SUM(n) AS BIGINT) AS n
+         |  FROM l0 GROUP BY 1),
+         |l2 AS (SELECT '' AS node,
+         |   md5(string_agg(fingerprint, chr(10) ORDER BY node)) AS fingerprint,
+         |   CAST(SUM(n) AS BIGINT) AS n
+         |  FROM l1)
+         |SELECT 0 AS level, node, fingerprint, CAST(n AS BIGINT) AS n FROM l0
+         |UNION ALL SELECT 1 AS level, node, fingerprint, n FROM l1
+         |UNION ALL SELECT 2 AS level, node, fingerprint, n FROM l2
+         |ORDER BY level, node""".stripMargin,
     "cmp_hash_detect" ->
       s"""WITH src AS (SELECT substr(md5(canon),1,2) AS bucket,
          |   md5(string_agg(canon, chr(10) ORDER BY canon)) AS src_fp
@@ -380,6 +423,24 @@ object CompareQueries {
         |  (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
         |SELECT p_partkey, p_size, a4 | (b4 << 1) AS z
         |FROM s4 ORDER BY p_partkey""".stripMargin,
+    // the zorderN generic ladder reproduced term-for-term: column j's
+    // bit i lands at position 3i + j (16 bits per column, 48 total)
+    "fn_zorder3" -> {
+      def spread(src: String, j: Int): String =
+        (0 until 16)
+          .map(i => s"((($src >> $i) & 1) << ${3 * i + j})")
+          .mkString(" | ")
+      s"""WITH s0 AS (SELECT p_partkey, p_size,
+         |  CAST(LENGTH(p_type) AS BIGINT) AS tlen,
+         |  CAST(p_partkey AS BIGINT) & 65535 AS xa,
+         |  CAST(p_size AS BIGINT) & 65535 AS xb,
+         |  CAST(LENGTH(p_type) AS BIGINT) & 65535 AS xc FROM part)
+         |SELECT p_partkey, p_size, tlen,
+         |  ${spread("xa", 0)} |
+         |  ${spread("xb", 1)} |
+         |  ${spread("xc", 2)} AS z
+         |FROM s0 ORDER BY p_partkey""".stripMargin
+    },
     "cmp_ref_scenario" ->
       """WITH src AS (
         | SELECT CAST(r AS INT) AS a, CAST(r % 1000 AS INT) AS b,

@@ -53,25 +53,35 @@ object Sinks {
     * output.
     */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      numFiles: Int, spec: SinkSpec = SinkSpec()): Unit =
+    writeZOrderedN(df, path, Seq(a, b), numFiles, spec)
+
+  /** n-column form (2 ≤ n ≤ 4) — [[graft.functions.ZOrder.zorderN]]
+    * over the equi-width-normalized columns; for n = 2 the layout is
+    * bit-identical to the historical two-column writer. Real layout
+    * tuning usually wants 3–4 predicate columns (date + key +
+    * category), and the curve degrades gracefully: each of n columns
+    * gets ≈(1/n)-power pruning.
+    */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[Column],
       numFiles: Int, spec: SinkSpec = SinkSpec()): Unit = {
     require(numFiles > 0, "need numFiles > 0")
+    require(cols.size >= 2 && cols.size <= 4, "writeZOrderedN takes 2..4 columns")
     import org.apache.spark.sql.functions.{coalesce, floor, lit, max, min}
-    val mm = df.agg(
-      min(a).cast("double"), max(a).cast("double"),
-      min(b).cast("double"), max(b).cast("double")).head()
+    val aggs = cols.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
     // empty input or an all-NULL layout column yields NULL min/max —
     // degrade to constant scaling (plain write order) instead of an
     // opaque NPE before any file lands
-    def bound(i: Int, dflt: Double): Double =
-      if (mm.isNullAt(i)) dflt else mm.getDouble(i)
+    def bound(i: Int): Double = if (mm.isNullAt(i)) 0.0 else mm.getDouble(i)
+    val maxV = (1L << graft.functions.ZOrder.bitsFor(cols.size)) - 1
     def scaled(c: Column, lo: Double, hi: Double): Column =
       if (hi > lo)
-        floor((coalesce(c.cast("double"), lit(lo)) - lit(lo)) * 65535.0 / lit(hi - lo))
+        floor((coalesce(c.cast("double"), lit(lo)) - lit(lo)) * maxV / lit(hi - lo))
           .cast("long")
       else lit(0L)
-    val z = graft.functions.ZOrder.zorder2(
-      scaled(a, bound(0, 0.0), bound(1, 0.0)),
-      scaled(b, bound(2, 0.0), bound(3, 0.0)))
+    val z = graft.functions.ZOrder.zorderN(
+      cols.zipWithIndex.map { case (c, j) => scaled(c, bound(2 * j), bound(2 * j + 1)) })
     val laid = df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicate an sf directory K× with
+  * key offsets and identity perturbation, so the heavy operator
+  * families can be MEASURED at 10× the bench scale instead of argued
+  * about ("would survive 100 TB" as evidence, not plan-shape claims —
+  * the r8 verdict's top round-9 ask).
+  *
+  * The replication is distribution-preserving, which is the property
+  * that makes the sf1/sf0.1 ratio meaningful:
+  *
+  *   - Integer keys shift by `copy · 10^8` — copies are disjoint in id
+  *     space, and copy 0 is the untouched original.
+  *   - Identity-bearing text is TAGGED per copy (every document token
+  *     and every part name's blocking token gets a `c<i>_` prefix, the
+  *     brand gets a `#<i>` suffix): within a copy, shingle sets /
+  *     Levenshtein distances / block memberships are isomorphic to the
+  *     original, while cross-copy shingles and blocks are DISJOINT.
+  *     Without this, K identical text copies would turn every
+  *     duplicate cluster of size c into one of size K·c and every LSH
+  *     bucket join from Σb² into ΣK²b² — a K²-pair workload that no
+  *     longer measures scaling, it measures a different (pathological)
+  *     duplication profile. Tagging keeps pair volume ~K·linear, i.e.
+  *     the same corpus shape at K× the rows.
+  *   - Embeddings circular-shift by the copy index: norms and
+  *     coordinate distributions are preserved exactly, while
+  *     cross-copy cosine collapses to noise (same reason — identical
+  *     vectors would K²-explode the near-dup pair families).
+  *   - Dimension tables (region, nation) copy through unshifted, so
+  *     foreign keys into them stay valid and per-nation fan-in grows
+  *     K× — exactly what a bigger corpus does to a small dimension.
+  *
+  * events.ts passes through RAW (no session-level timestamp rewrite):
+  * whatever physical type the fixture shipped (TIMESTAMP(NANOS)-as-
+  * long under nanosAsLong, or timestamp[us]) is what lands in the
+  * output, so [[graft.GraftSession.table]]'s normalization sees the
+  * same layout it would on the original directory.
+  *
+  * Usage: runMain graft.tools.ScaleData <inDir> <outDir> <k>
+  */
+object ScaleData {
+
+  private val Stride = 100000000L // 1e8: far above any sf0.1 key
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleData <inDir> <outDir> <k>")
+    val Array(inDir, outDir, kStr) = args
+    val k = kStr.toInt
+    require(k >= 1, "k >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+    graft.GraftSession.commonConfs.foreach { case (kk, v) => b.config(kk, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def raw(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
+
+    // one replicated table: union of copyFn(df, i) for i in 0 until k
+    def replicate(name: String)(copyFn: (DataFrame, Int) => DataFrame): Unit = {
+      val src = raw(name)
+      val out = (0 until k).map(i => copyFn(src, i)).reduce(_.unionByName(_))
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scale] $name x$k written")
+    }
+
+    def shift(c: String, i: Int) = col(c) + lit(i * Stride)
+
+    // per-token copy tag: shingle/token spaces disjoint across copies,
+    // isomorphic within a copy (see scaladoc)
+    def tagTokens(c: org.apache.spark.sql.Column, i: Int) =
+      concat_ws(" ", transform(split(trim(c), " +"), t => concat(lit(s"c${i}_"), t)))
+
+    replicate("region")((df, i) => if (i == 0) df else df.limit(0))
+    replicate("nation")((df, i) => if (i == 0) df else df.limit(0))
+
+    replicate("customer")((df, i) =>
+      df.withColumn("c_custkey", shift("c_custkey", i)))
+    replicate("supplier")((df, i) =>
+      df.withColumn("s_suppkey", shift("s_suppkey", i)))
+
+    replicate("part") { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("p_partkey", shift("p_partkey", i))
+        // tag the BLOCKING identity (last name token + brand): blocks
+        // stay disjoint across copies, within-copy edit distances are
+        // unchanged (both sides of any within-copy pair gain the same
+        // aligned substring)
+        .withColumn("p_name", regexp_replace(col("p_name"), "(\\S+)$", s"c${i}_$$1"))
+        .withColumn("p_brand", concat(col("p_brand"), lit(s"#$i")))
+    }
+
+    replicate("orders")((df, i) =>
+      df.withColumn("o_orderkey", shift("o_orderkey", i))
+        .withColumn("o_custkey", shift("o_custkey", i)))
+
+    replicate("lineitem")((df, i) =>
+      df.withColumn("l_orderkey", shift("l_orderkey", i))
+        .withColumn("l_partkey", shift("l_partkey", i))
+        .withColumn("l_suppkey", shift("l_suppkey", i)))
+
+    replicate("events")((df, i) =>
+      df.withColumn("event_id", shift("event_id", i))
+        .withColumn("user_id", shift("user_id", i)))
+
+    replicate("documents") { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("doc_id", shift("doc_id", i))
+        .withColumn("text", tagTokens(col("text"), i))
+        .withColumn("n_chars", length(col("text")))
+    }
+
+    replicate("embeddings") { (df, i) =>
+      if (i == 0) df
+      else {
+        df.withColumn("vec_id", shift("vec_id", i))
+          // circular shift by i: norm-preserving, cross-copy cosine
+          // decorrelated (i is always < dimension at k <= 16)
+          .withColumn("embedding",
+            concat(slice(col("embedding"), i + 1, 4096),
+              slice(col("embedding"), 1, i)))
+      }
+    }
+
+    println(s"[scale] done -> $outDir (k=$k)")
+    spark.stop()
+  }
+}

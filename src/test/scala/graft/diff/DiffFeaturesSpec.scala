@@ -51,6 +51,46 @@ class DiffFeaturesSpec extends SparkSpec {
     assert(badMut == 1 || badMut == 2)
   }
 
+  test("merkle store: drift localizes to the mutated leaf buckets in log-narrow reads") {
+    val base = Files.createTempDirectory("merkle").toString
+    FingerprintStore.writeMerkle(li, s"$base/a", hexLen = 2)
+    FingerprintStore.writeMerkle(li, s"$base/b", hexLen = 2)
+    // identical stores: the walk stops at the ROOT — 2 rows read total
+    val same = FingerprintStore.merkleLocalize(spark, s"$base/a", s"$base/b")
+    assert(same.driftedBuckets.isEmpty && same.exhaustive)
+    assert(same.nodesRead == 2, s"read ${same.nodesRead} nodes for identical stores")
+    // one mutated row: drift must localize to its old+new buckets (1-2
+    // leaves) while reading only the mismatched subtrees' children —
+    // far below the flat compare's 2*256 leaf rows
+    FingerprintStore.writeMerkle(
+      graft.queries.CompareQueries.mutated(li), s"$base/m", hexLen = 2)
+    val drift = FingerprintStore.merkleLocalize(spark, s"$base/a", s"$base/m")
+    assert(drift.exhaustive)
+    assert(drift.driftedBuckets.nonEmpty && drift.driftedBuckets.size <= 2,
+      s"drifted=${drift.driftedBuckets}")
+    // reads: root pass (2) + ≤16-child passes per mismatched node at
+    // 2 levels × 2 sides × ≤2 subtrees — bound generously, assert the
+    // log-narrow property (flat would be 512+)
+    assert(drift.nodesRead <= 2 + 2 * 2 * 2 * 16,
+      s"read ${drift.nodesRead} nodes — walk is not narrow")
+    // the drifted leaves really are where the mutated row lives: the
+    // flat bucket digests disagree exactly there. (Bind each frame
+    // once — canonRow resolves against a specific frame's attribute
+    // ids, and `li` is a def returning a fresh read per call.)
+    def bucketFp(df: org.apache.spark.sql.DataFrame, alias: String) = {
+      val c = df.select(graft.canon.Canonicalizer.canonRow(df).as("canon"))
+      graft.functions.Parity.sortedMd5(
+        c, substring(md5(col("canon")), 1, 2), col("canon"))
+        .select(col("bucket"), col("fingerprint").as(alias))
+    }
+    val liCanonFp = bucketFp(li, "a_fp")
+    val mutFp = bucketFp(graft.queries.CompareQueries.mutated(li), "m_fp")
+    val expected = liCanonFp.join(mutFp, Seq("bucket"), "full_outer")
+      .where(!(col("a_fp") <=> col("m_fp")))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(drift.driftedBuckets == expected)
+  }
+
   test("prefiltered jaccard drops hot shingles but keeps exact duplicate pairs") {
     val docs = GraftSession.table(spark, Sf0001, "documents")
     val exact = graft.operators.Dedup.jaccardPairs(docs, 0.9)

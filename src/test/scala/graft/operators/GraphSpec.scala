@@ -102,6 +102,31 @@ class GraphSpec extends SparkSpec {
     assert(leaked.isEmpty, s"released bfs plan leaked caches: $leaked")
   }
 
+  test("eager convenience wrappers self-release: no input-sized caches survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.CheckpointBridge
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val pairs = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pr = Graph.pageRank(e, iters = 3, checkpointEvery = 2)
+    val tc = Graph.triangleCount(pairs)
+    val bl = Graph.bfsLevels(e, Seq("a").toDF("id"), maxHops = 2)
+    val cs = Graph.componentSummary(pairs)
+    // results correct (materialized eagerly, readable after release)
+    assert(pr.count() == 3 && tc.head().getLong(1) == 1L)
+    assert(bl.count() == 3 && cs.head().getLong(0) == 1L)
+    // ONLY the four results' own checkpoint blocks remain — every
+    // input-sized cache (edges, degrees, round checkpoints) is gone
+    // with no harness-side global unpersist
+    val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mid.size <= 4, s"wrappers left input-sized caches: $mid")
+    // the returned frames are themselves the release handles
+    Seq(pr, tc, bl, cs).foreach(CheckpointBridge.release)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked after releasing results: $leaked")
+  }
+
   test("co-purchase edges: support threshold drops accidental pairs") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))

@@ -348,4 +348,15 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 1.0)
     assert(r.getLong(2) == 5 && r.getLong(3) == 1)
   }
+
+  test("mad sketch twin: approx passes agree on small data, sketch_ok true") {
+    import spark.implicits._
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val a = Profiler.madOutliersApprox(d, "x").head()
+    // at n=5 the sketch is exact: same fence, same flag count
+    assert(a.getDouble(0) == 3.0 && a.getDouble(1) == 1.0 && a.getLong(3) == 1)
+    val s = Profiler.madOutliersSketch(d, "x").head()
+    assert(s.getDouble(0) == 3.0 && s.getDouble(1) == 1.0)
+    assert(s.getLong(2) == 5 && s.getLong(3) == 1 && s.getBoolean(4))
+  }
 }
