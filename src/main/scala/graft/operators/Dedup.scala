@@ -421,6 +421,60 @@ object Dedup {
     DedupPlan(pairs, "banded", Seq(sh))
   }
 
+  /** IDF-weighted SimHash — the production form of [[simhash]]: each
+    * distinct token votes ± its integer idf surrogate
+    * (n_docs · 10⁶ div df — the repo's log-free idf) instead of ±1,
+    * so fingerprint bits are set by a document's DISTINCTIVE
+    * vocabulary rather than its stopwords. Two boilerplate pages
+    * differing only in rare tokens stop colliding; two pages sharing
+    * their rare tokens keep colliding — the weighting that makes
+    * simhash usable on web text (Manku et al., WWW'07 §3 runs
+    * idf-weighted features for exactly this reason; cf.
+    * `/root/reference` which has no near-dup surface at all).
+    *
+    * Exactness: weights and vote sums are count-derived integers, so
+    * every bit sign is engine-exact — no float accumulation anywhere.
+    * (Weight magnitude is ≤ n_docs·10⁶ and per-doc distinct tokens
+    * bound the vote sum well inside Long at any corpus this runs on;
+    * a >10¹² -doc corpus would scale the ppm constant down.)
+    *
+    * Scale shape: ONE distinct (doc, token) pass persisted behind the
+    * release contract (it feeds df and the vote join), df at the
+    * TOKEN grain with map-side combine, one token-keyed shuffle join
+    * back (the df table is never broadcast — vocabulary unbounded),
+    * then the same single map-side-combinable 16-vote groupBy as
+    * [[simhash]]. Pairing reuses [[bandedFingerprintPairs]].
+    */
+  def simhashIdfPlan(docs: DataFrame): DedupPlan = {
+    val toksD = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dfreq = toksD.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val h16 =
+      (instr(lit(Hex), substring(md5(col("tok")), 1, 1)) - 1) * 4096 +
+      (instr(lit(Hex), substring(md5(col("tok")), 2, 1)) - 1) * 256 +
+      (instr(lit(Hex), substring(md5(col("tok")), 3, 1)) - 1) * 16 +
+      (instr(lit(Hex), substring(md5(col("tok")), 4, 1)) - 1)
+    val weighted = toksD.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", expr("(n_docs * 1000000) DIV df"))
+      .withColumn("h16", h16.cast("long"))
+    val votes = (0 until 16).map { j =>
+      sum(when(shiftright(col("h16"), 15 - j) % 2 === 1, col("w"))
+        .otherwise(-col("w"))).as(s"s$j")
+    }
+    val fingerprint = (0 until 16).map { j =>
+      when(col(s"s$j") > 0, lit(1L << (15 - j))).otherwise(0L)
+    }.reduce(_ + _)
+    val out = weighted
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash_idf"))
+    DedupPlan(out, "simhash_idf", Seq(toksD))
+  }
+
   /** Banded hamming-distance pairs over an arbitrary fingerprint
     * column — the machinery behind [[simhashPairs]] (16-bit text
     * simhash) and [[Multimodal.imageNearDupPairs]] (64-bit image
@@ -1095,6 +1149,10 @@ object Dedup {
     "dd_simhash_pairs" -> ((s, dir) =>
       simhashPairs(table(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),
 
+    // idf-weighted fingerprints: distinctive vocabulary sets the bits
+    "dd_simhash_idf" -> ((s, dir) =>
+      simhashIdfPlan(table(s, dir, "documents")).df.orderBy("doc_id")),
+
     // gated on the LSH scale path; the brute-force baseline is the
     // test-suite cross-check (OperatorsSpec recall/equality tests)
     "dd_embedding_pairs" -> ((s, dir) =>
@@ -1368,6 +1426,30 @@ object Dedup {
          |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_simhash" -> s"$simhashSql ORDER BY doc_id",
+    // idf-weighted votes: same bit machinery, weight = n_docs*1e6 // df
+    "dd_simhash_idf" ->
+      """WITH toks AS (
+        | SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+        | FROM documents),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |hv AS (
+        | SELECT doc_id,
+        |  (strpos('0123456789abcdef', substr(md5(tok),1,1)) - 1) * 4096 +
+        |  (strpos('0123456789abcdef', substr(md5(tok),2,1)) - 1) * 256 +
+        |  (strpos('0123456789abcdef', substr(md5(tok),3,1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(tok),4,1)) - 1) AS h16,
+        |  (n.n_docs * 1000000) // dfreq.df AS w
+        | FROM toks JOIN dfreq USING (tok) CROSS JOIN n),
+        |votes AS (
+        | SELECT doc_id, j,
+        |  SUM(CASE WHEN CAST(FLOOR(h16 / POWER(2, 15 - j)) AS BIGINT) % 2 = 1
+        |      THEN w ELSE -w END) AS s
+        | FROM hv, UNNEST(range(0, 16)) AS r(j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        | CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, 15 - j) AS BIGINT) ELSE 0 END)
+        |   AS BIGINT) AS simhash_idf
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_simhash_pairs" ->
       s"""WITH sh AS ($simhashSql)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

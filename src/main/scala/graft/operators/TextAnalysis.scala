@@ -14,6 +14,29 @@ object TextAnalysis {
 
   private def toks = split(trim(col("text")), " +")
 
+  /** Adjacent-token (w1, w2) structs from a `ts` token-array column —
+    * produced INSIDE the scan (zip_with over two array slices, the
+    * [[bpePairCounts]] trick): bigram construction costs zero
+    * shuffles at any corpus size. Shared by the LM family and
+    * collocation mining; exposed to the streaming twin.
+    */
+  private[graft] def bigramStructs(arr: String = "ts"): Column = expr(
+    s"zip_with(slice($arr, 1, size($arr)-1), slice($arr, 2, size($arr)-1)," +
+      " (l, r) -> named_struct('w1', l, 'w2', r))")
+
+  /** The bigram LM's two persisted grains — what a nightly model
+    * build writes for [[graft.streaming.Streaming.lmScoreStream]] to
+    * score arrivals against: (w1, w2, c12) bigram counts and (w1, c1)
+    * start counts, exactly the tables [[lmScorePlan]] aggregates.
+    */
+  def lmModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val bg = docs.select(toks.as("ts"))
+      .select(explode(bigramStructs()).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    (bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      bg.groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+  }
+
   /** Sum of per-element lengths — exact integer aggregate over the
     * token array (no float accumulation).
     */
@@ -460,7 +483,97 @@ object TextAnalysis {
         (col("rank") * col("n")).as("rank_x_n"))
   }
 
+  /** Corpus bigram language-model quality score — the CCNet/KenLM
+    * perplexity-filter step re-expressed engine-exact: the corpus
+    * itself is the LM (bigram maximum likelihood), and each document
+    * is scored by the MEAN CONDITIONAL BIGRAM PROBABILITY of its token
+    * stream, in exact integer ppm:
+    *
+    *   p_ppm(w2|w1) = c(w1,w2) · 10⁶ div c(w1 ·)
+    *   lm_score_ppm = (Σ p_ppm over the doc's bigrams) div n_bigrams
+    *
+    * True perplexity is a geometric mean — a log-sum through libm
+    * `ln()`, whose last-bit rounding diverges across engines. The
+    * arithmetic mean of conditionals carries the same FILTERING
+    * signal (templated/boilerplate text scores high because its
+    * transitions dominate the corpus; garbled or out-of-domain text
+    * scores near the ppm floor; a pipeline thresholds the tails
+    * exactly as it would threshold perplexity) while every step stays
+    * in exact integer arithmetic.
+    *
+    * Scale shape: bigrams are produced SHUFFLE-FREE inside the scan
+    * (zip_with over two array slices — the [[bpePairCounts]] trick),
+    * persisted once behind the returned [[DedupPlan]]'s release
+    * contract (three references: both count grains + the score join);
+    * the LM is two map-side-combinable counts at the bigram and
+    * bigram-start grains, joined back BIGRAM-KEYED — the model is
+    * never broadcast and never collected, so vocabulary size is
+    * unbounded. Docs with <2 tokens surface with n_bigrams = 0 and
+    * score 0, never silently dropped.
+    */
+  def lmScorePlan(docs: DataFrame): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val bg = docs.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), explode(bigramStructs()).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val perDoc = bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"), expr("c12 * 1000000 DIV c1").as("p_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
+    val out = docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sum_ppm DIV n_bigrams"), lit(0L)).as("lm_score_ppm"))
+    DedupPlan(out, "lm_score", Seq(bg))
+  }
+
+  /** Collocation mining — top-k bigrams by integer LIFT (association
+    * strength), the complement of [[bpePairCounts]]'s raw frequency:
+    * frequency surfaces "of the"; lift surfaces the pairs that occur
+    * together far more than their parts predict — multiword terms,
+    * named entities, domain phrases. The signal a tokenizer-budget or
+    * phrase-vocabulary decision actually wants.
+    *
+    *   lift_ppm = c(w1,w2) · N_bigrams · 10⁶ div (c(w1 ·) · c(· w2))
+    *
+    * (the PMI argument in exact integers — log is monotone, so the
+    * RANKING is PMI's, with zero libm exposure). `minCount` suppresses
+    * the hapax-pair noise floor that dominates raw PMI. Products are
+    * widened to DECIMAL(38,0) before the div: c·N·10⁶ overflows BIGINT
+    * at real corpus scale (the keySkew lesson).
+    *
+    * Scale shape: same bigram pass as [[lmScorePlan]] (shuffle-free
+    * in-scan pair construction), counts at three tiny grains, two
+    * keyed joins, TakeOrdered top-k — nothing broadcast, nothing
+    * collected beyond k rows.
+    */
+  def collocations(docs: DataFrame, k: Int = 25, minCount: Long = 5L): DataFrame = {
+    require(k > 0 && minCount >= 1, "need k > 0, minCount >= 1")
+    val bg = docs.select(toks.as("ts"))
+      .select(explode(bigramStructs()).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val left = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val total = bg.agg(count(lit(1)).as("n_bg"))
+    big.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("CAST(c12 AS DECIMAL(38,0)) * n_bg * 1000000" +
+          " DIV (CAST(c1 AS DECIMAL(38,0)) * c2)").cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm_score" -> ((s, dir) =>
+      lmScorePlan(table(s, dir, "documents")).df.orderBy("doc_id")),
+    "ta_collocations" -> ((s, dir) =>
+      collocations(table(s, dir, "documents"))),
     "ta_zipf" -> ((s, dir) =>
       zipfProfile(table(s, dir, "documents")).orderBy("rank")),
     "ta_novelty" -> ((s, dir) =>
@@ -486,6 +599,39 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    // bigram LM: the conditional-ppm mean; bigrams via 1-based list
+    // indexing over range(1, len) — exactly Spark's slice/zip_with pairs
+    "ta_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM t, UNNEST(range(1, len(ts))) AS r(i)),
+         |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         |sc AS (SELECT doc_id, (c12 * 1000000) // c1 AS p_ppm
+         |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)),
+         |d AS (SELECT doc_id, COUNT(*) AS nb, SUM(p_ppm) AS sp
+         |  FROM sc GROUP BY 1)
+         |SELECT doc.doc_id,
+         | CAST(COALESCE(d.nb, 0) AS BIGINT) AS n_bigrams,
+         | CAST(COALESCE(d.sp // d.nb, 0) AS BIGINT) AS lm_score_ppm
+         |FROM documents doc LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // integer-lift collocations; HUGEINT products mirror Spark's
+    // DECIMAL(38,0) widening (BIGINT c12*n_bg*1e6 wraps at corpus scale)
+    "ta_collocations" ->
+      s"""WITH t AS (SELECT $toksSql AS ts FROM documents),
+         |bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |  FROM t, UNNEST(range(1, len(ts))) AS r(i)),
+         |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |l AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         |r AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_bg FROM bg)
+         |SELECT w1, w2, c12,
+         | CAST(CAST(c12 AS HUGEINT) * n_bg * 1000000
+         |   // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS lift_ppm
+         |FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin,
     "ta_zipf" ->
       """WITH h AS (SELECT token, COUNT(*) AS n
         |  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS token

@@ -257,6 +257,56 @@ object Streaming {
           Sampling.splitLabel(col("new_doc"), weights, salt)).as("split"))
   }
 
+  /** Streaming LM quality scoring — the production twin of
+    * [[graft.operators.TextAnalysis.lmScorePlan]]: the bigram LM is
+    * built in batch (nightly) and PERSISTED as its two count grains
+    * (`lm` = (w1, w2, c12) bigram counts, `lmStarts` = (w1, c1) start
+    * counts — [[graft.operators.TextAnalysis.lmModel]]'s output);
+    * arriving documents are scored against it without touching the
+    * model. Transitions the model has never seen score 0 ppm — the
+    * zero-probability reading, which is exactly what pushes a garbled
+    * or out-of-domain arrival into the filterable tail.
+    *
+    * Scale shape: stream-side bigrams are produced shuffle-free
+    * inside the scan ([[graft.operators.TextAnalysis.bigramStructs]],
+    * shared code); two stream-static LEFT joins against the static
+    * model (Catalyst picks broadcast vs shuffle from model size); the
+    * ONLY stateful stage is the per-doc mean, keyed by (event-time
+    * window, doc_id) in update mode so state is watermark-EVICTED —
+    * the [[splitAssignStream]] bound (a doc's bigram rows share its
+    * one arrival timestamp, so the window never splits a doc).
+    *
+    * Agreement contract: over input with no out-of-model bigrams
+    * (e.g. the model's own corpus re-streamed), per-doc output equals
+    * the batch operator bit-for-bit — test-asserted.
+    */
+  def lmScoreStream(lm: DataFrame, lmStarts: DataFrame, newDocs: DataFrame,
+      watermarkCol: String = "ts", delay: String = "2 hours",
+      stateWindow: String = "1 hour"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val bg = newDocs
+      .withWatermark(watermarkCol, delay)
+      .select(col(watermarkCol), col("doc_id"),
+        // NOT "ts": that's the default watermark column's name
+        split(trim(col("text")), " +").as("tok_arr"))
+      .select(col(watermarkCol), col("doc_id"),
+        explode_outer(TextAnalysis.bigramStructs("tok_arr")).as("b"))
+      .select(col(watermarkCol), col("doc_id"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    bg.join(lm.select(col("w1"), col("w2"), col("c12")),
+        Seq("w1", "w2"), "left_outer")
+      .join(lmStarts.select(col("w1"), col("c1")), Seq("w1"), "left_outer")
+      .select(col(watermarkCol), col("doc_id"),
+        col("w1").isNotNull.as("is_bigram"),
+        coalesce(expr("c12 * 1000000 DIV c1"), lit(0L)).as("p_ppm"))
+      .groupBy(window(col(watermarkCol), stateWindow), col("doc_id"))
+      .agg(sum(when(col("is_bigram"), 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("is_bigram"), col("p_ppm")).otherwise(0L)).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") > 0, expr("sum_ppm DIV n_bigrams"))
+          .otherwise(lit(0L)).as("lm_score_ppm"))
+  }
+
   /** Streaming corpus heavy-hitters — complete-mode twin of
     * [[graft.operators.Sampling.heavyHitters]] (SHARED code, not a
     * re-implementation): the token-grain count is maintained as

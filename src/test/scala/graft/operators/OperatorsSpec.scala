@@ -959,4 +959,67 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
       Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
   }
+
+  test("lm score: hand-computed conditional-ppm means; <2-token docs score 0") {
+    import spark.implicits._
+    // bigrams: d1 (a,b)(b,a)(a,c), d2 (a,b); c(a,b)=2 c(b,a)=1 c(a,c)=1
+    // c(a·)=3 c(b·)=1 → p_ppm: (a,b)=666666, (b,a)=1000000, (a,c)=333333
+    val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.lmScorePlan(d)
+    val r = plan.df.orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    plan.release()
+    assert(r.toSeq == Seq(
+      (1L, 3L, (666666L + 1000000L + 333333L) / 3),
+      (2L, 1L, 666666L),
+      (3L, 0L, 0L)))
+  }
+
+  test("collocations: integer lift ranks association above raw frequency") {
+    import spark.implicits._
+    // bigrams: (x,y)×2 (y,x) (x,z); n_bg=4; c1: x=3 y=1; c2: y=2 x=1 z=1
+    // lift: (y,x)=4e6, (x,y)=8e6 div 6=1333333, (x,z)=4e6 div 3=1333333
+    val d = Seq("x y x y", "x z").toDF("text")
+    val r = TextAnalysis.collocations(d, k = 10, minCount = 1L).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    // (y,x) leads on lift despite (x,y) leading on raw count; the
+    // 1333333 tie breaks (x,y) < (x,z) lexicographically
+    assert(r.toSeq == Seq(
+      ("y", "x", 1L, 4000000L),
+      ("x", "y", 2L, 1333333L),
+      ("x", "z", 1L, 1333333L)))
+  }
+
+  test("idf-weighted simhash: bit-exact vs an independent recomputation") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "rare1 rare2 the"), (2L, "rare1 rare2 of"),
+      (3L, "the of and"), (4L, "the of and"), (5L, "the and other"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.simhashIdfPlan(corpus)
+    val got = plan.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plan.release()
+    // independent model: distinct tokens per doc, df over docs,
+    // w = n_docs*1e6/df (integer), bit j of md5-h16 votes ±w
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docToks = Map(
+      1L -> Set("rare1", "rare2", "the"), 2L -> Set("rare1", "rare2", "of"),
+      3L -> Set("the", "of", "and"), 4L -> Set("the", "of", "and"),
+      5L -> Set("the", "and", "other"))
+    val df = docToks.values.flatten.toSeq.groupBy(identity).map { case (t, o) => t -> o.size }
+    def h16(t: String) = java.lang.Integer.parseInt(md5hex(t).take(4), 16)
+    val expected = docToks.map { case (id, ts) =>
+      val bits = (0 until 16).map { j =>
+        val s = ts.toSeq.map { t =>
+          val w = 5L * 1000000L / df(t)
+          if (((h16(t) >> (15 - j)) & 1) == 1) w else -w
+        }.sum
+        if (s > 0) 1L << (15 - j) else 0L
+      }.sum
+      id -> bits
+    }
+    assert(got == expected)
+  }
 }

@@ -622,4 +622,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (k, v) => batch(k) == v })
     assert(batch(3L) == "delete") // visible only to the full-snapshot form
   }
+
+  test("streaming lm scoring equals batch over the model's own corpus") {
+    implicit val sq = spark.sqlContext
+    val corpus = GraftSession.table(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val (lm, starts) = graft.operators.TextAnalysis.lmModel(corpus)
+    lm.persist(); starts.persist(); lm.count(); starts.count()
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = corpus.as[(Long, String)].collect().toSeq
+      .map(x => (x._1, x._2, t0))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val st = Streaming.lmScoreStream(
+      lm, starts, mem.toDF().toDF("doc_id", "text", "ts"))
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("lmsc")
+      .outputMode("update").start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lmsc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // re-streaming the model's own corpus has no out-of-model bigrams,
+    // so the stream must reproduce the batch scores bit-for-bit
+    val plan = graft.operators.TextAnalysis.lmScorePlan(corpus)
+    val batch = plan.df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    plan.release(); lm.unpersist(); starts.unpersist()
+    assert(streamed == batch)
+  }
+
+  test("streaming lm scoring: out-of-model transitions score 0 ppm") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val (lm, starts) = graft.operators.TextAnalysis.lmModel(corpus)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.lmScoreStream(
+        lm, starts, mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("lmoov")
+      .outputMode("update").start()
+    try {
+      // corpus bigrams: (a,b)×2, (b,c); c1: a=2, b=1 → p(a,b)=1000000;
+      // (b,z) and (z,q) never seen → 0 ppm; "solo" has no bigrams
+      mem.addData(Seq((10L, "a b z q", t0), (11L, "solo", t0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table("lmoov").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(10L) == ((3L, 1000000L / 3)))
+    assert(r(11L) == ((0L, 0L)))
+  }
 }
