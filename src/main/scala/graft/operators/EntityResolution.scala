@@ -68,6 +68,29 @@ object EntityResolution {
     records.groupBy(block.as("block")).agg(count(lit(1)).as("n_records"))
       .where(col("n_records") > maxBlockSize)
 
+  /** Blocking-cost audit — the report that SIZES an ER run before it
+    * executes: the block-size histogram with the EXACT pair cost each
+    * size contributes (Σ over blocks of n·(n−1)/2 — precisely the
+    * verify-join cost [[blockedPairs]] will pay), so `maxBlockSize`
+    * and the blocking scheme itself are chosen from data, not hope. A
+    * scheme whose largest sizes carry most of `n_pairs` is
+    * quadratic-dominated and needs a finer key; a long size-1 tail is
+    * recall lost to over-blocking.
+    *
+    * Scale shape: one map-side-combinable count at the BLOCK grain,
+    * one at the size grain — the record table is scanned once and
+    * nothing is ever joined.
+    */
+  def blockingProfile(records: DataFrame, block: Column): DataFrame =
+    records.groupBy(block.as("block")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("block_size"))
+      .agg(count(lit(1)).as("n_blocks"))
+      .select(col("block_size"), col("n_blocks"),
+        (col("block_size") * col("n_blocks")).as("n_records"),
+        (expr("block_size * (block_size - 1) DIV 2") * col("n_blocks"))
+          .as("n_pairs"))
+      .orderBy("block_size")
+
   /** Weighted multi-evidence match scoring — the Fellegi–Sunter
     * agreement step [[blockedPairs]]' single edit-distance gate only
     * approximates: each verified pair rejoins its two records and
@@ -170,6 +193,12 @@ object EntityResolution {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_pairs" -> ((s, dir) => partPairs(s, dir).orderBy("id_a", "id_b")),
+    // the pre-run cost report over the same blocking key er_pairs uses
+    "er_blocks" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      blockingProfile(p,
+        concat(element_at(split(col("p_name"), " "), 2), lit("|"), col("p_brand")))
+    }),
     // evidence-weighted pair scores: brand agreement 30, type 20,
     // plus 10 per unspent name edit
     "er_scored" -> ((s, dir) =>
@@ -196,6 +225,14 @@ object EntityResolution {
       |vp AS (SELECT * FROM p WHERE name_dist <= 3)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "er_blocks" ->
+      """WITH r AS (SELECT split_part(p_name, ' ', 2) || '|' || p_brand AS block
+        |  FROM part),
+        |b AS (SELECT block, COUNT(*) AS n FROM r GROUP BY 1)
+        |SELECT n AS block_size, COUNT(*) AS n_blocks,
+        | n * COUNT(*) AS n_records,
+        | (n * (n - 1) // 2) * COUNT(*) AS n_pairs
+        |FROM b GROUP BY n ORDER BY block_size""".stripMargin,
     "er_pairs" ->
       s"""WITH $pairsCte
          |SELECT block, id_a, id_b, name_dist FROM vp ORDER BY id_a, id_b""".stripMargin,

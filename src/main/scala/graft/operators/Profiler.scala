@@ -605,6 +605,29 @@ object Profiler {
       }: _*)
   }
 
+  /** Key-continuity audit — for a column that SHOULD be a dense
+    * sequence (ingest offsets, surrogate keys, event ids), the
+    * gaps-and-duplicates report: span vs distinct count gives the
+    * exact missing-id count, row count vs distinct the duplicate
+    * count. The five-second answer to "did the loader drop a range or
+    * double-deliver" that otherwise needs an anti-join against a
+    * generated series (which at 100 TB is a second giant input). ONE
+    * aggregation pass, all exact integers; NULL keys surface in their
+    * own column rather than silently vanishing from the span.
+    */
+  def sequenceGaps(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      count(col(c)).as("n_nonnull"),
+      count_distinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("long").as("min_key"),
+      max(col(c)).cast("long").as("max_key"))
+      .select(col("n_rows"), col("n_nonnull"), col("n_distinct"),
+        col("min_key"), col("max_key"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        (col("max_key") - col("min_key") + 1 - col("n_distinct")).as("n_missing"),
+        (col("n_nonnull") - col("n_distinct")).as("n_dups"))
+
   /** Missingness-pattern profile — which NULL COMBINATIONS occur and
     * how often: per-column null counts ([[profile]]) can't distinguish
     * "custkey and totalprice are null on the SAME rows" (one broken
@@ -893,6 +916,11 @@ object Profiler {
         Seq(0.5, 0.9, 0.99)).orderBy("grp")),
 
     // missingness patterns over a frame with PLANTED correlated nulls
+    // o_orderkey is deliberately sparse in TPC-H (≈1/4 of its span is
+    // populated) — the gap count is large and meaningful, dups zero
+    "dq_seq_gaps" -> ((s, dir) =>
+      sequenceGaps(table(s, dir, "orders"), "o_orderkey")),
+
     // (custkey+totalprice null together every 7th order, priority null
     // independently every 11th) — the correlation is visible as its
     // own pattern row
@@ -1148,6 +1176,18 @@ object Profiler {
         |   quantile_cont(CAST(value AS DOUBLE), [0.5, 0.9, 0.99]) AS q
         |  FROM events WHERE value IS NOT NULL GROUP BY 1)
         |ORDER BY grp""".stripMargin,
+
+    "dq_seq_gaps" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(o_orderkey) AS n_nonnull,
+        | COUNT(DISTINCT o_orderkey) AS n_distinct,
+        | CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        | CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        | COUNT(*) - COUNT(o_orderkey) AS n_null,
+        | CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+        |   - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_missing,
+        | COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS n_dups
+        |FROM orders""".stripMargin,
 
     "dq_null_pattern" ->
       """WITH p AS (SELECT

@@ -270,6 +270,27 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Exact-k deterministic corpus sample — "give me exactly k rows,
+    * stably": rows ranked by the salted md5 of their key, first k
+    * taken. The exact-size contract the threshold samplers can't give
+    * ([[hashSplit]]/[[qualityWeightedSample]] sizes are binomial), and
+    * the hash order makes the CHOICE a pure function of (salt, key) —
+    * stable under repartitioning, subsetting, and re-runs, where
+    * `df.sample`/`randomSplit` depend on partition layout. Taking k
+    * from a different salt draws an independent sample.
+    *
+    * Scale shape: per-partition top-k then a k-row merge
+    * (TakeOrderedAndProject, plan-asserted in the spec) — never a
+    * global sort, never more than k rows past the scan.
+    */
+  def fixedK(df: DataFrame, key: Column, k: Int, salt: String = "fixedk"): DataFrame = {
+    require(k > 0, "need k > 0")
+    df.withColumn("__h", md5(concat_ws("|", lit(salt), key.cast("string"))))
+      .orderBy(col("__h"))
+      .limit(k)
+      .drop("__h")
+  }
+
   /** Temperature-flattened mixture sampling — the multilingual/
     * multi-source schedule trick (sample source i with probability
     * ∝ n_i^α, α < 1) realized as deterministic per-source keep rates:
@@ -354,6 +375,12 @@ object Sampling {
     Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exactly 100 docs, chosen by salted key hash — stable under
+    // partitioning where sample()/randomSplit() are not
+    "sa_fixed_k" -> ((s, dir) =>
+      fixedK(table(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), k = 100).orderBy("doc_id")),
+
     // 80/10/10 train/val/test split keyed on doc_id — every row
     // labeled, assignment a pure hash function of the key
     "sa_split" -> ((s, dir) =>
@@ -490,6 +517,12 @@ object Sampling {
        |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "sa_fixed_k" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |  md5('fixedk|' || CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents ORDER BY h LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "sa_split" -> s"SELECT doc_id, split FROM ($splitSql) ORDER BY doc_id",
     "sa_kfold" ->
       s"""SELECT doc_id,

@@ -106,4 +106,17 @@ class EntityResolutionSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"released golden-record plans leaked caches: $leaked")
   }
+
+  test("blocking profile: hand-computed size histogram and exact pair cost") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // blocks: A×3, B×2, C×1, D×1 → sizes {1: 2 blocks, 2: 1, 3: 1}
+    val d = Seq("A", "A", "A", "B", "B", "C", "D").zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("rec_id", "block")
+    val r = EntityResolution.blockingProfile(d, col("block")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // n_pairs per size s with m blocks: s(s-1)/2 · m — the exact cost
+    // blockedPairs' verify join pays
+    assert(r.toSeq == Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 3L)))
+  }
 }

@@ -359,4 +359,15 @@ class ProfilerSpec extends SparkSpec {
     assert(s.getDouble(0) == 3.0 && s.getDouble(1) == 1.0)
     assert(s.getLong(2) == 5 && s.getLong(3) == 1 && s.getBoolean(4))
   }
+
+  test("sequence gaps: planted gaps, duplicates and nulls all counted") {
+    import spark.implicits._
+    val d = Seq(Option(1L), Option(2L), Option(2L), Option(5L), None).toDF("k")
+    val r = Profiler.sequenceGaps(d, "k").head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 4 && r.getLong(2) == 3)
+    assert(r.getLong(3) == 1 && r.getLong(4) == 5) // span 1..5
+    assert(r.getLong(5) == 1)                      // one NULL key
+    assert(r.getLong(6) == 2)                      // 3 and 4 missing
+    assert(r.getLong(7) == 1)                      // one duplicated key
+  }
 }

@@ -266,4 +266,29 @@ class SamplingSpec extends SparkSpec {
     val all = Sampling.temperatureSample(d, col("source"), col("doc_id"), alpha = 1.0)
     assert(all.count() == 425)
   }
+
+  test("fixedK: exactly k rows, same set under repartitioning, top-k plan") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Sampling.fixedK(d, col("doc_id"), 37)
+    assert(a.count() == 37)
+    val setA = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    // choice is a pure function of (salt, key): layout must not matter
+    val setB = Sampling.fixedK(d.repartition(13), col("doc_id"), 37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(setA == setB)
+    // a subset containing the chosen keys re-chooses them (stability
+    // under subsetting — what partition-order sampling can't give)
+    val sub = d.where(col("doc_id") <= 250)
+    val subPick = Sampling.fixedK(sub, col("doc_id"), 37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((setA.filter(_ <= 250) -- subPick).isEmpty)
+    // different salt = independent draw (almost surely different set)
+    val other = Sampling.fixedK(d, col("doc_id"), 37, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(setA != other)
+    // never a global sort: per-partition top-k + k-row merge
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
