@@ -73,5 +73,14 @@ object Pipeline {
 
     case StepSpec.Forget(tombstones, keyCol) =>
       Curation.forget(df, col(keyCol), Sources.resolve(spark, tombstones))
+
+    case StepSpec.LmFilter(minPpm, maxPpm) =>
+      // corpus-as-LM self-scoring (the CCNet shape); like DedupNear,
+      // the step's internal bigram cache follows the documented
+      // pipeline cache contract
+      df.join(TextAnalysis.lmScorePlan(df).df
+          .where(col("lm_score_ppm").between(minPpm, maxPpm))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
   }
 }

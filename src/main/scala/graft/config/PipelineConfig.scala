@@ -63,6 +63,14 @@ object StepSpec {
     * ([[graft.operators.Curation.forget]]).
     */
   final case class Forget(tombstones: SideSpec, keyCol: String) extends StepSpec
+
+  /** Keep docs whose corpus-LM score
+    * ([[graft.operators.TextAnalysis.lmScorePlan]]) lies inside
+    * [minPpm, maxPpm] — the perplexity-style filter: the low tail is
+    * garbled/out-of-domain text, the high tail is boilerplate whose
+    * transitions dominate the corpus.
+    */
+  final case class LmFilter(minPpm: Long, maxPpm: Long) extends StepSpec
 }
 
 final case class OutputSpec(path: String, format: String)
@@ -147,11 +155,18 @@ object PipelineLoader {
         StepSpec.Forget(
           side(require(n, "tombstones", where), s"$where.tombstones"),
           require(n, "key_col", where).asText)
+      case "lm_filter" =>
+        val lo = opt(n, "min_ppm").map(_.asLong).getOrElse(0L)
+        val hi = opt(n, "max_ppm").map(_.asLong).getOrElse(Long.MaxValue)
+        if (lo < 0 || hi < lo)
+          throw new IllegalArgumentException(
+            s"$where: need 0 <= min_ppm <= max_ppm")
+        StepSpec.LmFilter(lo, hi)
       case other =>
         throw new IllegalArgumentException(
           s"$where: unknown kind '$other' (valid: filter_stack, redact_pii, " +
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
-            "split, forget)")
+            "split, forget, lm_filter)")
     }
   }
 }

@@ -605,6 +605,36 @@ object Profiler {
       }: _*)
   }
 
+  /** Corpus dataset card — the one-row summary a dataset ships with
+    * (the Datasheets-for-Datasets headline numbers): volume (docs,
+    * chars, whitespace tokens), composition breadth (distinct
+    * sources/languages), concentration (top source's exact ppm share
+    * — the "is this corpus secretly one website" number), and shape
+    * (mean/max doc length). ONE aggregation pass; the top-source
+    * share reuses the struct-max trick over the tiny source grain, so
+    * nothing is collected and no second scan exists.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val top = perSource.agg(
+      max(struct(col("n"), col("source"))).as("top"),
+      count(lit(1)).as("n_sources"),
+      sum(col("n")).as("n_docs"))
+    val body = docs.agg(
+      sum(length(col("text"))).as("total_chars"),
+      sum(size(split(trim(col("text")), " +"))).as("total_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      max(length(col("text"))).cast("long").as("max_doc_chars"))
+    body.crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_chars").cast("long").as("total_chars"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        expr("total_chars DIV n_docs").as("mean_doc_chars"),
+        col("max_doc_chars"),
+        col("top.source").as("top_source"),
+        expr("top.n * 1000000 DIV n_docs").as("top_source_ppm"))
+  }
+
   /** Key-continuity audit — for a column that SHOULD be a dense
     * sequence (ingest offsets, surrogate keys, event ids), the
     * gaps-and-duplicates report: span vs distinct count gives the
@@ -921,6 +951,10 @@ object Profiler {
     "dq_seq_gaps" -> ((s, dir) =>
       sequenceGaps(table(s, dir, "orders"), "o_orderkey")),
 
+    // the corpus headline numbers in one pass
+    "dq_dataset_card" -> ((s, dir) =>
+      datasetCard(table(s, dir, "documents"))),
+
     // (custkey+totalprice null together every 7th order, priority null
     // independently every 11th) — the correlation is visible as its
     // own pattern row
@@ -1176,6 +1210,26 @@ object Profiler {
         |   quantile_cont(CAST(value AS DOUBLE), [0.5, 0.9, 0.99]) AS q
         |  FROM events WHERE value IS NOT NULL GROUP BY 1)
         |ORDER BY grp""".stripMargin,
+
+    "dq_dataset_card" ->
+      """WITH ps AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |top AS (SELECT n, source FROM ps ORDER BY n DESC, source DESC LIMIT 1),
+        |agg AS (SELECT COUNT(*) AS n_sources, SUM(n) AS n_docs FROM ps),
+        |body AS (SELECT
+        |  SUM(LENGTH(text)) AS total_chars,
+        |  SUM(len(string_split_regex(trim(text), ' +'))) AS total_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(MAX(LENGTH(text)) AS BIGINT) AS max_doc_chars
+        | FROM documents)
+        |SELECT CAST(agg.n_docs AS BIGINT) AS n_docs,
+        | agg.n_sources AS n_sources, body.n_langs AS n_langs,
+        | CAST(body.total_chars AS BIGINT) AS total_chars,
+        | CAST(body.total_tokens AS BIGINT) AS total_tokens,
+        | CAST(body.total_chars // agg.n_docs AS BIGINT) AS mean_doc_chars,
+        | body.max_doc_chars AS max_doc_chars,
+        | top.source AS top_source,
+        | CAST(top.n * 1000000 // agg.n_docs AS BIGINT) AS top_source_ppm
+        |FROM body CROSS JOIN agg CROSS JOIN top""".stripMargin,
 
     "dq_seq_gaps" ->
       """SELECT COUNT(*) AS n_rows,

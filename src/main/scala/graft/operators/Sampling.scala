@@ -270,6 +270,32 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic epoch shuffle — the training dataloader's
+    * per-epoch permutation as a pure function of (epoch, key): rows
+    * shard by one salted hash, then order WITHIN their shard by an
+    * epoch-salted hash. Different epochs give independent
+    * permutations; the same (corpus, epoch) always replays the same
+    * order, so a crashed run resumes mid-epoch from (shard, pos) with
+    * no RNG state to restore, and adding a shard-parallel reader
+    * never changes what any other reader sees.
+    *
+    * Scale shape: order is PER-SHARD by construction (a global rank
+    * would serialize the corpus through one partition); one hash
+    * shuffle to the shard grain, one window per shard. Readers
+    * consume shards independently — exactly how a multi-worker
+    * dataloader wants its input laid out.
+    */
+  def epochOrder(df: DataFrame, key: Column, epoch: Int,
+      shards: Int, salt: String = "epoch"): DataFrame = {
+    require(shards > 0 && epoch >= 0, "need shards > 0, epoch >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val shard = floor(hashFraction(key, s"$salt-shard") * shards).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashFraction(key, s"$salt-$epoch"), key)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Exact-k deterministic corpus sample — "give me exactly k rows,
     * stably": rows ranked by the salted md5 of their key, first k
     * taken. The exact-size contract the threshold samplers can't give
@@ -375,6 +401,13 @@ object Sampling {
     Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // epoch-1 dataloader order over 4 shards — a pure function of
+    // (epoch, doc_id), replayable after a crash
+    "sa_epoch_order" -> ((s, dir) =>
+      epochOrder(table(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), epoch = 1, shards = 4)
+        .orderBy("shard", "pos")),
+
     // exactly 100 docs, chosen by salted key hash — stable under
     // partitioning where sample()/randomSplit() are not
     "sa_fixed_k" -> ((s, dir) =>
@@ -517,6 +550,15 @@ object Sampling {
        |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "sa_epoch_order" ->
+      s"""SELECT doc_id,
+         | CAST(FLOOR(${hashFractionSql("doc_id", "epoch-shard")} * 4) AS BIGINT)
+         |   AS shard,
+         | CAST(ROW_NUMBER() OVER (
+         |   PARTITION BY FLOOR(${hashFractionSql("doc_id", "epoch-shard")} * 4)
+         |   ORDER BY ${hashFractionSql("doc_id", "epoch-1")}, doc_id) AS BIGINT)
+         |   AS pos
+         |FROM documents ORDER BY shard, pos""".stripMargin,
     "sa_fixed_k" ->
       """SELECT doc_id, source FROM (
         | SELECT doc_id, source,

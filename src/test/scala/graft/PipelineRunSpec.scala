@@ -76,6 +76,38 @@ class PipelineRunSpec extends SparkSpec {
     assert(got.size < docs.count()) // the filter and dedup really dropped rows
   }
 
+  test("lm_filter step: parses, bounds validated, equals the hand semi-join") {
+    def bad(y: String): String =
+      intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
+    assert(bad(
+      s"pipeline:\n  input:\n    db: {type: parquet, path: $docsPath}\n" +
+        "  steps:\n    - kind: lm_filter\n      min_ppm: 9\n      max_ppm: 3")
+      .contains("min_ppm <= max_ppm"))
+
+    // cut at the corpus median score so the filter provably bites
+    val docs = spark.read.parquet(docsPath)
+    val plan = graft.operators.TextAnalysis.lmScorePlan(docs)
+    val cut = plan.df.agg(
+      expr("percentile(lm_score_ppm, 0.5)")).head().getDouble(0).toLong
+    val expect = plan.df.where(col("lm_score_ppm") >= cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    plan.release()
+
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: lm_filter
+         |      min_ppm: $cut
+         |""".stripMargin)
+    assert(spec.steps == Seq(StepSpec.LmFilter(cut, Long.MaxValue)))
+    val got = Pipeline.run(spark, spec).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+    assert(got.size < docs.count()) // the below-median tail really dropped
+  }
+
   test("pipeline execute writes the sink and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/o"
     val spec = PipelineLoader.fromYaml(

@@ -360,6 +360,18 @@ class ProfilerSpec extends SparkSpec {
     assert(s.getLong(2) == 5 && s.getLong(3) == 1 && s.getBoolean(4))
   }
 
+  test("dataset card: hand-computed headline numbers, top-source share") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b", "en", "s1"), (2L, "c", "en", "s1"), (3L, "d e f", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Profiler.datasetCard(d).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 9 && r.getLong(4) == 6) // chars, tokens
+    assert(r.getLong(5) == 3 && r.getLong(6) == 5) // mean, max chars
+    assert(r.getString(7) == "s1" && r.getLong(8) == 2000000L / 3)
+  }
+
   test("sequence gaps: planted gaps, duplicates and nulls all counted") {
     import spark.implicits._
     val d = Seq(Option(1L), Option(2L), Option(2L), Option(5L), None).toDF("k")

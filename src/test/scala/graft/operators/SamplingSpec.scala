@@ -267,6 +267,25 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == 425)
   }
 
+  test("epochOrder: dense per-shard positions, replayable, epochs independent") {
+    import spark.implicits._
+    val d = (1L to 200L).toDF("doc_id")
+    def run(epoch: Int) = Sampling.epochOrder(d, col("doc_id"), epoch, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e1 = run(1)
+    assert(e1.length == 200 && e1.map(_._1).toSet.size == 200)
+    // positions are dense 1..n within every shard — resumable offsets
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // pure function of (epoch, key): a second run replays exactly
+    assert(run(1).toSet == e1.toSet)
+    // a different epoch keeps the shard assignment, permutes the order
+    val e2 = run(2)
+    assert(e1.map(x => (x._1, x._2)).toSet == e2.map(x => (x._1, x._2)).toSet)
+    assert(e1.toSet != e2.toSet)
+  }
+
   test("fixedK: exactly k rows, same set under repartitioning, top-k plan") {
     import spark.implicits._
     val d = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
