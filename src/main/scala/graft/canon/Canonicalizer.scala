@@ -133,7 +133,7 @@ object Canonicalizer {
     * input stream uniquely encodes both the null pattern and the value
     * positions, for any column count. Nulls NESTED inside a complex
     * value can't be flagged that way, so complex columns (see
-    * [[needsJsonHash]]) hash their canonical JSON text — to_json keeps
+    * `needsJsonHash`) hash their canonical JSON text — to_json keeps
     * array nulls and drops null struct fields, both injective
     * renderings for a fixed schema. Top-level maps with atomic keys
     * and values hash their SORTED entry list (entry order is not

@@ -427,7 +427,7 @@ object Comparator {
     * with timed probes and plans `loops = ceil(max(rows)/min(bucket))`
     * (/root/reference/scribedb/base.py:108-154,
     * /root/reference/main.py:206-208). Here planning is SCAN-FREE
-    * ([[estimateRows]]: plan statistics, no job): bucket count scales
+    * (`estimateRows`: plan statistics, no job): bucket count scales
     * with the larger side so each bucket holds ~targetRowsPerBucket
     * rows, bounded so the fingerprint join stays tiny; AQE handles
     * residual skew at runtime. Each side is then scanned exactly once
@@ -447,7 +447,7 @@ object Comparator {
 
   /** The bucket count [[compareAuto]] will use — exposed so tests can
     * assert planning runs zero Spark jobs. `srcRowsHint`/`tgtRowsHint`
-    * bypass [[estimateRows]] entirely — for JDBC sides the caller
+    * bypass `estimateRows` entirely — for JDBC sides the caller
     * supplies a pushed-down remote `COUNT(*)` (Sources.countRemote), so
     * planning never executes the full remote query (its Catalyst stats
     * are unusable — sizeInBytes unknown — and the estimateRows fallback

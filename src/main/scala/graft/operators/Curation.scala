@@ -72,7 +72,7 @@ object Curation {
     * measure generalization and not memorized test items.
     *
     * Overlap unit: the same word 3-gram shingles the dedup family uses
-    * ([[Dedup.shingleDf]]) — one shared tokenization means one shared
+    * (`Dedup.shingleDf`) — one shared tokenization means one shared
     * meaning of "overlap" across the whole engine. Returns one row per
     * CONTAMINATED candidate doc: (doc_id, bench_hits) where bench_hits
     * counts the distinct benchmark shingles the doc contains.

@@ -443,7 +443,7 @@ object Dedup {
     * TOKEN grain with map-side combine, one token-keyed shuffle join
     * back (the df table is never broadcast — vocabulary unbounded),
     * then the same single map-side-combinable 16-vote groupBy as
-    * [[simhash]]. Pairing reuses [[bandedFingerprintPairs]].
+    * [[simhash]]. Pairing reuses `bandedFingerprintPairs`.
     */
   def simhashIdfPlan(docs: DataFrame): DedupPlan = {
     val toksD = docs
@@ -583,7 +583,7 @@ object Dedup {
   /** Embedding cosine near-dup pairs via SRP-LSH — the SCALE path and
     * the gate default. Candidates are restricted to vector pairs
     * sharing a sign-random-projection bucket in at least one of
-    * [[Similarity.NumTables]] tables (signatures in one narrow pass,
+    * `Similarity.NumTables` tables (signatures in one narrow pass,
     * banded bucket self-join — O(Σ bucket²), never O(N²)), then ranked
     * by exact integer-quantized cosine and filtered at `threshold`.
     * Candidate recall vs [[embeddingPairs]] (the brute-force baseline,

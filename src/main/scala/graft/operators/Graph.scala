@@ -54,7 +54,7 @@ object Graph {
     *
     * EAGER convenience form: runs the plan at call time, returns the
     * materialized O(nodes) rank table, and releases every
-    * intermediate cache before returning (see [[eagerReleased]]).
+    * intermediate cache before returning (see `eagerReleased`).
     * Long-lived sessions that want lazy composition or reliable
     * checkpoints use [[pageRankPlan]] + `release()`.
     */

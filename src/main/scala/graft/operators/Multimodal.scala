@@ -512,7 +512,7 @@ object Multimodal {
 
   /** Image near-dup pairs — first-class IMAGE dedup: dHash
     * fingerprints fed through the same banded hamming machinery the
-    * text simhash path uses ([[Dedup.bandedFingerprintPairs]], 64-bit
+    * text simhash path uses (`Dedup.bandedFingerprintPairs`, 64-bit
     * form), so candidate generation is a banded bucket join over
     * DISTINCT fingerprint values — never an all-pairs comparison
     * (no-cartesian plan-asserted in MultimodalSpec). `maxHamming` ≈ 10
@@ -593,7 +593,7 @@ object Multimodal {
 
   /** Audio near-dup pairs: the energy-delta fingerprints fed through
     * the SAME banded hamming machinery as text simhash and image
-    * dHash ([[Dedup.bandedFingerprintPairs]]) — candidate generation
+    * dHash (`Dedup.bandedFingerprintPairs`) — candidate generation
     * is a banded bucket join over distinct fingerprint values, never
     * an all-pairs comparison. One fingerprint pass + one banded join:
     * the shape that dedups an audio corpus at 100 TB.

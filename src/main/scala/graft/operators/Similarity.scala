@@ -185,7 +185,7 @@ object Similarity {
       q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
     kmeansFitQCents(q, k, iters, dims)._1
 
-  /** [[kmeansFitQ]] plus the FINAL centroid table — [[pqTopK]] needs
+  /** `kmeansFitQ` plus the FINAL centroid table — [[pqTopK]] needs
     * the codebook itself to reconstruct vectors for asymmetric
     * distances. Centroids are k·dims longs of driver state, the
     * bounded-collect pattern.
@@ -254,7 +254,7 @@ object Similarity {
     * triple next to the LSH tables and the IVF probe: the vector
     * splits into `blocks` contiguous sub-vectors, each block gets its
     * OWN k-centroid codebook (the shared deterministic integer
-    * [[kmeansFitQ]]), and a vector compresses to `blocks` small codes
+    * `kmeansFitQ`), and a vector compresses to `blocks` small codes
     * — k^blocks virtual cells from only blocks·k centroids. At 100 TB
     * this is what makes a billion-vector index fit in memory:
     * blocks·log2(k) bits per vector instead of dims·32, with

@@ -352,7 +352,7 @@ object TextAnalysis {
     * codegen'd, the operator is shuffle-free and scales linearly with
     * input splits — chunking 100 TB is exactly one pass. Chunk
     * identity travels as an md5 of the joined window so downstream
-    * exact-dedup of chunks reuses [[Dedup.exact]] unchanged.
+    * exact-dedup of chunks reuses `Dedup`-family exact dedup unchanged.
     */
   def chunk(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
     require(stride > 0 && chunkSize >= stride, "need chunkSize >= stride > 0")
@@ -445,7 +445,7 @@ object TextAnalysis {
     * The per-source aggregate of this column is the marginal-value
     * report for mixture weighting.
     *
-    * Scale shape: one shingle pass ([[Dedup.shingleDf]], shared
+    * Scale shape: one shingle pass (`Dedup.shingleDf`, shared
     * machinery), one min aggregation at the SHINGLE grain (first
     * occurrence), one shingle-keyed join back, one per-doc count —
     * all term-keyed shuffles with map-side combine, no broadcast of

@@ -208,7 +208,7 @@ object Streaming {
     * the doc is a new singleton cluster and gets the batch operator's
     * exact hash assignment keyed on its own doc_id — bit-identical to
     * what a batch re-run would assign it
-    * ([[graft.operators.Sampling.splitLabel]], shared code).
+    * (`Sampling.splitLabel`, shared code).
     *
     * `corpusSplits` is (doc_id, cluster_id, split) — the persisted
     * output of the batch split ([[graft.operators.Sampling
@@ -268,7 +268,7 @@ object Streaming {
     * or out-of-domain arrival into the filterable tail.
     *
     * Scale shape: stream-side bigrams are produced shuffle-free
-    * inside the scan ([[graft.operators.TextAnalysis.bigramStructs]],
+    * inside the scan (`TextAnalysis.bigramStructs`,
     * shared code); two stream-static LEFT joins against the static
     * model (Catalyst picks broadcast vs shuffle from model size); the
     * ONLY stateful stage is the per-doc mean, keyed by (event-time
@@ -503,7 +503,7 @@ object Streaming {
     * insert / update / unchanged via a stream-static left join on the
     * primary key, with non-key columns traveling as the SAME md5
     * digest projection the batch operator uses
-    * ([[graft.diff.Comparator.cdcHashed]], shared verbatim — the
+    * (`Comparator.cdcHashed`, shared verbatim — the
     * stream inherits the batch gate's semantics including the NULL
     * sentinel). Deletes are invisible to an insert-stream by nature;
     * detecting them needs the batch full-outer form over a complete
