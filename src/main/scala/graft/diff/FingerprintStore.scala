@@ -92,7 +92,21 @@ object FingerprintStore {
   def writeMerkle(df: DataFrame, path: String, hexLen: Int = 2): Unit = {
     val canon = df.select(graft.canon.Canonicalizer.canonRow(df).as("canon"))
     val plan = merkleTreePlan(canon, hexLen)
-    plan.df
+    // An EMPTY input yields an empty tree, which parquet writes as a
+    // schemaless directory no reader can open — and "no store" is not
+    // the same auditable fact as "a store of zero rows". The Merkle
+    // definition extends naturally: the root over zero children is the
+    // digest of the empty concatenation (md5("")), n = 0, so an empty
+    // snapshot gets a real, comparable root and merkleLocalize works
+    // unmodified (empty-vs-empty matches at the root; empty-vs-full
+    // walks down to the full side's leaves).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tree =
+      if (plan.df.isEmpty)
+        Seq((hexLen, "", EmptyMd5, 0L)).toDF("level", "node", "fingerprint", "n")
+      else plan.df
+    tree
       .withColumn("parent",
         when(col("node") === "", lit(null).cast("string"))
           .otherwise(expr("substring(node, 1, length(node) - 1)")))
@@ -100,6 +114,11 @@ object FingerprintStore {
       .write.mode("overwrite").partitionBy("level").parquet(path)
     plan.release()
   }
+
+  /** md5 of the empty byte string — the root digest of a zero-row
+    * store (see [[writeMerkle]]).
+    */
+  val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
 
   /** Localization result: the drifted LEAF buckets plus the read cost
     * actually paid (`nodesRead` across both stores — the number a flat

@@ -91,6 +91,24 @@ class DiffFeaturesSpec extends SparkSpec {
     assert(drift.driftedBuckets == expected)
   }
 
+  test("merkle store: empty snapshots get a real root and stay comparable") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("merkle-empty").toString
+    val empty = li.where(lit(false))
+    FingerprintStore.writeMerkle(empty, s"$base/e1", hexLen = 2)
+    FingerprintStore.writeMerkle(empty, s"$base/e2", hexLen = 2)
+    // empty vs empty: roots agree (md5 of the empty concatenation, n=0)
+    val same = FingerprintStore.merkleLocalize(spark, s"$base/e1", s"$base/e2")
+    assert(same.driftedBuckets.isEmpty && same.exhaustive && same.nodesRead == 2)
+    // empty vs full: the walk descends to exactly the full side's leaves
+    FingerprintStore.writeMerkle(li, s"$base/f", hexLen = 2)
+    val drift = FingerprintStore.merkleLocalize(spark, s"$base/e1", s"$base/f")
+    val fullLeaves = spark.read.parquet(s"$base/f")
+      .where(col("level") === 0).select("node")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(drift.driftedBuckets == fullLeaves && drift.exhaustive)
+  }
+
   test("prefiltered jaccard drops hot shingles but keeps exact duplicate pairs") {
     val docs = GraftSession.table(spark, Sf0001, "documents")
     val exact = graft.operators.Dedup.jaccardPairs(docs, 0.9)

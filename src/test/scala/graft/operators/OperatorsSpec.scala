@@ -991,6 +991,25 @@ class OperatorsSpec extends SparkSpec {
       ("x", "z", 1L, 1333333L)))
   }
 
+  test("new operators on empty/degenerate input: no crashes, honest shapes") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val lmPlan = TextAnalysis.lmScorePlan(none)
+    assert(lmPlan.df.count() == 0); lmPlan.release()
+    assert(TextAnalysis.collocations(none, k = 5, minCount = 1L).count() == 0)
+    val shPlan = Dedup.simhashIdfPlan(none)
+    assert(shPlan.df.count() == 0); shPlan.release()
+    assert(EntityResolution.blockingProfile(none, col("text")).count() == 0)
+    assert(Sampling.epochOrder(none, col("doc_id"), 1, 4).count() == 0)
+    // fixedK with k beyond the row count returns everything
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Sampling.fixedK(tiny, col("doc_id"), 100).count() == 2)
+    // sequenceGaps on empty: counts 0, bounds NULL (not a crash, and
+    // not fabricated zeros — there is no span to report)
+    val g = Profiler.sequenceGaps(none, "doc_id").head()
+    assert(g.getLong(0) == 0 && g.isNullAt(3) && g.isNullAt(4))
+  }
+
   test("idf-weighted simhash: bit-exact vs an independent recomputation") {
     import spark.implicits._
     val corpus = Seq(
