@@ -30,6 +30,53 @@ object Pipeline {
     out
   }
 
+  /** Per-step retention funnel — the report a curation run ships next
+    * to its output: rows in, rows out, and the exact drop in ppm of
+    * each step's input, one row per step plus the input row. The
+    * answer to "which step ate my corpus" that otherwise needs a
+    * re-run per hypothesis.
+    *
+    * Diagnostic form, deliberately EAGER: each stage is cached,
+    * counted once, handed to the next step, and released as soon as
+    * its successor is materialized — the chain executes once (never
+    * steps² recomputation) and no stage cache outlives the call.
+    * Production runs use [[run]]/[[execute]] (one lazy plan, zero
+    * extra materialization); the funnel is the opt-in ops pass.
+    */
+  def funnel(spark: SparkSession, spec: PipelineSpec): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var cur = Sources.resolve(spark, spec.input)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var prev = cur.count()
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
+    rows += ((0, "input", prev, prev, 0L))
+    spec.steps.zipWithIndex.foreach { case (s, i) =>
+      val next = applyStep(spark, cur, s)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val n = next.count() // materialize BEFORE releasing the input stage
+      cur.unpersist(blocking = false)
+      rows += ((i + 1, stepName(s), prev, n,
+        if (prev > 0) (prev - n) * 1000000L / prev else 0L))
+      cur = next; prev = n
+    }
+    cur.unpersist(blocking = false)
+    import spark.implicits._
+    rows.toSeq.toDF("step_idx", "step", "rows_in", "rows_out", "dropped_ppm")
+  }
+
+  private def stepName(s: StepSpec): String = s match {
+    case StepSpec.FilterStack        => "filter_stack"
+    case _: StepSpec.RedactPii       => "redact_pii"
+    case _: StepSpec.Pseudonymize    => "pseudonymize"
+    case _: StepSpec.DedupExact      => "dedup_exact"
+    case StepSpec.DedupNear          => "dedup_near"
+    case _: StepSpec.Decontaminate   => "decontaminate"
+    case _: StepSpec.SourceCap       => "source_cap"
+    case _: StepSpec.Split           => "split"
+    case _: StepSpec.Forget          => "forget"
+    case _: StepSpec.LmFilter        => "lm_filter"
+  }
+
   private[graft] def applyStep(
       spark: SparkSession, df: DataFrame, step: StepSpec): DataFrame = step match {
     case StepSpec.FilterStack =>

@@ -274,6 +274,21 @@ object Curation {
         d.where(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy("doc_id")
     }),
+    // the retention funnel over a declarative 3-step pipeline —
+    // exact per-step in/out counts and drop ppm
+    "pipe_funnel" -> ((s, dir) => {
+      import graft.config.{PipelineSpec, SideSpec, SourceSpec, StepSpec}
+      val spec = PipelineSpec(
+        input = SideSpec("docs",
+          SourceSpec.File("parquet", s"$dir/documents.parquet", None)),
+        steps = Seq(
+          StepSpec.DedupExact("doc_id", "text"),
+          StepSpec.SourceCap("source", 10),
+          StepSpec.Split(Sampling.GateWeights, "split", leakageSafe = false)),
+        output = None)
+      graft.Pipeline.funnel(s, spec).orderBy("step_idx")
+    }),
+
     // per-split keeper counts + exact char volume — the dataset-card
     // summary a curation run ends with
     "pipe_curation" -> ((s, dir) =>
@@ -370,6 +385,25 @@ object Curation {
          |SELECT doc_id, COUNT(*) AS bench_hits
          |FROM cand JOIN bs USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_funnel" ->
+      """WITH n0 AS (SELECT COUNT(*) AS n FROM documents),
+        |d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+        |n1 AS (SELECT COUNT(*) AS n FROM d),
+        |c AS (SELECT doc_id FROM (
+        |   SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |   FROM d) WHERE rk <= 10),
+        |n2 AS (SELECT COUNT(*) AS n FROM c)
+        |SELECT 0 AS step_idx, 'input' AS step,
+        |  n0.n AS rows_in, n0.n AS rows_out, CAST(0 AS BIGINT) AS dropped_ppm
+        | FROM n0
+        |UNION ALL SELECT 1, 'dedup_exact', n0.n, n1.n,
+        |  CAST((n0.n - n1.n) * 1000000 // n0.n AS BIGINT) FROM n0, n1
+        |UNION ALL SELECT 2, 'source_cap', n1.n, n2.n,
+        |  CAST((n1.n - n2.n) * 1000000 // n1.n AS BIGINT) FROM n1, n2
+        |UNION ALL SELECT 3, 'split', n2.n, n2.n, CAST(0 AS BIGINT) FROM n2
+        |ORDER BY step_idx""".stripMargin,
     "pipe_curation" ->
       s"""WITH RECURSIVE ${Dedup.clustersCte},
          |clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),

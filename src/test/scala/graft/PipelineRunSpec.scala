@@ -108,6 +108,32 @@ class PipelineRunSpec extends SparkSpec {
     assert(got.size < docs.count()) // the below-median tail really dropped
   }
 
+  test("funnel: hand-computed per-step retention, stage caches released") {
+    import spark.implicits._
+    import graft.config.{PipelineSpec, SideSpec, SourceSpec}
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    Seq((1L, "t1", "s1"), (2L, "t1", "s1"), (3L, "t2", "s1"), (4L, "t3", "s2"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/docs")
+    val spec = PipelineSpec(
+      input = SideSpec("d", SourceSpec.File("parquet", s"$dir/docs", None)),
+      steps = Seq(
+        StepSpec.DedupExact("doc_id", "text"),
+        StepSpec.SourceCap("source", 1),
+        StepSpec.Split(Seq("train" -> 0.5, "test" -> 0.5), "split", leakageSafe = false)),
+      output = None)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Pipeline.funnel(spark, spec).orderBy("step_idx").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // doc 2 is an exact copy of 1; s1 caps {1,3} to one keeper; split keeps all
+    assert(r.toSeq == Seq(
+      (0, "input", 4L, 4L, 0L),
+      (1, "dedup_exact", 4L, 3L, 250000L),
+      (2, "source_cap", 3L, 2L, 333333L),
+      (3, "split", 2L, 2L, 0L)))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"funnel leaked stage caches: $leaked")
+  }
+
   test("pipeline execute writes the sink and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/o"
     val spec = PipelineLoader.fromYaml(
