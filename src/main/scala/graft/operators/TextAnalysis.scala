@@ -285,19 +285,31 @@ object TextAnalysis {
     * can be huge; nothing is broadcast) → per-doc window top-k. N rides
     * in as a 1-row broadcast cross join, never a driver round-trip.
     */
-  def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
+  def tfidfTop(docs: DataFrame, k: Int): DataFrame =
+    tfidfTopPlan(docs, k).df
+
+  /** Managed form of [[tfidfTop]]: the (doc, term, tf) table feeds
+    * BOTH the df derivation and the score join, so it is persisted
+    * behind the release contract — without it the corpus is exploded
+    * and counted twice (measured as the worst 10× scale ratio in the
+    * sf1 rehearsal before this fix).
+    */
+  def tfidfTopPlan(docs: DataFrame, k: Int): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
     val tok = docs.select(col("doc_id"), explode(toks).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
+    val out = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+    DedupPlan(out, "tfidf_top", Seq(tf))
   }
 
   /** Corpus-calibrated token COMMONNESS — the quality signal the
@@ -325,15 +337,20 @@ object TextAnalysis {
     // at the (doc, term) grain — |tf| rows, far smaller than the raw
     // occurrence stream — and per-occurrence sums are recovered
     // exactly from it (Σ_occurrences df = Σ_distinct tf·df; hapax
-    // occurrences = tf where df = 1). A pipeline computing several
-    // token statistics shares ONE persisted tf table across them (the
-    // DedupPlan ownership pattern) — that, not this single query, is
-    // where the second corpus scan disappears at 100 TB.
+    // occurrences = tf where df = 1). tf is referenced twice but
+    // deliberately NOT persisted: unlike [[tfidfTopPlan]] (whose
+    // recomputed branch carries a window), both branches here are one
+    // cheap codegen'd count each, and the sf1 rehearsal MEASURED the
+    // cache at 2× slower than the recompute (0.65 s → 1.35 s) — the
+    // serialize-and-spill cost exceeds the second aggregation. A
+    // pipeline computing several token statistics shares ONE persisted
+    // tf table across them; that is where the second corpus scan
+    // disappears at 100 TB.
     val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, Seq("tok"))
+    val out = tf.join(dfreq, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("df")).as("sum_df"),
@@ -342,6 +359,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("sum_df"), col("n_hapax"),
         (col("sum_df").cast("double") / (col("n_tokens") * col("n_docs")))
           .as("mean_df_ratio"))
+    out
   }
 
   /** Fixed-size token-window chunking with overlap — the
@@ -392,8 +410,17 @@ object TextAnalysis {
     * map-side. Cost is O(Σ_term q_df·df) — the posting-list
     * intersection bound — not O(Q·N).
     */
-  def lexicalTopK(docs: DataFrame, queryMod: Int = 101, k: Int = 5): DataFrame = {
+  def lexicalTopK(docs: DataFrame, queryMod: Int = 101, k: Int = 5): DataFrame =
+    lexicalTopKPlan(docs, queryMod, k).df
+
+  /** Managed form of [[lexicalTopK]]: the posting list feeds the df
+    * derivation, the query extraction AND the score join (three
+    * references), so it is persisted behind the release contract.
+    */
+  def lexicalTopKPlan(docs: DataFrame, queryMod: Int = 101, k: Int = 5): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
     val terms = docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val qterms = terms.where(col("doc_id") % queryMod === 0)
@@ -406,10 +433,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"), sum(col("idf_i")).as("score"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("n_shared").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_shared"), col("score"))
+    DedupPlan(out, "lexical_topk", Seq(terms))
   }
 
   /** One round of BPE-style merge-candidate mining: the frequency of
@@ -451,15 +479,25 @@ object TextAnalysis {
     * all term-keyed shuffles with map-side combine, no broadcast of
     * the shingle vocabulary anywhere. Novelty is exact integer ppm.
     */
-  def noveltyStats(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingleDf(docs)
+  def noveltyStats(docs: DataFrame): DataFrame =
+    noveltyStatsPlan(docs).df
+
+  /** Managed form of [[noveltyStats]]: the shingle table feeds both
+    * the first-occurrence aggregation and the join back, so it is
+    * persisted behind the release contract (one shingling of the
+    * corpus, not two).
+    */
+  def noveltyStatsPlan(docs: DataFrame): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val sh = Dedup.shingleDf(docs).persist(StorageLevel.MEMORY_AND_DISK_SER)
     val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, Seq("shingle"))
+    val out = sh.join(first, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("n_novel * 1000000 DIV n_shingles").as("novelty_ppm"))
+    DedupPlan(out, "novelty", Seq(sh))
   }
 
   /** Zipf rank–frequency audit — natural text keeps rank·frequency
