@@ -209,6 +209,50 @@ object Comparator {
         sum(col("__h2").cast(dec38)).as("h2sum"))
   }
 
+  /** Schema-evolution alignment — the pre-step for comparing across a
+    * migration that ADDED or DROPPED columns: project both sides onto
+    * their COMMON column set (matched case-insensitively, kept in the
+    * source's column order so positional canonicalization stays
+    * deterministic) and report what each side carries that the other
+    * lacks. The explicit alternative to the schema gate's hard failure
+    * when the question is "did the rows survive the migration", not
+    * "are the schemas identical" — the exclusions are surfaced, never
+    * silently eaten (the no-silent-caps convention).
+    *
+    * Returns (alignedSrc, alignedTgt, srcOnlyCols, tgtOnlyCols).
+    * Refuses disjoint schemas: comparing zero shared columns would
+    * vacuously pass.
+    */
+  def alignSchemas(src: DataFrame, tgt: DataFrame)
+      : (DataFrame, DataFrame, Seq[String], Seq[String]) = {
+    val tgtByLower = tgt.columns.map(c => c.toLowerCase -> c).toMap
+    val srcLower = src.columns.map(_.toLowerCase).toSet
+    val common = src.columns.filter(c => tgtByLower.contains(c.toLowerCase))
+    if (common.isEmpty)
+      throw new IllegalArgumentException(
+        s"aligned compare impossible: no shared columns between " +
+          s"[${src.columns.mkString(",")}] and [${tgt.columns.mkString(",")}]")
+    val srcOnly = src.columns.filterNot(c => tgtByLower.contains(c.toLowerCase))
+    val tgtOnly = tgt.columns.filterNot(c => srcLower.contains(c.toLowerCase))
+    (src.select(common.map(col).toIndexedSeq: _*),
+      tgt.select(common.map(c => col(tgtByLower(c.toLowerCase))).toIndexedSeq: _*),
+      srcOnly.toIndexedSeq, tgtOnly.toIndexedSeq)
+  }
+
+  /** [[compare]] after [[alignSchemas]] — the post-migration audit.
+    * Returns the aligned compare's report plus the excluded columns
+    * per side; exclusions are also announced through `opts.progress`.
+    */
+  def compareAligned(src: DataFrame, tgt: DataFrame,
+      opts: CompareOptions = CompareOptions())
+      : (DiffReport, Seq[String], Seq[String]) = {
+    val (s, t, srcOnly, tgtOnly) = alignSchemas(src, tgt)
+    if (srcOnly.nonEmpty || tgtOnly.nonEmpty)
+      opts.progress(s"aligned compare: excluding src-only " +
+        s"[${srcOnly.mkString(",")}] tgt-only [${tgtOnly.mkString(",")}]")
+    (compare(s, t, opts), srcOnly, tgtOnly)
+  }
+
   /** Full compare. Triggers two Spark actions (fingerprint join collect
     * of summary counts; orphan counts when fetchRows).
     */

@@ -150,6 +150,25 @@ object CompareQueries {
         .toDF("src_rows", "tgt_rows", "orphan_src", "orphan_tgt")
     }),
 
+    // Post-migration audit: tgt dropped l_tax and added a load
+    // timestamp; the aligned compare runs on the 10 shared columns
+    // (where the planted mutation still lives) and REPORTS both
+    // exclusions instead of failing the schema gate
+    "cmp_aligned" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val migrated = mutated(li)
+        .drop("l_tax")
+        .withColumn("l_loaded_at", lit("2026-01-01"))
+      val (rep, srcOnly, tgtOnly) = Comparator.compareAligned(
+        li, migrated, CompareOptions(numBuckets = 512))
+      rep.release()
+      import s.implicits._
+      Seq((rep.srcRows, rep.tgtRows, rep.orphanSrc, rep.orphanTgt,
+        srcOnly.mkString(","), tgtOnly.mkString(",")))
+        .toDF("src_rows", "tgt_rows", "orphan_src", "orphan_tgt",
+          "src_only", "tgt_only")
+    }),
+
     // Identical-input fast path: zero mismatched buckets, no row fetch.
     "cmp_verdict_identical" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
@@ -354,6 +373,12 @@ object CompareQueries {
     "cmp_verdict_identical" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS src_rows, CAST(COUNT(*) AS BIGINT) AS tgt_rows,
         | CAST(0 AS BIGINT) AS mismatched_buckets, CAST(0 AS BIGINT) AS differences
+        |FROM lineitem""".stripMargin,
+    "cmp_aligned" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS src_rows,
+        | CAST(COUNT(*) AS BIGINT) AS tgt_rows,
+        | CAST(1 AS BIGINT) AS orphan_src, CAST(1 AS BIGINT) AS orphan_tgt,
+        | 'l_tax' AS src_only, 'l_loaded_at' AS tgt_only
         |FROM lineitem""".stripMargin,
     "cmp_chained_md5" ->
       """WITH c AS (SELECT '(' || l_orderkey || ',' || l_linenumber || ','

@@ -279,4 +279,26 @@ class ComparatorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v == Map(1L -> "update", 2L -> "update"))
   }
+
+  test("aligned compare: common-column projection, case-insensitive, exclusions reported") {
+    import spark.implicits._
+    val src = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "dropped")
+    val tgt = Seq((1L, "a", "x"), (2L, "B", "y")).toDF("K", "v", "added")
+    val (s, t, srcOnly, tgtOnly) = Comparator.alignSchemas(src, tgt)
+    // source's column order, source's names; exclusions per side
+    assert(s.columns.toSeq == Seq("k", "v") && t.columns.toSeq == Seq("K", "v"))
+    assert(srcOnly == Seq("dropped") && tgtOnly == Seq("added"))
+    // the end-to-end audit sees exactly the common-column difference
+    val (rep, so, to) = Comparator.compareAligned(src, tgt,
+      CompareOptions(numBuckets = 16))
+    assert(so == Seq("dropped") && to == Seq("added"))
+    assert(rep.srcRows == 2 && rep.tgtRows == 2)
+    assert(rep.orphanSrc == 1 && rep.orphanTgt == 1) // only row 2 differs
+    rep.release()
+    // disjoint schemas refuse loudly instead of vacuously passing
+    val disjoint = Seq((1L, 2L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException](
+      Comparator.alignSchemas(src, disjoint))
+    assert(e.getMessage.contains("no shared columns"))
+  }
 }
