@@ -242,11 +242,24 @@ object Comparator {
   /** [[compare]] after [[alignSchemas]] — the post-migration audit.
     * Returns the aligned compare's report plus the excluded columns
     * per side; exclusions are also announced through `opts.progress`.
+    *
+    * `renames` maps SOURCE column name → the name the migration gave
+    * it on the target (the other common schema evolution besides
+    * add/drop): the target column is matched under its old name
+    * before alignment, so a renamed column is COMPARED, not excluded.
     */
   def compareAligned(src: DataFrame, tgt: DataFrame,
-      opts: CompareOptions = CompareOptions())
+      opts: CompareOptions = CompareOptions(),
+      renames: Map[String, String] = Map.empty)
       : (DiffReport, Seq[String], Seq[String]) = {
-    val (s, t, srcOnly, tgtOnly) = alignSchemas(src, tgt)
+    val t0 = renames.foldLeft(tgt) { case (df, (srcName, tgtName)) =>
+      if (!df.columns.exists(_.equalsIgnoreCase(tgtName)))
+        throw new IllegalArgumentException(
+          s"rename $srcName->$tgtName: target has no column '$tgtName'")
+      df.withColumnRenamed(
+        df.columns.find(_.equalsIgnoreCase(tgtName)).get, srcName)
+    }
+    val (s, t, srcOnly, tgtOnly) = alignSchemas(src, t0)
     if (srcOnly.nonEmpty || tgtOnly.nonEmpty)
       opts.progress(s"aligned compare: excluding src-only " +
         s"[${srcOnly.mkString(",")}] tgt-only [${tgtOnly.mkString(",")}]")

@@ -301,4 +301,21 @@ class ComparatorSpec extends SparkSpec {
       Comparator.alignSchemas(src, disjoint))
     assert(e.getMessage.contains("no shared columns"))
   }
+
+  test("aligned compare with renames: renamed column is compared, not excluded") {
+    import spark.implicits._
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val renamed = Seq((1L, "a"), (2L, "CHANGED")).toDF("k", "v2")
+    val (rep, srcOnly, tgtOnly) = Comparator.compareAligned(
+      src, renamed, CompareOptions(numBuckets = 16), renames = Map("v" -> "v2"))
+    // v is matched to v2 and COMPARED — the changed row surfaces
+    assert(srcOnly.isEmpty && tgtOnly.isEmpty)
+    assert(rep.orphanSrc == 1 && rep.orphanTgt == 1)
+    rep.release()
+    // a rename pointing at a missing target column fails loudly
+    val e = intercept[IllegalArgumentException](
+      Comparator.compareAligned(src, renamed,
+        CompareOptions(numBuckets = 16), renames = Map("v" -> "nope")))
+    assert(e.getMessage.contains("no column 'nope'"))
+  }
 }
