@@ -69,8 +69,20 @@ object Main {
       spec: CompareSpec,
       searchDiff: Option[Boolean] = None,
       progress: String => Unit = _ => ()): DiffReport = {
-    val src = Sources.resolve(spark, spec.source)
-    val tgt = Sources.resolve(spark, spec.target)
+    val src0 = Sources.resolve(spark, spec.source)
+    val tgt0 = Sources.resolve(spark, spec.target)
+    val (src, tgt) =
+      if (!spec.alignColumns) (src0, tgt0)
+      else {
+        // schema-evolution mode: renames matched back, both sides
+        // projected onto the common columns, exclusions announced
+        val (s, t, srcOnly, tgtOnly) = Comparator.alignSchemas(
+          src0, Comparator.applyRenames(tgt0, spec.renames))
+        if (srcOnly.nonEmpty || tgtOnly.nonEmpty)
+          progress(s"aligned compare: excluding src-only " +
+            s"[${srcOnly.mkString(",")}] tgt-only [${tgtOnly.mkString(",")}]")
+        (s, t)
+      }
     val opts0 = spec.options
     val opts = searchDiff.fold(opts0)(s => opts0.copy(fetchRows = s)).copy(progress = progress)
     spec.numBuckets match {

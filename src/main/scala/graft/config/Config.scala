@@ -67,7 +67,12 @@ final case class CompareSpec(
     schemaCheck: SchemaCheck = SchemaCheck.Positional,
     persistScans: Option[Boolean] = None,
     maxMismatchFraction: Option[Double] = None,
-    breakerMinRows: Option[Long] = None) {
+    breakerMinRows: Option[Long] = None,
+    // schema-evolution mode: project both sides onto their common
+    // columns (Comparator.alignSchemas), optionally matching renamed
+    // target columns under their old source names first
+    alignColumns: Boolean = false,
+    renames: Map[String, String] = Map.empty) {
   private def hasJdbcSide: Boolean =
     source.source.isInstanceOf[SourceSpec.Jdbc] || target.source.isInstanceOf[SourceSpec.Jdbc]
   def options: CompareOptions = CompareOptions(
@@ -135,7 +140,19 @@ object ConfigLoader {
         case Some(other) =>
           throw new IllegalArgumentException(
             s"schema_check must be arity|positional|exact, got '$other'")
-      })
+      },
+      alignColumns = opt(root, "align_columns").exists(_.asBoolean(false)),
+      renames = opt(root, "renames").map { n =>
+        if (!n.isObject)
+          throw new IllegalArgumentException(
+            "renames must be a mapping of source column -> target column")
+        n.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty)) match {
+      case s if s.renames.nonEmpty && !s.alignColumns =>
+        throw new IllegalArgumentException(
+          "renames requires align_columns: true")
+      case s => s
+    }
   }
 
   private[config] def side(node: JsonNode, where: String): SideSpec = {

@@ -248,18 +248,25 @@ object Comparator {
     * add/drop): the target column is matched under its old name
     * before alignment, so a renamed column is COMPARED, not excluded.
     */
-  def compareAligned(src: DataFrame, tgt: DataFrame,
-      opts: CompareOptions = CompareOptions(),
-      renames: Map[String, String] = Map.empty)
-      : (DiffReport, Seq[String], Seq[String]) = {
-    val t0 = renames.foldLeft(tgt) { case (df, (srcName, tgtName)) =>
+  /** Rename target columns back to their pre-migration source names
+    * (case-insensitive match on the target side); loud failure on a
+    * rename naming a column the target doesn't have.
+    */
+  private[graft] def applyRenames(tgt: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    renames.foldLeft(tgt) { case (df, (srcName, tgtName)) =>
       if (!df.columns.exists(_.equalsIgnoreCase(tgtName)))
         throw new IllegalArgumentException(
           s"rename $srcName->$tgtName: target has no column '$tgtName'")
       df.withColumnRenamed(
         df.columns.find(_.equalsIgnoreCase(tgtName)).get, srcName)
     }
-    val (s, t, srcOnly, tgtOnly) = alignSchemas(src, t0)
+
+  def compareAligned(src: DataFrame, tgt: DataFrame,
+      opts: CompareOptions = CompareOptions(),
+      renames: Map[String, String] = Map.empty)
+      : (DiffReport, Seq[String], Seq[String]) = {
+    val (s, t, srcOnly, tgtOnly) = alignSchemas(src, applyRenames(tgt, renames))
     if (srcOnly.nonEmpty || tgtOnly.nonEmpty)
       opts.progress(s"aligned compare: excluding src-only " +
         s"[${srcOnly.mkString(",")}] tgt-only [${tgtOnly.mkString(",")}]")

@@ -118,6 +118,31 @@ class ConfigSpec extends SparkSpec {
     assert(rep.differences > 0)
   }
 
+  test("align_columns + renames: YAML decodes, validates, and runs the migration audit") {
+    // renames without align_columns is a config error
+    val e = intercept[IllegalArgumentException](ConfigLoader.fromYaml(
+      validYaml + "renames: {a: b}\n"))
+    assert(e.getMessage.contains("align_columns"))
+    // migration shape: target renamed l_quantity -> qty and added a
+    // load column; aligned run compares the shared columns (incl. the
+    // renamed one) and comes back identical
+    graft.GraftSession.registerAll(spark, Sf0001)
+    val spec = ConfigLoader.fromYaml(
+      """source:
+        |  db: {type: sql, qry: "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"}
+        |target:
+        |  db: {type: sql, qry: "SELECT l_orderkey, l_linenumber, l_quantity AS qty, 'x' AS loaded_by FROM lineitem"}
+        |num_buckets: 64
+        |align_columns: true
+        |renames: {l_quantity: qty}
+        |""".stripMargin)
+    assert(spec.alignColumns && spec.renames == Map("l_quantity" -> "qty"))
+    val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rep = Main.run(spark, spec, progress = notes += _)
+    assert(rep.identical)
+    assert(notes.exists(_.contains("tgt-only [loaded_by]")), notes.mkString("; "))
+  }
+
   test("filtered-query config: both sides shaped by WHERE clauses, identical verdict") {
     // mirrors the reference's filtered-query fixture
     // (/root/reference/tests/yaml — filtered query shape)
