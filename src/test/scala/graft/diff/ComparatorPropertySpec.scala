@@ -73,4 +73,30 @@ class ComparatorPropertySpec extends SparkSpec {
     assert(counts.distinct.size == 1, counts.toString)
     assert(counts.head._1 >= 1) // the replaced head row must surface
   }
+
+  test("property: aligned compare of a frame vs itself plus extras is identical") {
+    import org.apache.spark.sql.functions.{col, lit, upper}
+    (1L to 5L).foreach { seed =>
+      val df = sample(seed).toDF("id", "s", "d")
+      // migration: column added, one column renamed (case-flipped too)
+      val migrated = df
+        .withColumnRenamed("s", "S_RENAMED")
+        .withColumn("loaded_at", lit("2026"))
+        .select(col("S_RENAMED"), col("loaded_at"), col("d"), col("id"))
+      val (rep, srcOnly, tgtOnly) = Comparator.compareAligned(
+        df, migrated, CompareOptions(numBuckets = 16),
+        renames = Map("s" -> "s_renamed"))
+      assert(rep.identical, s"seed=$seed: ${rep.verdict}")
+      assert(srcOnly.isEmpty && tgtOnly == Seq("loaded_at"), s"seed=$seed")
+      rep.release()
+      // and a value perturbation in the RENAMED column still surfaces
+      val bad = migrated.withColumn("S_RENAMED", upper(col("S_RENAMED")))
+      val (rep2, _, _) = Comparator.compareAligned(
+        df, bad, CompareOptions(numBuckets = 16),
+        renames = Map("s" -> "s_renamed"))
+      val changed = sample(seed).count(r => r._2 != r._2.toUpperCase)
+      assert((rep2.orphanSrc > 0) == (changed > 0), s"seed=$seed")
+      rep2.release()
+    }
+  }
 }
