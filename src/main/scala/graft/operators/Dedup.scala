@@ -720,6 +720,45 @@ object Dedup {
       finalizers = Seq(() => release(ownedFinal)))
   }
 
+  /** Time-windowed event dedup — retry/double-delivery suppression:
+    * a row whose key re-arrives within `windowSec` of the PREVIOUS
+    * KEPT occurrence is a duplicate; beyond the window the key
+    * legitimately recurs (a user really can click twice an hour
+    * apart). This is semantics exact content dedup can't express
+    * (every recurrence has a distinct payload/ts) and sessionization
+    * doesn't either (sessions group, they don't suppress).
+    *
+    * The kept/dropped decision chains: an arrival inside the window
+    * of a DROPPED row but outside the window of the last KEPT row is
+    * kept — implemented as a per-key scan fold (`windowStart`
+    * running state via an epoch-bucket trick is wrong for chained
+    * gaps, so this walks each key's timeline once). One key shuffle,
+    * per-key chronological walk inside the window function frame —
+    * the [[graft.streaming.Streaming]] sessionization cost shape.
+    * Emits every input row with `is_dup`; callers filter.
+    */
+  def dedupWithin(events: DataFrame, keys: Seq[String], tsCol: String,
+      windowSec: Long, tieCol: String): DataFrame = {
+    require(keys.nonEmpty && windowSec > 0, "need keys and windowSec > 0")
+    import org.apache.spark.sql.expressions.Window
+    // chained-gap-correct fold over the key's chronological timeline:
+    // a row is kept iff its epoch is > windowSec after the last KEPT
+    // epoch of its STRICT prefix (frame ends at -1 — folding through
+    // the current row would misread a same-second duplicate as kept).
+    // The tie column makes same-second order deterministic, so the
+    // verdict is engine-exact. aggregate() over the collected prefix
+    // is the per-key timeline walk; frame size is the key's history.
+    val wPrev = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastKeptBefore = aggregate(
+      collect_list(unix_seconds(col(tsCol))).over(wPrev),
+      lit(Long.MinValue / 2),
+      (acc, t) => when(t - acc > windowSec, t).otherwise(acc))
+    events.withColumn("is_dup",
+      !(unix_seconds(col(tsCol)) - lastKeptBefore > windowSec))
+  }
+
   /** Quality-aware keeper election — the step after clustering that
     * [[connectedComponents]]' min-doc_id keeper only approximates:
     * inside each near-dup cluster keep the HIGHEST-QUALITY document
@@ -1153,6 +1192,14 @@ object Dedup {
     "dd_simhash_idf" -> ((s, dir) =>
       simhashIdfPlan(table(s, dir, "documents")).df.orderBy("doc_id")),
 
+    // retry suppression: same (user, event_type) within 10 min of the
+    // last KEPT occurrence is a duplicate; later recurrences are real
+    "dd_event_dedup" -> ((s, dir) =>
+      dedupWithin(table(s, dir, "events"), Seq("user_id", "event_type"),
+        "ts", windowSec = 600, tieCol = "event_id")
+        .select(col("event_id"), col("is_dup"))
+        .orderBy("event_id")),
+
     // gated on the LSH scale path; the brute-force baseline is the
     // test-suite cross-check (OperatorsSpec recall/equality tests)
     "dd_embedding_pairs" -> ((s, dir) =>
@@ -1426,6 +1473,22 @@ object Dedup {
          |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_simhash" -> s"$simhashSql ORDER BY doc_id",
+    // the strict-prefix fold mirrored: list window frame to -1, init
+    // prepended (DuckDB's list_reduce uses the head as its seed)
+    "dd_event_dedup" ->
+      """WITH e AS (SELECT event_id,
+        |  CAST(epoch(ts) AS BIGINT) AS es,
+        |  list(CAST(epoch(ts) AS BIGINT)) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+        | FROM events),
+        |k AS (SELECT event_id, es,
+        |  list_reduce(
+        |    [CAST(-4611686018427387904 AS BIGINT)] || COALESCE(prefix, []),
+        |    (acc, t) -> CASE WHEN t - acc > 600 THEN t ELSE acc END) AS last_kept
+        | FROM e)
+        |SELECT event_id, NOT (es - last_kept > 600) AS is_dup
+        |FROM k ORDER BY event_id""".stripMargin,
     // idf-weighted votes: same bit machinery, weight = n_docs*1e6 // df
     "dd_simhash_idf" ->
       """WITH toks AS (

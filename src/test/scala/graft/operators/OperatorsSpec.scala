@@ -991,6 +991,29 @@ class OperatorsSpec extends SparkSpec {
       ("x", "z", 1L, 1333333L)))
   }
 
+  test("windowed event dedup: chained gaps measured against kept rows only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(epoch: Long) = new Timestamp(epoch * 1000L)
+    // one key, window 10s, epochs 0/5/12/21/100/100:
+    //  0 kept; 5 dup (vs 0); 12 KEPT (12-0>10 — though only 7s after
+    //  the DROPPED 5); 21 dup (vs 12, though 21s after 0); 100 kept;
+    //  the same-second re-delivery of 100 is a dup
+    val rows = Seq((1L, 0L), (2L, 5L), (3L, 12L), (4L, 21L), (5L, 100L), (6L, 100L))
+      .map { case (id, e) => (id, 7L, "click", ts(e)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Dedup.dedupWithin(rows, Seq("user_id", "event_type"), "ts",
+        windowSec = 10, tieCol = "event_id")
+      .collect().map(x => x.getAs[Long]("event_id") -> x.getAs[Boolean]("is_dup")).toMap
+    assert(r == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true))
+    // an unrelated key dedups independently
+    val other = rows.withColumn("user_id", lit(8L))
+    val both = Dedup.dedupWithin(rows.unionAll(other),
+      Seq("user_id", "event_type"), "ts", 10, "event_id")
+    assert(both.where(!col("is_dup")).count() == 6) // 3 kept per key
+  }
+
   test("new operators on empty/degenerate input: no crashes, honest shapes") {
     import spark.implicits._
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
