@@ -730,12 +730,18 @@ object Dedup {
     *
     * The kept/dropped decision chains: an arrival inside the window
     * of a DROPPED row but outside the window of the last KEPT row is
-    * kept — implemented as a per-key scan fold (`windowStart`
-    * running state via an epoch-bucket trick is wrong for chained
-    * gaps, so this walks each key's timeline once). One key shuffle,
-    * per-key chronological walk inside the window function frame —
-    * the [[graft.streaming.Streaming]] sessionization cost shape.
-    * Emits every input row with `is_dup`; callers filter.
+    * kept (an epoch-bucket shortcut gets chained gaps wrong), so each
+    * row folds its key's STRICT-PREFIX timeline. One key shuffle;
+    * per-key cost is O(h²) in the key's history length h (every row
+    * re-folds its prefix — the price of staying in pure SQL-mirrorable
+    * window algebra). That is the right trade when h is bounded, which
+    * deployment makes true: retries cluster within minutes, so the
+    * production shape runs this per ingest partition (hour/day), where
+    * h = a key's events per partition, not per corpus lifetime. An
+    * unbounded-history stream wants
+    * [[graft.streaming.Streaming.dedupStream]]'s watermark-evicted
+    * state instead. Emits every input row with `is_dup`; callers
+    * filter.
     */
   def dedupWithin(events: DataFrame, keys: Seq[String], tsCol: String,
       windowSec: Long, tieCol: String): DataFrame = {
