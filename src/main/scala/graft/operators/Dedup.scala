@@ -434,9 +434,12 @@ object Dedup {
     *
     * Exactness: weights and vote sums are count-derived integers, so
     * every bit sign is engine-exact — no float accumulation anywhere.
-    * (Weight magnitude is ≤ n_docs·10⁶ and per-doc distinct tokens
-    * bound the vote sum well inside Long at any corpus this runs on;
-    * a >10¹² -doc corpus would scale the ppm constant down.)
+    * Weight magnitude is ≤ n_docs·10⁶, so a doc's per-bit vote sum is
+    * bounded by distinct-tokens · n_docs · 10⁶ — which EXCEEDS Long
+    * around 10⁸–10⁹ docs for ordinary 10³–10⁴-token documents. The
+    * accumulation therefore runs in DECIMAL(38,0) (headroom past
+    * 10²⁰ docs), the same widening [[graft.operators.Skew.keySkew]]
+    * uses; DuckDB mirrors with its automatic HUGEINT sum.
     *
     * Scale shape: ONE distinct (doc, token) pass persisted behind the
     * release contract (it feeds df and the vote join), df at the
@@ -463,7 +466,7 @@ object Dedup {
       .withColumn("h16", h16.cast("long"))
     val votes = (0 until 16).map { j =>
       sum(when(shiftright(col("h16"), 15 - j) % 2 === 1, col("w"))
-        .otherwise(-col("w"))).as(s"s$j")
+        .otherwise(-col("w")).cast("decimal(38,0)")).as(s"s$j")
     }
     val fingerprint = (0 until 16).map { j =>
       when(col(s"s$j") > 0, lit(1L << (15 - j))).otherwise(0L)
@@ -742,9 +745,16 @@ object Dedup {
     * [[graft.streaming.Streaming.dedupStream]]'s watermark-evicted
     * state instead. Emits every input row with `is_dup`; callers
     * filter.
+    *
+    * `maxHistory` > 0 turns the scaladoc's "bounded h" deployment
+    * assumption into an ENFORCED contract: any key whose history
+    * exceeds it fails the job loudly (the repo's no-silent-caps
+    * convention) instead of letting one hot key OOM a task with an
+    * O(h²) collected-prefix frame. Unbounded-history batch callers
+    * belong on [[dedupWithinLinear]] (same verdicts, O(h) per key).
     */
   def dedupWithin(events: DataFrame, keys: Seq[String], tsCol: String,
-      windowSec: Long, tieCol: String): DataFrame = {
+      windowSec: Long, tieCol: String, maxHistory: Int = 0): DataFrame = {
     require(keys.nonEmpty && windowSec > 0, "need keys and windowSec > 0")
     import org.apache.spark.sql.expressions.Window
     // chained-gap-correct fold over the key's chronological timeline:
@@ -761,8 +771,76 @@ object Dedup {
       collect_list(unix_seconds(col(tsCol))).over(wPrev),
       lit(Long.MinValue / 2),
       (acc, t) => when(t - acc > windowSec, t).otherwise(acc))
-    events.withColumn("is_dup",
-      !(unix_seconds(col(tsCol)) - lastKeptBefore > windowSec))
+    val verdict = !(unix_seconds(col(tsCol)) - lastKeptBefore > windowSec)
+    if (maxHistory <= 0) events.withColumn("is_dup", verdict)
+    else {
+      // count over the SAME window partition — no extra shuffle; the
+      // guard fires inside the stage that would otherwise build the
+      // oversized frame
+      val h = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
+      events.withColumn("is_dup",
+        when(h > maxHistory, raise_error(concat(
+          lit(s"dedupWithin: key history exceeds maxHistory=$maxHistory (h="),
+          h.cast("string"),
+          lit(") — the O(h^2) frame would violate the bounded-history " +
+            "deployment contract; use dedupWithinLinear or " +
+            "Streaming.dedupStream"))))
+          .otherwise(verdict))
+    }
+  }
+
+  /** Linear-cost form of [[dedupWithin]] — identical verdicts, O(h)
+    * time and O(1) carried state per key instead of the window form's
+    * O(h²) collected-prefix frames: one `groupByKey` on the dedup
+    * key, the shuffle's own sort delivers each key's rows in
+    * (ts, tie) order (`flatMapSortedGroups` — no per-group in-memory
+    * sort, rows stream through the iterator), and a single forward
+    * walk carries just `lastKept`. This is the form for UNBOUNDED key
+    * histories in batch — a key with 10⁸ events costs 10⁸ comparisons
+    * here vs ~10¹⁶ frame re-folds in the window form, and task memory
+    * stays one row regardless of h.
+    *
+    * The trade against [[dedupWithin]]: this leaves pure window
+    * algebra (a typed per-group fold — outside whole-stage codegen
+    * and not directly SQL-mirrorable), so the window form remains the
+    * default for the bounded-h ingest-partition deployment. The two
+    * forms' row-identical agreement is asserted in OperatorsSpec over
+    * fixtures AND generated timelines, and this form carries its own
+    * oracle gate (`dd_event_dedup_linear`, same SQL as the window
+    * form — DuckDB can't tell which implementation produced the
+    * verdicts, which is the point).
+    *
+    * Null keys group together (matching `Window.partitionBy`); the
+    * group key renders columns NUL-separated with a \\u0001 null
+    * marker — injective for key values free of those control bytes
+    * (the repo's canonical-digest convention).
+    */
+  def dedupWithinLinear(events: DataFrame, keys: Seq[String], tsCol: String,
+      windowSec: Long, tieCol: String): DataFrame = {
+    require(keys.nonEmpty && windowSec > 0, "need keys and windowSec > 0")
+    import org.apache.spark.sql.{Encoders, Row}
+    // epoch seconds precomputed as a COLUMN so the fold never touches
+    // engine-private timestamp representations — unix_seconds is the
+    // exact same floor the window form applies
+    val withEs = events.withColumn("__es", unix_seconds(col(tsCol)))
+    val esIdx = withEs.schema.length - 1
+    val keyIdx = keys.map(withEs.schema.fieldIndex)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      events.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "is_dup", org.apache.spark.sql.types.BooleanType))
+    withEs
+      .groupByKey(r => keyIdx.map(i =>
+        if (r.isNullAt(i)) "\u0001" else r.get(i).toString)
+        .mkString("\u0000"))(Encoders.STRING)
+      .flatMapSortedGroups(col(tsCol).asc, col(tieCol).asc) { (_, rows) =>
+        var lastKept = Long.MinValue / 2
+        rows.map { r =>
+          val es = r.getLong(esIdx)
+          val kept = es - lastKept > windowSec
+          if (kept) lastKept = es
+          Row.fromSeq(r.toSeq.init :+ !kept)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Quality-aware keeper election — the step after clustering that
@@ -1206,6 +1284,14 @@ object Dedup {
         .select(col("event_id"), col("is_dup"))
         .orderBy("event_id")),
 
+    // the O(h) typed-fold twin, gated against the SAME oracle — the
+    // SQL can't tell which implementation produced the verdicts
+    "dd_event_dedup_linear" -> ((s, dir) =>
+      dedupWithinLinear(table(s, dir, "events"), Seq("user_id", "event_type"),
+        "ts", windowSec = 600, tieCol = "event_id")
+        .select(col("event_id"), col("is_dup"))
+        .orderBy("event_id")),
+
     // gated on the LSH scale path; the brute-force baseline is the
     // test-suite cross-check (OperatorsSpec recall/equality tests)
     "dd_embedding_pairs" -> ((s, dir) =>
@@ -1482,6 +1568,22 @@ object Dedup {
     // the strict-prefix fold mirrored: list window frame to -1, init
     // prepended (DuckDB's list_reduce uses the head as its seed)
     "dd_event_dedup" ->
+      """WITH e AS (SELECT event_id,
+        |  CAST(epoch(ts) AS BIGINT) AS es,
+        |  list(CAST(epoch(ts) AS BIGINT)) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+        | FROM events),
+        |k AS (SELECT event_id, es,
+        |  list_reduce(
+        |    [CAST(-4611686018427387904 AS BIGINT)] || COALESCE(prefix, []),
+        |    (acc, t) -> CASE WHEN t - acc > 600 THEN t ELSE acc END) AS last_kept
+        | FROM e)
+        |SELECT event_id, NOT (es - last_kept > 600) AS is_dup
+        |FROM k ORDER BY event_id""".stripMargin,
+    // identical SQL by design: the linear fold must be observationally
+    // indistinguishable from the window-algebra form
+    "dd_event_dedup_linear" ->
       """WITH e AS (SELECT event_id,
         |  CAST(epoch(ts) AS BIGINT) AS es,
         |  list(CAST(epoch(ts) AS BIGINT)) OVER (

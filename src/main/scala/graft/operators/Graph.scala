@@ -40,9 +40,19 @@ object Graph {
     * true of a cacheManager persist, which lives until an explicit
     * unpersist. Cost: the plan executes at call time (the wrapper is
     * eager, the managed `*Plan` forms stay lazy).
+    *
+    * When the context has a RELIABLE checkpoint dir configured, the
+    * result materializes through `checkpoint()` instead: the
+    * iteration rounds inside the plan already checkpointed reliably,
+    * and a localCheckpoint result on top of them would make the FINAL
+    * table the only lineage-severed block lost on executor failure —
+    * the one inconsistency in an otherwise recoverable chain.
     */
   private def eagerReleased(plan: DedupPlan): DataFrame = {
-    val out = plan.df.localCheckpoint() // eager: materializes now
+    val reliable = plan.df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val out =
+      if (reliable) plan.df.checkpoint() // eager + survives executor loss
+      else plan.df.localCheckpoint() // eager: materializes now
     plan.release()
     out
   }

@@ -60,9 +60,22 @@ object ScaleData {
 
     def raw(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
 
-    // one replicated table: union of copyFn(df, i) for i in 0 until k
-    def replicate(name: String)(copyFn: (DataFrame, Int) => DataFrame): Unit = {
+    // one replicated table: union of copyFn(df, i) for i in 0 until k.
+    // keyCols are the columns the copies SHIFT by copy·Stride — their
+    // input max must sit below Stride or copies would collide in id
+    // space and the "disjoint copies" premise (and every downstream
+    // pair-volume argument) silently breaks.
+    def replicate(name: String, keyCols: Seq[String] = Nil)(
+        copyFn: (DataFrame, Int) => DataFrame): Unit = {
       val src = raw(name)
+      if (k > 1 && keyCols.nonEmpty) {
+        val maxes = src.select(keyCols.map(c => max(col(c)).cast("long").as(c)): _*).head()
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          val m = maxes.getLong(i)
+          require(m < Stride,
+            s"$name.$c max key $m >= Stride $Stride — shifted copies would collide")
+        }
+      }
       val out = (0 until k).map(i => copyFn(src, i)).reduce(_.unionByName(_))
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scale] $name x$k written")
@@ -78,12 +91,12 @@ object ScaleData {
     replicate("region")((df, i) => if (i == 0) df else df.limit(0))
     replicate("nation")((df, i) => if (i == 0) df else df.limit(0))
 
-    replicate("customer")((df, i) =>
+    replicate("customer", Seq("c_custkey"))((df, i) =>
       df.withColumn("c_custkey", shift("c_custkey", i)))
-    replicate("supplier")((df, i) =>
+    replicate("supplier", Seq("s_suppkey"))((df, i) =>
       df.withColumn("s_suppkey", shift("s_suppkey", i)))
 
-    replicate("part") { (df, i) =>
+    replicate("part", Seq("p_partkey")) { (df, i) =>
       if (i == 0) df
       else df
         .withColumn("p_partkey", shift("p_partkey", i))
@@ -95,20 +108,20 @@ object ScaleData {
         .withColumn("p_brand", concat(col("p_brand"), lit(s"#$i")))
     }
 
-    replicate("orders")((df, i) =>
+    replicate("orders", Seq("o_orderkey", "o_custkey"))((df, i) =>
       df.withColumn("o_orderkey", shift("o_orderkey", i))
         .withColumn("o_custkey", shift("o_custkey", i)))
 
-    replicate("lineitem")((df, i) =>
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))((df, i) =>
       df.withColumn("l_orderkey", shift("l_orderkey", i))
         .withColumn("l_partkey", shift("l_partkey", i))
         .withColumn("l_suppkey", shift("l_suppkey", i)))
 
-    replicate("events")((df, i) =>
+    replicate("events", Seq("event_id", "user_id"))((df, i) =>
       df.withColumn("event_id", shift("event_id", i))
         .withColumn("user_id", shift("user_id", i)))
 
-    replicate("documents") { (df, i) =>
+    replicate("documents", Seq("doc_id")) { (df, i) =>
       if (i == 0) df
       else df
         .withColumn("doc_id", shift("doc_id", i))
@@ -116,12 +129,24 @@ object ScaleData {
         .withColumn("n_chars", length(col("text")))
     }
 
-    replicate("embeddings") { (df, i) =>
+    // the circular shift only decorrelates copies while the shift
+    // index stays BELOW the vector dimension — at i >= dim the slice
+    // rotation degenerates and copies become identical vectors, which
+    // is exactly the K² near-dup pair explosion this generator exists
+    // to avoid. Enforce, don't assume.
+    if (k > 1) {
+      val minDim = raw("embeddings")
+        .select(min(size(col("embedding"))).as("d")).head().getInt(0)
+      require(k <= minDim,
+        s"k=$k exceeds the minimum embedding dimension $minDim — circular " +
+          "shift would wrap to identical vectors across copies")
+    }
+    replicate("embeddings", Seq("vec_id")) { (df, i) =>
       if (i == 0) df
       else {
         df.withColumn("vec_id", shift("vec_id", i))
           // circular shift by i: norm-preserving, cross-copy cosine
-          // decorrelated (i is always < dimension at k <= 16)
+          // decorrelated (i < dimension enforced above)
           .withColumn("embedding",
             concat(slice(col("embedding"), i + 1, 4096),
               slice(col("embedding"), 1, i)))

@@ -1014,6 +1014,59 @@ class OperatorsSpec extends SparkSpec {
     assert(both.where(!col("is_dup")).count() == 6) // 3 kept per key
   }
 
+  test("linear event dedup: row-identical to the window form, fixtures + generated") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(epoch: Long) = new Timestamp(epoch * 1000L)
+    // the chained-gap fixture verdicts, via the O(h) fold
+    val rows = Seq((1L, 0L), (2L, 5L), (3L, 12L), (4L, 21L), (5L, 100L), (6L, 100L))
+      .map { case (id, e) => (id, 7L, "click", ts(e)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Dedup.dedupWithinLinear(rows, Seq("user_id", "event_type"), "ts",
+        windowSec = 10, tieCol = "event_id")
+      .collect().map(x => x.getAs[Long]("event_id") -> x.getAs[Boolean]("is_dup")).toMap
+    assert(r == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true))
+    // property: both forms agree on a generated multi-key timeline
+    // with same-second ties, chained gaps, and NULL key values
+    val rnd = new scala.util.Random(42)
+    val gen = (1 to 400).map { i =>
+      (i.toLong, (rnd.nextInt(3) + 1).toLong,
+        if (rnd.nextInt(10) == 0) null else s"t${rnd.nextInt(2)}",
+        ts(rnd.nextInt(120).toLong))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "is_dup").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val w = verdicts(Dedup.dedupWithin(gen, Seq("user_id", "event_type"),
+      "ts", 10, "event_id"))
+    val l = verdicts(Dedup.dedupWithinLinear(gen, Seq("user_id", "event_type"),
+      "ts", 10, "event_id"))
+    assert(w == l)
+    assert(w.size == 400)
+  }
+
+  test("dedupWithin maxHistory guard: fails loudly past the bound, inert within it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = (1L to 6L).map(i =>
+        (i, 7L, "click", new Timestamp(i * 30000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    // bound not exceeded: verdicts identical to the unguarded form
+    val ok = Dedup.dedupWithin(rows, Seq("user_id", "event_type"), "ts",
+      10, "event_id", maxHistory = 6)
+    assert(ok.where(!col("is_dup")).count() == 6) // 30s gaps: all kept
+    // bound exceeded: the job FAILS with the directing message — never
+    // a silent cap, never an OOM surprise
+    val ex = intercept[Throwable] {
+      Dedup.dedupWithin(rows, Seq("user_id", "event_type"), "ts",
+        10, "event_id", maxHistory = 5).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(ex).contains("maxHistory"))
+  }
+
   test("new operators on empty/degenerate input: no crashes, honest shapes") {
     import spark.implicits._
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
