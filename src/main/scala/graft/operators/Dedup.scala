@@ -813,16 +813,30 @@ object Dedup {
     * Null keys group together (matching `Window.partitionBy`); the
     * group key renders columns NUL-separated with a \\u0001 null
     * marker — injective for key values free of those control bytes
-    * (the repo's canonical-digest convention).
+    * (the repo's canonical-digest convention). BinaryType key columns
+    * are REJECTED loudly: an Array[Byte]'s `toString` is its identity
+    * hash, so distinct byte values would silently collide (hash them
+    * to hex first, or key on a digest column). Null-timestamp rows
+    * match the window form exactly: null `is_dup`, and no
+    * contribution to the kept-timeline state.
     */
   def dedupWithinLinear(events: DataFrame, keys: Seq[String], tsCol: String,
       windowSec: Long, tieCol: String): DataFrame = {
     require(keys.nonEmpty && windowSec > 0, "need keys and windowSec > 0")
+    keys.foreach { k =>
+      require(events.schema(k).dataType !=
+        org.apache.spark.sql.types.BinaryType,
+        s"dedupWithinLinear: key column '$k' is BinaryType — its " +
+          "toString is not value-injective; hash it (e.g. hex(md5)) first")
+    }
     import org.apache.spark.sql.{Encoders, Row}
     // epoch seconds precomputed as a COLUMN so the fold never touches
     // engine-private timestamp representations — unix_seconds is the
-    // exact same floor the window form applies
-    val withEs = events.withColumn("__es", unix_seconds(col(tsCol)))
+    // exact same floor the window form applies. The temp column name
+    // is collision-checked against the input schema, not assumed free.
+    val esCol = Iterator.from(0).map(i => s"__es$i")
+      .find(n => !events.columns.contains(n)).get
+    val withEs = events.withColumn(esCol, unix_seconds(col(tsCol)))
     val esIdx = withEs.schema.length - 1
     val keyIdx = keys.map(withEs.schema.fieldIndex)
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -835,10 +849,16 @@ object Dedup {
       .flatMapSortedGroups(col(tsCol).asc, col(tieCol).asc) { (_, rows) =>
         var lastKept = Long.MinValue / 2
         rows.map { r =>
-          val es = r.getLong(esIdx)
-          val kept = es - lastKept > windowSec
-          if (kept) lastKept = es
-          Row.fromSeq(r.toSeq.init :+ !kept)
+          // null ts matches the window form: null is_dup, and the row
+          // contributes nothing to the kept-timeline state (the window
+          // form's collect_list drops nulls from the prefix)
+          if (r.isNullAt(esIdx)) Row.fromSeq(r.toSeq.init :+ null)
+          else {
+            val es = r.getLong(esIdx)
+            val kept = es - lastKept > windowSec
+            if (kept) lastKept = es
+            Row.fromSeq(r.toSeq.init :+ !kept)
+          }
         }
       }(Encoders.row(outSchema))
   }

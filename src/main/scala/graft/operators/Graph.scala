@@ -35,24 +35,47 @@ object Graph {
     * lists, degree tables, round checkpoints) are all gone by the time
     * the wrapper returns; what survives is only the result's own
     * blocks, which (a) the returned frame is itself the handle for
-    * (`CheckpointBridge.release`) and (b) the ContextCleaner drops
-    * automatically when the frame is garbage-collected — neither is
-    * true of a cacheManager persist, which lives until an explicit
-    * unpersist. Cost: the plan executes at call time (the wrapper is
-    * eager, the managed `*Plan` forms stay lazy).
+    * (`CheckpointBridge.release`) and (b) — in the default
+    * localCheckpoint mode — the ContextCleaner drops automatically
+    * when the frame is garbage-collected. Neither is true of a
+    * cacheManager persist, which lives until an explicit unpersist;
+    * and (b) does NOT extend to reliable checkpoint FILES (see the
+    * storage-contract paragraph below). Cost: the plan executes at
+    * call time (the wrapper is eager, the managed `*Plan` forms stay
+    * lazy).
     *
     * When the context has a RELIABLE checkpoint dir configured, the
     * result materializes through `checkpoint()` instead: the
     * iteration rounds inside the plan already checkpointed reliably,
     * and a localCheckpoint result on top of them would make the FINAL
     * table the only lineage-severed block lost on executor failure —
-    * the one inconsistency in an otherwise recoverable chain.
+    * the one inconsistency in an otherwise recoverable chain. The
+    * result is persisted BEFORE the checkpoint write and unpersisted
+    * after, the same pattern every round-checkpoint helper here uses:
+    * `checkpoint()` runs one job to count and ANOTHER to write the
+    * checkpoint files, and without the persist the second job
+    * re-executes the entire (multi-iteration) lineage from scratch.
+    *
+    * Storage contract of the reliable branch: the checkpoint FILES are
+    * not dropped by the ContextCleaner when the frame is
+    * garbage-collected (that auto-drop covers localCheckpoint blocks
+    * only, unless `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is enabled) — a long-lived session that calls the eager wrappers
+    * under a checkpoint dir should release each result via
+    * `CheckpointBridge.release` when done with it, or enable
+    * `cleanCheckpoints`; otherwise each call's directory lives until
+    * application end.
     */
   private def eagerReleased(plan: DedupPlan): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val reliable = plan.df.sparkSession.sparkContext.getCheckpointDir.isDefined
     val out =
-      if (reliable) plan.df.checkpoint() // eager + survives executor loss
-      else plan.df.localCheckpoint() // eager: materializes now
+      if (reliable) { // eager + survives executor loss
+        val cached = plan.df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val ck = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        ck
+      } else plan.df.localCheckpoint() // eager: materializes now
     plan.release()
     out
   }

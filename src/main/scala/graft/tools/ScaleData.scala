@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *     longer measures scaling, it measures a different (pathological)
   *     duplication profile. Tagging keeps pair volume ~K·linear, i.e.
   *     the same corpus shape at K× the rows.
-  *   - Embeddings circular-shift by the copy index: norms and
-  *     coordinate distributions are preserved exactly, while
-  *     cross-copy cosine collapses to noise (same reason — identical
-  *     vectors would K²-explode the near-dup pair families).
+  *   - Embeddings circular-shift by the copy index, composed with a
+  *     per-copy-group deterministic sign mask once k exceeds the
+  *     vector dimension: norms and coordinate distributions are
+  *     preserved exactly, while cross-copy cosine collapses to noise
+  *     (same reason — identical vectors would K²-explode the near-dup
+  *     pair families).
   *   - Dimension tables (region, nation) copy through unshifted, so
   *     foreign keys into them stay valid and per-nation fan-in grows
   *     K× — exactly what a bigger corpus does to a small dimension.
@@ -71,9 +73,13 @@ object ScaleData {
       if (k > 1 && keyCols.nonEmpty) {
         val maxes = src.select(keyCols.map(c => max(col(c)).cast("long").as(c)): _*).head()
         keyCols.zipWithIndex.foreach { case (c, i) =>
-          val m = maxes.getLong(i)
-          require(m < Stride,
-            s"$name.$c max key $m >= Stride $Stride — shifted copies would collide")
+          // max() over an EMPTY table is null — nothing to collide, skip
+          // (the copies of an empty table are empty; don't NPE the guard)
+          if (!maxes.isNullAt(i)) {
+            val m = maxes.getLong(i)
+            require(m < Stride,
+              s"$name.$c max key $m >= Stride $Stride — shifted copies would collide")
+          }
         }
       }
       val out = (0 until k).map(i => copyFn(src, i)).reduce(_.unionByName(_))
@@ -131,25 +137,52 @@ object ScaleData {
 
     // the circular shift only decorrelates copies while the shift
     // index stays BELOW the vector dimension — at i >= dim the slice
-    // rotation degenerates and copies become identical vectors, which
-    // is exactly the K² near-dup pair explosion this generator exists
-    // to avoid. Enforce, don't assume.
-    if (k > 1) {
-      val minDim = raw("embeddings")
-        .select(min(size(col("embedding"))).as("d")).head().getInt(0)
-      require(k <= minDim,
-        s"k=$k exceeds the minimum embedding dimension $minDim — circular " +
-          "shift would wrap to identical vectors across copies")
+    // rotation wraps back to the identity, which alone would make
+    // copy i and copy (i - dim) IDENTICAL vectors: exactly the K²
+    // near-dup pair explosion this generator exists to avoid. For
+    // k > dim the rotation is therefore composed with a per-copy-GROUP
+    // deterministic ±1 sign mask (group = i / dim): sign flips
+    // preserve every norm and coordinate magnitude exactly, distinct
+    // masks decorrelate groups (expected cross-group cosine ~0 under
+    // the hash-balanced mask), and within a group the rotation
+    // decorrelates as before — capacity dim · 2^dim copies. Group 0
+    // (i < dim) keeps the all-+1 mask, byte-identical to the k <= dim
+    // generator output.
+    val dimRow = raw("embeddings").select(
+      min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax")).head()
+    require(k == 1 || !dimRow.isNullAt(0),
+      "embeddings is empty — cannot decorrelate copies (run with k=1)")
+    val minDim = if (dimRow.isNullAt(0)) 1 else dimRow.getInt(0)
+    val maxDim = if (dimRow.isNullAt(1)) 1 else dimRow.getInt(1)
+    require(k == 1 || minDim >= 2,
+      s"minimum embedding dimension $minDim < 2 — rotation cannot decorrelate")
+    // splitmix64-mixed bit per (group, coordinate): deterministic, no
+    // RNG state, balanced signs
+    def signMask(group: Int): Array[Float] = Array.tabulate(maxDim) { j =>
+      var z = group.toLong * 0x9E3779B97F4A7C15L +
+        j.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
     }
     replicate("embeddings", Seq("vec_id")) { (df, i) =>
       if (i == 0) df
       else {
-        df.withColumn("vec_id", shift("vec_id", i))
-          // circular shift by i: norm-preserving, cross-copy cosine
-          // decorrelated (i < dimension enforced above)
+        val rot = i % minDim
+        val grp = i / minDim
+        val rotated = df.withColumn("vec_id", shift("vec_id", i))
+          // circular shift by rot: norm-preserving, within-group
+          // cross-copy cosine decorrelated (rot < dimension by mod)
           .withColumn("embedding",
-            concat(slice(col("embedding"), i + 1, 4096),
-              slice(col("embedding"), 1, i)))
+            concat(slice(col("embedding"), rot + 1, 4096),
+              slice(col("embedding"), 1, rot)))
+        if (grp == 0) rotated
+        else rotated.withColumn("embedding",
+          // element-indexed multiply (not zip_with): the mask literal
+          // is maxDim long and element_at never pads a shorter vector
+          transform(col("embedding"),
+            (x, j) => x * element_at(lit(signMask(grp)), j + 1)))
       }
     }
 

@@ -127,6 +127,36 @@ class GraphSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked after releasing results: $leaked")
   }
 
+  test("eager wrappers under a reliable checkpoint dir: same results, caches released") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.CheckpointBridge
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "b")).toDF("src", "dst")
+    // reference run WITHOUT a checkpoint dir (localCheckpoint path)
+    val ref = Graph.pageRank(e, iters = 3)
+    val want = ref.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CheckpointBridge.release(ref)
+    val dir = java.nio.file.Files.createTempDirectory("graft-eager-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val pr = Graph.pageRank(e, iters = 3)
+      val got = pr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bit-identical ranks: the reliable path changes storage, not math
+      assert(got == want)
+      // reliable checkpoint files were actually written
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+      // the persist-before-checkpoint staging cache did not leak: at
+      // most the result's own block survives the wrapper
+      val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(mid.size <= 1, s"reliable eager path leaked caches: $mid")
+      // the returned frame is the release handle for its checkpoint
+      CheckpointBridge.release(pr)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"leaked after release: $leaked")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("co-purchase edges: support threshold drops accidental pairs") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))

@@ -1046,6 +1046,38 @@ class OperatorsSpec extends SparkSpec {
     assert(w.size == 400)
   }
 
+  test("linear event dedup: null timestamps and reserved/binary columns") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(epoch: Long) = new Timestamp(epoch * 1000L)
+    // a null-ts row gets a null is_dup (window-form semantics) and
+    // contributes nothing to the kept timeline on either form
+    val rows = Seq((1L, Some(0L)), (2L, None), (3L, Some(5L)), (4L, Some(12L)))
+      .map { case (id, e) => (id, 7L, e.map(ts).orNull) }
+      .toDF("event_id", "user_id", "ts")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "is_dup").collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getBoolean(1)))).toMap
+    val w = verdicts(Dedup.dedupWithin(rows, Seq("user_id"), "ts", 10, "event_id"))
+    val l = verdicts(Dedup.dedupWithinLinear(rows, Seq("user_id"), "ts", 10, "event_id"))
+    assert(w == l)
+    assert(l == Map(1L -> Some(false), 2L -> None, 3L -> Some(true), 4L -> Some(false)))
+    // a pre-existing column named like the internal epoch temp survives
+    // untouched (the temp name is collision-checked, not assumed free)
+    val clash = rows.withColumn("__es0", lit("keep-me"))
+    val out = Dedup.dedupWithinLinear(clash, Seq("user_id"), "ts", 10, "event_id")
+    assert(out.columns.contains("__es0") &&
+      out.select("__es0").head().getString(0) == "keep-me")
+    assert(verdicts(out) == l)
+    // BinaryType keys are rejected loudly (toString is not injective)
+    val bin = rows.withColumn("bkey", lit(Array[Byte](1, 2)))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupWithinLinear(bin, Seq("bkey"), "ts", 10, "event_id")
+    }
+    assert(ex.getMessage.contains("BinaryType"))
+  }
+
   test("dedupWithin maxHistory guard: fails loudly past the bound, inert within it") {
     import spark.implicits._
     import java.sql.Timestamp
