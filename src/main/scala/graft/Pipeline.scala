@@ -75,6 +75,10 @@ object Pipeline {
     case _: StepSpec.Split           => "split"
     case _: StepSpec.Forget          => "forget"
     case _: StepSpec.LmFilter        => "lm_filter"
+    case _: StepSpec.Temperature     => "temperature"
+    case _: StepSpec.Stratified      => "stratified"
+    case _: StepSpec.Kfold           => "kfold"
+    case _: StepSpec.QualityNormalize => "quality_normalize"
   }
 
   private[graft] def applyStep(
@@ -129,5 +133,23 @@ object Pipeline {
           .where(col("lm_score_ppm").between(minPpm, maxPpm))
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+
+    case StepSpec.Temperature(groupCol, keyCol, alpha, salt) =>
+      Sampling.temperatureSample(df, col(groupCol), col(keyCol), alpha, salt)
+
+    case StepSpec.Stratified(groupCol, keyCol, frac, salt) =>
+      Sampling.stratifiedSample(df, col(groupCol), col(keyCol), frac, salt)
+
+    case StepSpec.Kfold(keyCol, k, salt) =>
+      Sampling.kfold(df, col(keyCol), k, salt)
+
+    case StepSpec.QualityNormalize(groupCol, scoreCol, minPct) =>
+      // annotate with the within-group percentile (like split/kfold,
+      // the step ADDS its assignment column), optionally thresholded
+      df.join(
+        Sampling.qualityNormalize(df, col(groupCol), col(scoreCol))
+          .select(col("doc_id"), col("pct_rank")),
+        Seq("doc_id"))
+        .where(col("pct_rank") >= minPct)
   }
 }

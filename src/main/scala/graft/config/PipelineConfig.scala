@@ -71,6 +71,35 @@ object StepSpec {
     * transitions dominate the corpus.
     */
   final case class LmFilter(minPpm: Long, maxPpm: Long) extends StepSpec
+
+  /** Temperature-flattened mixture sampling
+    * ([[graft.operators.Sampling.temperatureSample]]): thin each
+    * group toward equal share with per-group keep rate
+    * (n_min/n_i)^(1−alpha).
+    */
+  final case class Temperature(groupCol: String, keyCol: String,
+      alpha: Double, salt: String) extends StepSpec
+
+  /** Exact per-stratum sampling
+    * ([[graft.operators.Sampling.stratifiedSample]]): keep exactly
+    * ⌈frac·n⌉ rows of every group, chosen by salted-hash order.
+    */
+  final case class Stratified(groupCol: String, keyCol: String,
+      frac: Double, salt: String) extends StepSpec
+
+  /** k-fold assignment ([[graft.operators.Sampling.kfold]]): adds a
+    * `fold` column in 0..k−1, a pure function of (salt, key).
+    */
+  final case class Kfold(keyCol: String, k: Int, salt: String) extends StepSpec
+
+  /** Per-group quality-score percentile normalization
+    * ([[graft.operators.Sampling.qualityNormalize]]): adds `pct_rank`
+    * (the doc's percentile of `scoreCol` within its group) and keeps
+    * rows with pct_rank ≥ minPct — the calibrated alternative to a
+    * raw global score threshold.
+    */
+  final case class QualityNormalize(groupCol: String, scoreCol: String,
+      minPct: Double) extends StepSpec
 }
 
 final case class OutputSpec(path: String, format: String)
@@ -162,11 +191,43 @@ object PipelineLoader {
           throw new IllegalArgumentException(
             s"$where: need 0 <= min_ppm <= max_ppm")
         StepSpec.LmFilter(lo, hi)
+      case "temperature" =>
+        val alpha = opt(n, "alpha").map(_.asDouble).getOrElse(0.5)
+        if (alpha < 0 || alpha > 1)
+          throw new IllegalArgumentException(s"$where: alpha must be in [0, 1]")
+        StepSpec.Temperature(
+          opt(n, "group_col").map(_.asText).getOrElse("source"),
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          alpha, opt(n, "salt").map(_.asText).getOrElse("temp"))
+      case "stratified" =>
+        val frac = require(n, "frac", where).asDouble
+        if (frac <= 0 || frac > 1)
+          throw new IllegalArgumentException(s"$where: frac must be in (0, 1]")
+        StepSpec.Stratified(
+          opt(n, "group_col").map(_.asText).getOrElse("source"),
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          frac, opt(n, "salt").map(_.asText).getOrElse("strat"))
+      case "kfold" =>
+        val k = require(n, "k", where).asInt
+        if (k < 2)
+          throw new IllegalArgumentException(s"$where: k must be >= 2")
+        StepSpec.Kfold(
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          k, opt(n, "salt").map(_.asText).getOrElse("fold"))
+      case "quality_normalize" =>
+        val minPct = opt(n, "min_pct").map(_.asDouble).getOrElse(0.0)
+        if (minPct < 0 || minPct >= 1)
+          throw new IllegalArgumentException(s"$where: min_pct must be in [0, 1)")
+        StepSpec.QualityNormalize(
+          opt(n, "group_col").map(_.asText).getOrElse("source"),
+          opt(n, "score_col").map(_.asText).getOrElse("n_chars"),
+          minPct)
       case other =>
         throw new IllegalArgumentException(
           s"$where: unknown kind '$other' (valid: filter_stack, redact_pii, " +
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
-            "split, forget, lm_filter)")
+            "split, forget, lm_filter, temperature, stratified, kfold, " +
+            "quality_normalize)")
     }
   }
 }

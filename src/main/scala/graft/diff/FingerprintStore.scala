@@ -59,35 +59,52 @@ object FingerprintStore {
       .sortedMd5(canon, substring(md5(col("canon")), 1, hexLen), col("canon"))
       .select(col("bucket").as("node"), col("fingerprint"), col("n"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
-      leaf.withColumn("level", lit(0)))
+    val tree = (leaf.withColumn("level", lit(0)) +:
+      upperLevels(leaf, hexLen).map { case (l, df) => df.withColumn("level", lit(l)) })
+      .reduce(_.unionByName(_))
+      .select(col("level"), col("node"), col("fingerprint"), col("n"))
+    graft.operators.DedupPlan(tree, "merkle_tree", Seq(leaf))
+  }
+
+  /** The tree's level fold, shared by [[merkleTreePlan]] and
+    * [[updateMerkle]] (one definition — the incremental path cannot
+    * drift from the rebuild): levels 1..hexLen as (level, frame) pairs,
+    * each parent digest = md5 of its children's digests joined by \n in
+    * child-node order (mirrored verbatim by the DuckDB oracle's
+    * md5(string_agg(fingerprint, chr(10) ORDER BY node))).
+    */
+  private def upperLevels(leaf: DataFrame, hexLen: Int): Seq[(Int, DataFrame)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
     var cur = leaf
     // prefix lengths hexLen-1 down to 0 (root)
     for (plen <- (0 until hexLen).reverse) {
       cur = cur
         .groupBy(substring(col("node"), 1, plen).as("node"))
         .agg(
-          // parent digest = md5 of child digests joined by \n in child-
-          // node order — mirrored verbatim by the DuckDB oracle's
-          // md5(string_agg(fingerprint, chr(10) ORDER BY node))
           md5(array_join(
             transform(
               array_sort(collect_list(struct(col("node").as("b"), col("fingerprint").as("f")))),
               x => x.getField("f")),
             "\n")).as("fingerprint"),
           sum(col("n")).as("n"))
-      levels += cur.withColumn("level", lit(hexLen - plen))
+      out += ((hexLen - plen, cur))
     }
-    val tree = levels.reduce(_.unionByName(_))
-      .select(col("level"), col("node"), col("fingerprint"), col("n"))
-    graft.operators.DedupPlan(tree, "merkle_tree", Seq(leaf))
+    out.toSeq
   }
 
   /** Write the Merkle fingerprint store for `df` (canonicalized with
     * [[graft.canon.Canonicalizer.canonRow]]): one parquet table
-    * partitioned by `level`, each row carrying its `parent` node id so
-    * [[merkleLocalize]]'s per-level reads are plain pushdown-able
-    * equality filters (level directory pruning + parent IN (...)).
+    * partitioned by (`level`, `shard`), each row carrying its `parent`
+    * node id so [[merkleLocalize]]'s per-level reads are plain
+    * pushdown-able equality filters (level directory pruning +
+    * parent IN (...)).
+    *
+    * `shard` = the node's first hex character (`"_"` for the root) —
+    * pure storage layout, ignored by the walk. It exists for
+    * [[updateMerkle]]: a delta touching few buckets rewrites only the
+    * (level, shard) partitions containing touched nodes, leaving every
+    * other partition's files physically untouched — the property that
+    * turns a nightly rebuild into a continuously-maintained store.
     */
   def writeMerkle(df: DataFrame, path: String, hexLen: Int = 2): Unit = {
     val canon = df.select(graft.canon.Canonicalizer.canonRow(df).as("canon"))
@@ -106,19 +123,186 @@ object FingerprintStore {
       if (plan.df.isEmpty)
         Seq((hexLen, "", EmptyMd5, 0L)).toDF("level", "node", "fingerprint", "n")
       else plan.df
-    tree
-      .withColumn("parent",
-        when(col("node") === "", lit(null).cast("string"))
-          .otherwise(expr("substring(node, 1, length(node) - 1)")))
-      .withColumn("hex_len", lit(hexLen))
-      .write.mode("overwrite").partitionBy("level").parquet(path)
+    storeRows(tree, hexLen).write.mode("overwrite")
+      .partitionBy("level", "shard").parquet(path)
     plan.release()
   }
+
+  /** (level, node, fingerprint, n) -> the stored row shape: + parent,
+    * hex_len, shard. One definition for [[writeMerkle]] and
+    * [[updateMerkle]] so the layouts cannot diverge.
+    */
+  private def storeRows(tree: DataFrame, hexLen: Int): DataFrame = tree
+    .withColumn("parent",
+      when(col("node") === "", lit(null).cast("string"))
+        .otherwise(expr("substring(node, 1, length(node) - 1)")))
+    .withColumn("hex_len", lit(hexLen))
+    .withColumn("shard",
+      when(col("node") === "", lit("_")).otherwise(substring(col("node"), 1, 1)))
 
   /** md5 of the empty byte string — the root digest of a zero-row
     * store (see [[writeMerkle]]).
     */
   val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** [[updateMerkle]] report: the leaf buckets the delta touched, the
+    * (level, shard) store partitions physically rewritten, and the
+    * live rows re-digested — the incremental-cost receipt (a rebuild
+    * would re-digest every row and rewrite every partition).
+    */
+  final case class MerkleUpdate(touchedBuckets: Seq[String],
+      rewrittenPartitions: Seq[String], leafRowsRehashed: Long)
+
+  /** INCREMENTAL Merkle maintenance — apply a CDC delta to a stored
+    * tree instead of rebuilding it nightly: recompute only the leaf
+    * buckets the delta touches and their ancestor paths, and rewrite
+    * only the store partitions holding them. This is what makes the
+    * Merkle store and the keyed CDC audit compose at 100 TB: the CDC
+    * run names the changed keys, this call folds them into the audit
+    * structure at O(delta + touched-bucket rows) instead of O(corpus).
+    *
+    * `changedRows` carries the changed-row IMAGES — the OLD image of
+    * every delete/update (the bucket the row leaves) and the NEW image
+    * of every insert/update (the bucket it enters), same schema as
+    * `newDf`. Build it from a snapshot pair with [[changedImagesPlan]],
+    * or directly from a CDC feed. A missing old image would leave a
+    * stale digest in the departed bucket — which the next
+    * [[merkleLocalize]] against a rebuilt snapshot would EXPOSE, not
+    * hide (Merkle parents cannot cancel), but pass both images and it
+    * never arises.
+    *
+    * Scale shape: the touched-bucket set is bounded driver state
+    * (≤ 16^hexLen ids); the only data-sized job filters `newDf` to
+    * touched buckets BEFORE the digest pass's repartition, so untouched
+    * rows never shuffle and no chained fold runs for untouched buckets.
+    * Levels ≥ 1 recompute from the merged O(16^hexLen)-row digest
+    * table, never from data. The write uses dynamic partition
+    * overwrite: untouched (level, shard) partitions stay byte-identical
+    * on disk (spec-asserted); a touched partition whose every bucket
+    * emptied is deleted explicitly (dynamic overwrite can't write zero
+    * rows).
+    *
+    * The everything-deleted edge (no leaves remain) degrades to a full
+    * rewrite of the tiny empty-root store — documented, not silent.
+    */
+  def updateMerkle(newDf: DataFrame, changedRows: DataFrame,
+      path: String): MerkleUpdate = {
+    require(changedRows.columns.sameElements(newDf.columns),
+      "changedRows must carry the same schema as newDf (full row images)")
+    import org.apache.spark.storage.StorageLevel
+    val spark = newDf.sparkSession
+    val stored = spark.read.parquet(path)
+    require(stored.columns.contains("shard"),
+      "store predates the sharded layout — rebuild once with writeMerkle")
+    val hexLen = stored.select(max(col("level"))).head().getInt(0)
+
+    val touched = changedRows
+      .select(substring(
+        md5(graft.canon.Canonicalizer.canonRow(changedRows)), 1, hexLen).as("b"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return MerkleUpdate(Nil, Nil, 0L)
+
+    // re-digest ONLY the touched buckets: the filter sits BEFORE the
+    // digest pass's repartition, so untouched rows never shuffle and
+    // no chained fold runs for untouched buckets
+    val canon = newDf
+      .select(graft.canon.Canonicalizer.canonRow(newDf).as("canon"))
+      .where(substring(md5(col("canon")), 1, hexLen).isin(touched: _*))
+    val fresh = graft.functions.Parity
+      .sortedMd5(canon, substring(md5(col("canon")), 1, hexLen), col("canon"))
+      .select(col("bucket").as("node"), col("fingerprint"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+
+    // merged leaves: stored minus touched, plus recomputed — a bucket
+    // whose rows all left simply doesn't reappear. Materialized via
+    // localCheckpoint (result-sized: ≤ 16^hexLen digest rows), which
+    // SEVERS the lineage back to the store files — the write below
+    // overwrites partitions of the very path these rows were read
+    // from, and a plan still referencing it would be rejected as a
+    // read-your-own-overwrite.
+    val mergedLeaves = stored
+      .where(col("level") === 0 && !col("node").isin(touched: _*))
+      .select(col("node"), col("fingerprint"), col("n"))
+      .unionByName(fresh)
+      .localCheckpoint()
+
+    def shardOf(node: String) = if (node.isEmpty) "_" else node.take(1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+
+    def release(): Unit = {
+      fresh.unpersist(blocking = false)
+      org.apache.spark.sql.graftshim.CheckpointBridge.release(mergedLeaves)
+    }
+
+    if (mergedLeaves.isEmpty) {
+      // everything-deleted edge: full rewrite of the empty-root store
+      import spark.implicits._
+      val leafN = fresh.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      release()
+      storeRows(Seq((hexLen, "", EmptyMd5, 0L))
+          .toDF("level", "node", "fingerprint", "n"), hexLen)
+        .write.mode("overwrite").partitionBy("level", "shard").parquet(path)
+      return MerkleUpdate(touched, Seq("<all: store emptied>"), leafN)
+    }
+
+    val tree = (mergedLeaves.withColumn("level", lit(0)) +:
+      upperLevels(mergedLeaves, hexLen)
+        .map { case (l, df) => df.withColumn("level", lit(l)) })
+      .reduce(_.unionByName(_))
+      .select(col("level"), col("node"), col("fingerprint"), col("n"))
+
+    // partitions to rewrite: for each level, the shards holding an
+    // ANCESTOR of a touched bucket (root shard "_" always included)
+    val touchedParts: Seq[(Int, String)] = (0 to hexLen).flatMap(l =>
+      touched.map(b => l -> shardOf(b.take(hexLen - l))).distinct).distinct
+    val partCond = touchedParts
+      .map { case (l, s) => col("level") === l && col("shard") === s }
+      .reduce(_ || _)
+    // recompute derives from the checkpointed merged leaves only —
+    // tiny, so the two traversals below (partition census + write)
+    // just re-fold the in-memory digest rows
+    val writeRows = storeRows(tree, hexLen).where(partCond)
+    val writtenParts = writeRows.select(col("level"), col("shard")).distinct()
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    writeRows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("level", "shard").parquet(path)
+    // a touched partition with NO surviving rows can't be replaced by
+    // the dynamic overwrite — drop its stale directory explicitly
+    touchedParts.filterNot(writtenParts).foreach { case (l, s) =>
+      val dir = new org.apache.hadoop.fs.Path(root, s"level=$l/shard=$s")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    val leafN = fresh.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    release()
+    MerkleUpdate(touched,
+      touchedParts.filter(writtenParts).sorted
+        .map { case (l, s) => s"level=$l/shard=$s" },
+      leafN)
+  }
+
+  /** Changed-row IMAGES for [[updateMerkle]] from a keyed snapshot
+    * pair — the bridge from [[Comparator.cdc]] verdicts to the buckets
+    * they touch: OLD images of deletes+updates (the bucket each row
+    * leaves) unioned with NEW images of inserts+updates (the bucket it
+    * enters). The verdict table gates both semi-joins, so it is
+    * persisted behind the returned [[graft.operators.DedupPlan]]'s
+    * release contract; only changed rows' images ever shuffle.
+    */
+  def changedImagesPlan(oldDf: DataFrame, newDf: DataFrame,
+      pk: Seq[String]): graft.operators.DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val d = Comparator.cdc(oldDf, newDf, pk)
+      .where(col("verdict") =!= "unchanged")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    def keysWith(vs: String*) =
+      d.where(col("verdict").isin(vs: _*)).select(pk.map(col): _*)
+    val images = oldDf.join(keysWith("delete", "update"), pk, "left_semi")
+      .unionByName(newDf.join(keysWith("insert", "update"), pk, "left_semi"))
+    graft.operators.DedupPlan(images, "changed_images", Seq(d))
+  }
 
   /** Localization result: the drifted LEAF buckets plus the read cost
     * actually paid (`nodesRead` across both stores — the number a flat

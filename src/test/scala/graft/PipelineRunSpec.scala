@@ -108,6 +108,67 @@ class PipelineRunSpec extends SparkSpec {
     assert(got.size < docs.count()) // the below-median tail really dropped
   }
 
+  test("sampler steps: parse, bounds validated, equal the hand operator calls") {
+    def bad(y: String): String =
+      intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
+    val head =
+      s"pipeline:\n  input:\n    db: {type: parquet, path: $docsPath}\n"
+    assert(bad(head + "  steps:\n    - kind: temperature\n      alpha: 1.5")
+      .contains("alpha"))
+    assert(bad(head + "  steps:\n    - kind: stratified\n      frac: 0.0")
+      .contains("frac"))
+    assert(bad(head + "  steps:\n    - kind: stratified").contains("frac"))
+    assert(bad(head + "  steps:\n    - kind: kfold\n      k: 1").contains("k must"))
+    assert(bad(head + "  steps:\n    - kind: quality_normalize\n      min_pct: 1.0")
+      .contains("min_pct"))
+
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: temperature
+         |      alpha: 0.5
+         |    - kind: stratified
+         |      frac: 0.5
+         |      salt: s1
+         |    - kind: quality_normalize
+         |      min_pct: 0.25
+         |    - kind: kfold
+         |      k: 5
+         |""".stripMargin)
+    assert(spec.steps == Seq(
+      StepSpec.Temperature("source", "doc_id", 0.5, "temp"),
+      StepSpec.Stratified("source", "doc_id", 0.5, "s1"),
+      StepSpec.QualityNormalize("source", "n_chars", 0.25),
+      StepSpec.Kfold("doc_id", 5, "fold")))
+
+    val docs = spark.read.parquet(docsPath)
+    import graft.operators.Sampling
+    val t = Sampling.temperatureSample(docs, col("source"), col("doc_id"))
+    val st = Sampling.stratifiedSample(t, col("source"), col("doc_id"), 0.5, "s1")
+    val qn = st.join(
+      Sampling.qualityNormalize(st, col("source"), col("n_chars"))
+        .select(col("doc_id"), col("pct_rank")), Seq("doc_id"))
+      .where(col("pct_rank") >= 0.25)
+    val expect = Sampling.kfold(qn, col("doc_id"), 5)
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val out = Pipeline.run(spark, spec)
+    // the annotation steps added their columns
+    assert(out.columns.contains("pct_rank") && out.columns.contains("fold"))
+    val got = out.select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.size < docs.count()) // the two samplers really thinned
+    // the funnel reports the new step names
+    val funnel = Pipeline.funnel(spark, spec)
+      .select("step").collect().map(_.getString(0)).toSeq
+    assert(funnel == Seq("input", "temperature", "stratified",
+      "quality_normalize", "kfold"))
+  }
+
   test("funnel: hand-computed per-step retention, stage caches released") {
     import spark.implicits._
     import graft.config.{PipelineSpec, SideSpec, SourceSpec}

@@ -109,6 +109,90 @@ class DiffFeaturesSpec extends SparkSpec {
     assert(drift.driftedBuckets == fullLeaves && drift.exhaustive)
   }
 
+  test("incremental merkle update: equals a rebuild, untouched partitions byte-identical") {
+    val base = Files.createTempDirectory("merkle-upd").toString
+    val old = orders
+    FingerprintStore.writeMerkle(old, s"$base/s", hexLen = 2)
+    // physical snapshot of every store file (relative path -> md5)
+    def fileState(p: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val rootP = java.nio.file.Paths.get(p)
+      java.nio.file.Files.walk(rootP).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rootP.relativize(f).toString ->
+            md.digest(java.nio.file.Files.readAllBytes(f))
+              .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = fileState(s"$base/s")
+    // a keyed delta: one delete, one non-key update, one insert
+    val ks = old.select("o_orderkey").orderBy("o_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    val (delK, updK) = (ks(0), ks(1))
+    val keyT = old.schema("o_orderkey").dataType
+    val inserted = old.where(col("o_orderkey") === updK)
+      .withColumn("o_orderkey", lit(99999999L).cast(keyT))
+    val newDf = old.where(col("o_orderkey") =!= delK)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") === updK, lit("Z")).otherwise(col("o_orderstatus")))
+      .unionByName(inserted)
+    // the cdc bridge: old images of delete+update, new images of
+    // insert+update
+    val imgPlan = FingerprintStore.changedImagesPlan(old, newDf, Seq("o_orderkey"))
+    assert(imgPlan.df.count() == 4) // delK old, updK old+new, insert new
+    val rep = FingerprintStore.updateMerkle(newDf, imgPlan.df, s"$base/s")
+    imgPlan.release()
+    // 3 changed keys -> at most 4 distinct touched buckets, and the
+    // re-digest cost is a few buckets' rows, not the corpus
+    assert(rep.touchedBuckets.nonEmpty && rep.touchedBuckets.size <= 4,
+      s"touched=${rep.touchedBuckets}")
+    assert(rep.leafRowsRehashed > 0 && rep.leafRowsRehashed < old.count() / 4,
+      s"rehashed ${rep.leafRowsRehashed} rows")
+    // the updated store equals a from-scratch build, row for row
+    FingerprintStore.writeMerkle(newDf, s"$base/fresh", hexLen = 2)
+    def treeRows(p: String) = spark.read.parquet(p)
+      .select("level", "node", "fingerprint", "n").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(treeRows(s"$base/s") == treeRows(s"$base/fresh"))
+    // and the walk agrees: zero drift against the rebuild
+    val same = FingerprintStore.merkleLocalize(spark, s"$base/s", s"$base/fresh")
+    assert(same.driftedBuckets.isEmpty && same.exhaustive)
+    // untouched (level, shard) partitions were NOT rewritten: their
+    // files are byte-identical (same names, same content)
+    val after = fileState(s"$base/s")
+    val touchedShards = rep.touchedBuckets.map(_.take(1)).toSet
+    val untouched = before.keySet.filter { f =>
+      f.startsWith("level=0/") && !touchedShards.exists(s => f.startsWith(s"level=0/shard=$s/"))
+    }
+    assert(untouched.nonEmpty, "fixture degenerate: every shard touched")
+    untouched.foreach { f =>
+      assert(after.get(f).contains(before(f)), s"untouched partition file rewritten: $f")
+    }
+    // partitions reported rewritten are exactly the touched ancestry
+    assert(rep.rewrittenPartitions.exists(_.startsWith("level=0/")))
+    assert(rep.rewrittenPartitions.contains("level=2/shard=_")) // root
+    // a no-op delta leaves the store untouched entirely
+    val noop = FingerprintStore.updateMerkle(newDf, newDf.limit(0), s"$base/s")
+    assert(noop == FingerprintStore.MerkleUpdate(Nil, Nil, 0L))
+    assert(fileState(s"$base/s") == after)
+  }
+
+  test("incremental merkle update: emptying the table degrades to the empty-root store") {
+    val base = Files.createTempDirectory("merkle-empty-upd").toString
+    import spark.implicits._
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    FingerprintStore.writeMerkle(tiny, s"$base/s", hexLen = 1)
+    val emptied = tiny.where(lit(false))
+    val rep = FingerprintStore.updateMerkle(emptied, tiny, s"$base/s")
+    assert(rep.rewrittenPartitions == Seq("<all: store emptied>"))
+    // byte-comparable with a from-scratch empty store: same root
+    FingerprintStore.writeMerkle(emptied, s"$base/e", hexLen = 1)
+    val same = FingerprintStore.merkleLocalize(spark, s"$base/s", s"$base/e")
+    assert(same.driftedBuckets.isEmpty && same.nodesRead == 2)
+  }
+
   test("prefiltered jaccard drops hot shingles but keeps exact duplicate pairs") {
     val docs = GraftSession.table(spark, Sf0001, "documents")
     val exact = graft.operators.Dedup.jaccardPairs(docs, 0.9)

@@ -383,6 +383,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("inc_cand").count() == streamed.size)
   }
 
+  test("incremental candidates stream: pair-dedup state plateaus under the watermark") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashSignatures(corpus)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(days: Int) = new Timestamp(t0.getTime + days * 86400000L)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val st = Streaming.incrementalCandidatesStream(
+      index, mem.toDF().toDF("doc_id", "text", "ts"))
+    val q = st.writeStream.format("memory").queryName("inc_cand_b")
+      .outputMode("append").start()
+    val statesSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      // 4 micro-batches of fresh near-dup arrivals, each 10 days after
+      // the previous — every batch's pairs enter the dedup state, and
+      // the advancing watermark must EVICT the closed batches' pairs
+      (0 until 4).foreach { b =>
+        val docs = (0 until 3).map(j => (100L + b * 10 + j, base, at(b * 10)))
+        mem.addData(docs); q.processAllAvailable()
+        statesSeen += stateRows(q)
+      }
+    } finally q.stop()
+    val out = spark.table("inc_cand_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every batch emitted, each pair exactly once
+    assert(out.size == out.distinct.size && out.size >= 12,
+      s"pairs=${out.size} distinct=${out.distinct.size}")
+    // bounded state: after 4 batches the store holds about ONE open
+    // horizon's pairs, not the whole history (an unbounded twin would
+    // hold all of them)
+    val s = statesSeen.last
+    assert(s > 0 && s <= out.size / 2,
+      s"state rows = $s of ${out.size} pairs ever emitted — not evicting " +
+        s"(trajectory: ${statesSeen.mkString(",")})")
+  }
+
   test("streaming split assignment inherits cluster splits and matches the batch twin") {
     implicit val sq = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog again and again today"
