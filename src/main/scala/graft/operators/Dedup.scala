@@ -594,10 +594,93 @@ object Dedup {
     * SRP bound; the oracle replays the same literal plane matrix so
     * the candidate set is deterministic cross-engine.
     */
-  def embeddingPairsLsh(emb: DataFrame, threshold: Double): DataFrame = {
-    val q = quantized(emb)
+  def embeddingPairsLsh(emb: DataFrame, threshold: Double): DataFrame =
+    scoredBucketPairs(Similarity.lshBuckets(normed(emb)), threshold)
+
+  /** [[embeddingPairsLsh]] with the bucket GRAIN auto-sized from the
+    * corpus count — the 100 TB form. The fixed-4-bit gate form keeps
+    * Σ n_b² ≈ n²/16 candidates per table (structurally quadratic — the
+    * 100× rehearsal measured it at 206× wall on 100× data); this form
+    * holds expected bucket occupancy at `occupancy` exactly:
+    * signatures at [[Similarity.autoBits]] width, then folded onto
+    * ⌈n/occupancy⌉ buckets by modulus (the fold smooths the
+    * power-of-two occupancy staircase — without it, occupancy
+    * oscillates in (occ/2, occ] across sizes and the measured scale
+    * ratio can exceed the data factor by up to 2×; a pair's collision
+    * still requires equal SIGNATURES, so recall is exactly the
+    * bits-wide contract, the fold only merges random bucket pairs).
+    * Candidates stay ≈ n·occupancy/2 per table — linear in n.
+    *
+    * Physical shape (differs from the fixed-width gate form on
+    * purpose): the band self-join carries vector IDS ONLY — at
+    * occupancy 64 the candidate stream is ~n·256 rows of 16 bytes,
+    * not 1 KB rows with both embedding payloads (measured 76 s → the
+    * payload copy dominated, not the dot products) — then candidates
+    * dedup ACROSS tables before any scoring (a table-collision
+    * re-score is pure waste for near-dup pairs, which collide in
+    * several tables by construction), and the two vector payloads
+    * attach once per SURVIVING pair via id-keyed joins. The quantized
+    * input is referenced three times; each reference is one narrow
+    * column-pruned scan, deliberately recomputed (cheaper than a
+    * SER-cache round trip at this row weight — the
+    * [[graft.operators.TextAnalysis]] commonness measurement).
+    *
+    * One driver-side COUNT picks width and bucket count (the
+    * kmeans-centroid bounded-state pattern); both rules are
+    * integer-exact and replayed verbatim by the oracle. Recall
+    * contract: per-table collision for an angle-θ pair is
+    * (1−θ/π)^bits — use NEAR-DUP thresholds (cos ≥ ~0.9) at scale;
+    * exact duplicates collide at any width (spec-asserted).
+    */
+  def embeddingPairsLshAuto(emb: DataFrame, threshold: Double,
+      occupancy: Long = 64L): DataFrame = {
+    require(occupancy > 0, "occupancy must be positive")
+    val n = emb.count()
+    val bits = Similarity.autoBits(n, occupancy)
+    val numBuckets = math.max(1L, (n + occupancy - 1) / occupancy)
+    val q = normed(emb)
+    val ids = Similarity
+      .lshBucketsBits(q.select(col("vec_id"), col("v")), bits)
+      .select(col("t"), pmod(col("bucket"), lit(numBuckets)).as("bucket"),
+        col("vec_id"))
+    val cand = ids
+      .join(ids.select(col("t"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("t", "bucket"))
+      .where(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .distinct()
+    // payload-attach strategy, decided from the driver-known n: the
+    // candidate stream is large and skinny, the vector table is
+    // n × ~0.6 KB. While the payload side fits a broadcast (≤128 MB)
+    // the two attaches are map-side hash lookups — no candidate ever
+    // shuffles; past that both sides shuffle and the volume is
+    // candidates·16 B + n·payload, linear either way (Catalyst won't
+    // broadcast on its own here: the payload table sits above the
+    // default 10 MB auto-broadcast threshold long before n stops
+    // fitting comfortably)
+    val smallPayload = n * (8L * 64 + 24L) <= (128L << 20)
+    def attach(df: DataFrame) = if (smallPayload) broadcast(df) else df
+    val va = attach(q.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("norm").as("na")))
+    val vb = attach(q.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("norm").as("nb")))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cos",
+        when(col("na") * col("nb") > 0,
+          dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+          .otherwise(lit(0.0)))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  private def normed(emb: DataFrame): DataFrame =
+    quantized(emb)
       .withColumn("norm", sqrt(dot(col("v"), col("v")).cast("double")))
-    val tb = Similarity.lshBuckets(q)
+
+  /** Banded self-join → exact-cosine score → threshold → pair dedup,
+    * shared by the fixed-width and auto-width LSH forms.
+    */
+  private def scoredBucketPairs(tb: DataFrame, threshold: Double): DataFrame = {
     val l = tb.select(col("t"), col("bucket"),
       col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val r = tb.select(col("t"), col("bucket"),
@@ -1317,6 +1400,14 @@ object Dedup {
     "dd_embedding_pairs" -> ((s, dir) =>
       embeddingPairsLsh(table(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")),
 
+    // the auto-width 100 TB form: bucket width sized from COUNT so the
+    // banded join stays linear (the fixed-width form above is the
+    // deterministic small-scale gate; this one gates the width rule +
+    // auto plane family end-to-end — the oracle recomputes both)
+    "dd_embedding_pairs_auto" -> ((s, dir) =>
+      embeddingPairsLshAuto(table(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_a", "vec_b")),
+
     // embedding near-dup pairs → connected components — the clustering
     // machinery reused across modalities (keeper = min vec_id): the
     // step that turns pairwise embedding similarity into dedup CLUSTERS
@@ -1467,6 +1558,24 @@ object Dedup {
     s"""q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
        | FROM embeddings),
        |${Similarity.lshBucketsSqlCte},
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, b.vec_id AS vec_b, b.v AS vb
+       | FROM tb a JOIN tb b USING (t, bucket) WHERE a.vec_id < b.vec_id),
+       |scored AS (
+       | SELECT vec_a, vec_b,
+       |  CASE WHEN list_dot_product(va, va) > 0 AND list_dot_product(vb, vb) > 0
+       |   THEN list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+       |   ELSE 0.0 END AS cos
+       | FROM cand)""".stripMargin
+
+  /** [[embeddingPairsCte]]'s auto-width twin: same quantize → bucket →
+    * candidate → score chain over [[Similarity.lshBucketsAutoSqlCte]]
+    * (COUNT-derived bit width, auto plane family).
+    */
+  private val embeddingPairsAutoCte =
+    s"""q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |${Similarity.lshBucketsAutoSqlCte(64L)},
        |cand AS (
        | SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, b.vec_id AS vec_b, b.v AS vb
        | FROM tb a JOIN tb b USING (t, bucket) WHERE a.vec_id < b.vec_id),
@@ -1675,6 +1784,10 @@ object Dedup {
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dd_embedding_pairs" ->
       s"""WITH $embeddingPairsCte
+         |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_embedding_pairs_auto" ->
+      s"""WITH $embeddingPairsAutoCte
          |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "dd_embedding_clusters" ->

@@ -71,6 +71,27 @@ object Similarity {
   private[graft] val BitsPerTable = 4
   private[graft] val Dim = 64
 
+  /** Auto-sized bucket width (see [[lshSignatureBits]]): up to 24 bits
+    * = 16M buckets per table, enough to hold expected occupancy at
+    * billions of vectors. The auto plane family lives at indices
+    * `AutoPlaneBase + t·AutoMaxBits + b` — disjoint from the legacy
+    * 16-plane family, and STABLE under bucket-width growth (widening
+    * from B to B+1 bits appends plane b=B per table; the first B bits
+    * are unchanged, so the B+1-bit buckets REFINE the B-bit buckets).
+    */
+  private[graft] val AutoMaxBits = 24
+  private[graft] val AutoPlaneBase = 1000
+
+  /** Smallest bucket width (≥ the legacy 4, ≤ [[AutoMaxBits]]) whose
+    * expected bucket occupancy n/2^bits is at most `occupancy` —
+    * integer-exact (`occupancy·2^b ≥ n`, no floating log), so the
+    * Spark plan and the DuckDB oracle can never disagree at a
+    * power-of-two boundary.
+    */
+  private[graft] def autoBits(n: Long, occupancy: Long = 64L): Int =
+    (BitsPerTable to AutoMaxBits)
+      .find(b => (occupancy << b) >= n).getOrElse(AutoMaxBits)
+
   /** ±1 hyperplane component for (plane p, dim j): parity of the first
     * md5 hex digit of "p|j". Deterministic, engine-independent.
     */
@@ -105,12 +126,47 @@ object Similarity {
     q.select(col("*") +: buckets: _*)
   }
 
+  /** [[lshSignature]] with a CALLER-SIZED bucket width, over the auto
+    * plane family (see [[AutoMaxBits]]). This is the knob that keeps
+    * the banded self-join LINEAR as the corpus grows: with the legacy
+    * fixed 4-bit tables, candidates per table are Σ n_b² ≈ n²/16 — a
+    * structurally quadratic shape the 100× rehearsal measured at 206×
+    * wall on 100× data. Sizing bits so n/2^bits stays at a constant
+    * occupancy makes candidates ≈ n·occupancy/2 per table. The recall
+    * trade is explicit: per-table collision probability for an
+    * angle-θ pair is (1−θ/π)^bits, union recall 1−(1−p^bits)^T — wider
+    * buckets lower recall for LOOSE thresholds, so the auto path is
+    * for NEAR-DUP thresholds (cos ≥ ~0.9, where p ≈ 0.93 keeps
+    * per-table recall useful at 24 bits, and exact duplicates collide
+    * with probability 1 at any width); holding recall for loose
+    * thresholds at scale requires growing tables, not buckets.
+    */
+  def lshSignatureBits(q: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= AutoMaxBits, s"bits in 1..$AutoMaxBits")
+    val buckets = (0 until NumTables).map { t =>
+      val bs = (0 until bits).map { b =>
+        val p = AutoPlaneBase + t * AutoMaxBits + b
+        val plane = typedLit((0 until Dim).map(j => planeSign(p, j).toLong))
+        val proj = graft.functions.DotLong(col("v"), plane)
+        when(proj > 0, lit(1L << (bits - 1 - b))).otherwise(lit(0L))
+      }
+      bs.reduce(_ + _).as(s"sig$t")
+    }
+    q.select(col("*") +: buckets: _*)
+  }
+
   /** Explode a signed DataFrame into (table, bucket) membership rows —
     * NumTables rows per vector; every non-sig column rides along.
     */
-  private[graft] def lshBuckets(q: DataFrame): DataFrame = {
-    val sig = lshSignature(q)
-    val keep = q.columns.map(col)
+  private[graft] def lshBuckets(q: DataFrame): DataFrame =
+    explodeBuckets(lshSignature(q), q.columns)
+
+  /** [[lshBuckets]] over the auto plane family at `bits` width. */
+  private[graft] def lshBucketsBits(q: DataFrame, bits: Int): DataFrame =
+    explodeBuckets(lshSignatureBits(q, bits), q.columns)
+
+  private def explodeBuckets(sig: DataFrame, keepNames: Seq[String]): DataFrame = {
+    val keep = keepNames.map(col)
     sig.select(keep :+ explode(array((0 until NumTables).map(t =>
         struct(lit(t).as("t"), col(s"sig$t").as("bucket"))): _*)).as("tb"): _*)
       .select(keep :+ col("tb.t").as("t") :+ col("tb.bucket").as("bucket"): _*)
@@ -522,6 +578,36 @@ object Similarity {
        | SELECT vec_id, p // $BitsPerTable AS t,
        |  SUM(CASE WHEN d > 0 THEN CAST(POWER(2, ${BitsPerTable - 1} - (p % $BitsPerTable)) AS BIGINT) ELSE 0 END) AS bucket
        | FROM proj GROUP BY vec_id, p // $BitsPerTable),
+       |tb AS (SELECT q.vec_id, q.v, sig.t, sig.bucket FROM q JOIN sig USING (vec_id))""".stripMargin
+
+  /** Oracle CTE for the AUTO-SIZED bucket grain ([[lshSignatureBits]]/
+    * [[autoBits]]): the bit count AND the ⌈n/occupancy⌉ bucket-count
+    * fold are computed from COUNT(*) with the same integer rules as
+    * the Spark plan (no floating log anywhere), the plane matrix is
+    * the auto family (AutoPlaneBase + t·AutoMaxBits + b), and only
+    * planes below the computed width contribute. Produces `tb` like
+    * [[lshBucketsSqlCte]].
+    */
+  private[graft] def lshBucketsAutoSqlCte(occupancy: Long): String =
+    s"""bits AS (
+       | SELECT COALESCE(MIN(b), $AutoMaxBits) AS nb FROM range($BitsPerTable, ${AutoMaxBits + 1}) t(b)
+       | WHERE $occupancy * (CAST(1 AS BIGINT) << b) >= (SELECT COUNT(*) FROM q)),
+       |nbuck AS (
+       | SELECT GREATEST(((SELECT COUNT(*) FROM q) + ${occupancy - 1}) // $occupancy, 1) AS m),
+       |planes AS (
+       |${(0 until NumTables * AutoMaxBits).map(i =>
+          s" SELECT $i AS i, ${planeSignList(AutoPlaneBase + (i / AutoMaxBits) * AutoMaxBits + (i % AutoMaxBits))} AS s")
+         .mkString(" UNION ALL\n")}),
+       |proj AS (
+       | SELECT q.vec_id, i,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), j -> q.v[j] * s[j])) AS d
+       | FROM q CROSS JOIN planes WHERE (i % $AutoMaxBits) < (SELECT nb FROM bits)),
+       |sig AS (
+       | SELECT vec_id, i // $AutoMaxBits AS t,
+       |  SUM(CASE WHEN d > 0
+       |   THEN (CAST(1 AS BIGINT) << ((SELECT nb FROM bits) - 1 - (i % $AutoMaxBits)))
+       |   ELSE 0 END) % (SELECT m FROM nbuck) AS bucket
+       | FROM proj GROUP BY vec_id, i // $AutoMaxBits),
        |tb AS (SELECT q.vec_id, q.v, sig.t, sig.bucket FROM q JOIN sig USING (vec_id))""".stripMargin
 
   /** Shared oracle CTE chain for the k=4, iters=1 k-means gate fit:

@@ -330,6 +330,48 @@ class OperatorsSpec extends SparkSpec {
       "embeddingPairsLsh must not plan an all-pairs join")
   }
 
+  test("auto-width embedding LSH: width rule, linear bucket shape, exact-dup recall, subset") {
+    import spark.implicits._
+    // integer-exact width rule (occupancy·2^b >= n), floor at 4, cap at 24
+    assert(Similarity.autoBits(10, 64) == 4)
+    assert(Similarity.autoBits(4096, 64) == 6)
+    assert(Similarity.autoBits(200000, 64) == 12)
+    assert(Similarity.autoBits(Long.MaxValue / 2, 64) == 24)
+    // synthetic corpus big enough that the width actually grows: 4096
+    // random vectors + one exact duplicate pair
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = vec()
+    val synth = (0L until 4096L)
+      .map(i => (i, if (i >= 4094L) base else vec()))
+      .toDF("vec_id", "embedding")
+    // the banded join's candidate volume Σ n_b² stays ~n·occupancy per
+    // table — nowhere near the fixed-width form's n²/16
+    val candVolume = Similarity
+      .lshBucketsBits(Dedup.quantized(synth), bits = 6)
+      .groupBy("t", "bucket").count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    // balanced ideal = T·n·occupancy; assert the real buckets stay
+    // within 2x of it (the fixed-width form's n²/16 shape is n/(2·occ)
+    // = 32x the ideal here, and the gap widens linearly with n)
+    val ideal = 4L * 4096L * 64L
+    assert(candVolume < 2 * ideal,
+      s"candidate volume $candVolume vs balanced ideal $ideal — buckets too skewed")
+    // exact duplicates agree on every projection => found at any width
+    val auto = Dedup.embeddingPairsLshAuto(synth, 0.999999)
+    assert(auto.where(col("vec_a") === 4094L && col("vec_b") === 4095L).count() == 1)
+    // only true above-threshold pairs (scores are exact post-candidate)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Dedup.embeddingPairs(synth, 0.4))
+    assert(pairSet(Dedup.embeddingPairsLshAuto(synth, 0.4)).subsetOf(brute))
+    // no all-pairs plan
+    val plan = Dedup.embeddingPairsLshAuto(synth, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "embeddingPairsLshAuto must not plan an all-pairs join")
+  }
+
   test("brute-force topk returns exactly k ranked neighbors per query") {
     val k = 5
     val top = Similarity.bruteForceTopK(emb, numQueries = 3, k = k)
