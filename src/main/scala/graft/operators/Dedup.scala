@@ -1408,6 +1408,18 @@ object Dedup {
       embeddingPairsLshAuto(table(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
 
+    // connected components over the AUTO-width pairs — the full
+    // embedding-dedup path as it runs at 100 TB (the fixed-width
+    // dd_embedding_clusters gate keeps the small-scale baseline)
+    "dd_embedding_clusters_auto" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pairs = embeddingPairsLshAuto(emb, 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      connectedComponents(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keeper"))
+        .orderBy("vec_id")
+    }),
+
     // embedding near-dup pairs → connected components — the clustering
     // machinery reused across modalities (keeper = min vec_id): the
     // step that turns pairwise embedding similarity into dedup CLUSTERS
@@ -1790,6 +1802,17 @@ object Dedup {
       s"""WITH $embeddingPairsAutoCte
          |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_embedding_clusters_auto" ->
+      s"""WITH RECURSIVE $embeddingPairsAutoCte,
+         |vp AS (SELECT vec_a, vec_b FROM scored WHERE cos >= 0.4),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM vp
+         |          UNION ALL SELECT vec_b, vec_a FROM vp),
+         |reach(u, v) AS (
+         | SELECT vec_id, vec_id FROM embeddings
+         | UNION
+         | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS vec_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper
+         |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "dd_embedding_clusters" ->
       s"""WITH RECURSIVE $embeddingPairsCte,
          |vp AS (SELECT vec_a, vec_b FROM scored WHERE cos >= 0.4),
