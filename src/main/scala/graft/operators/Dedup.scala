@@ -753,8 +753,22 @@ object Dedup {
       } else df.localCheckpoint()
     def release(df: DataFrame): Unit = CheckpointBridge.release(df)
 
-    val sym = ckpt(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    // SEVER the caller's pair plan once, at entry. Two reasons, both
+    // measured in the 100× rehearsal: (a) the symmetrization references
+    // `pairs` twice in one plan — un-severed, the caller's whole
+    // candidate pipeline (LSH, banding, scoring…) executes twice
+    // inside the sym materialization; (b) worse, a DEEP caller plan
+    // (multi-join, frames referenced several times) under CC's
+    // checkpoints sent Catalyst's size-only stats visitor into
+    // BigInteger products of astronomical magnitude — the driver spent
+    // 20+ MINUTES in BigInt Toom-Cook multiplication planning one
+    // materialization, with every executor idle. A checkpointed edge
+    // list is a LogicalRDD leaf: shallow plan, bounded stats, computed
+    // once.
+    val pairsCkpt = ckpt(pairs.select(col("doc_a"), col("doc_b")))
+    val sym = ckpt(pairsCkpt.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairsCkpt.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    release(pairsCkpt) // sym holds the only copy the loop needs
     // __chg rides inside each round's checkpoint so the convergence
     // check is a block-local aggregate over the just-materialized
     // checkpoint — not an extra shuffle join per round
