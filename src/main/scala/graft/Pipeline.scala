@@ -109,8 +109,11 @@ object Pipeline {
         .select(col("keeper").as("doc_id"))
       df.join(keepers, Seq("doc_id"), "left_semi")
 
-    case StepSpec.Decontaminate(bench, maxHits) =>
-      val hits = Curation.decontaminate(df, Sources.resolve(spark, bench))
+    case StepSpec.Decontaminate(bench, maxHits, bloom) =>
+      val benchDf = Sources.resolve(spark, bench)
+      val hits =
+        if (bloom) Curation.decontaminateBloom(df, benchDf)
+        else Curation.decontaminate(df, benchDf)
       df.join(hits.where(col("bench_hits") > maxHits).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
 
@@ -143,13 +146,17 @@ object Pipeline {
     case StepSpec.Kfold(keyCol, k, salt) =>
       Sampling.kfold(df, col(keyCol), k, salt)
 
-    case StepSpec.QualityNormalize(groupCol, scoreCol, minPct) =>
+    case StepSpec.QualityNormalize(groupCol, scoreCol, keyCol, minPct) =>
       // annotate with the within-group percentile (like split/kfold,
-      // the step ADDS its assignment column), optionally thresholded
-      df.join(
-        Sampling.qualityNormalize(df, col(groupCol), col(scoreCol))
-          .select(col("doc_id"), col("pct_rank")),
-        Seq("doc_id"))
+      // the step ADDS its assignment column), optionally thresholded.
+      // Computed as a window DIRECTLY over the incoming frame — the
+      // operator-output self-join alternative executes every upstream
+      // step twice (df appears on both sides) for the same one-shuffle
+      // window; same (score, key) total order, identical pct_rank
+      df.withColumn("pct_rank",
+          org.apache.spark.sql.functions.percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(keyCol))))
         .where(col("pct_rank") >= minPct)
   }
 }

@@ -43,8 +43,15 @@ object StepSpec {
 
   /** Drop docs sharing more than `maxHits` word-3-grams with the
     * benchmark corpus ([[graft.operators.Curation.decontaminate]]).
+    * `bloom = true` switches the membership test to the fixed-size
+    * sketch form ([[graft.operators.Curation.decontaminateBloom]]) —
+    * the variant for benchmark suites too large for an exact build
+    * side. One-sided error: never misses a true overlap, may drop a
+    * bounded sliver of clean docs (fpp), so it composes safely in a
+    * drop-flagged pipeline step.
     */
-  final case class Decontaminate(bench: SideSpec, maxHits: Long) extends StepSpec
+  final case class Decontaminate(bench: SideSpec, maxHits: Long,
+      bloom: Boolean) extends StepSpec
 
   /** Bound any one group's contribution to k docs
     * ([[graft.operators.Sampling.sourceCap]]).
@@ -96,10 +103,12 @@ object StepSpec {
     * ([[graft.operators.Sampling.qualityNormalize]]): adds `pct_rank`
     * (the doc's percentile of `scoreCol` within its group) and keeps
     * rows with pct_rank ≥ minPct — the calibrated alternative to a
-    * raw global score threshold.
+    * raw global score threshold. `keyCol` is the tie-break that makes
+    * the within-group order total (the other sampler steps' key_col
+    * contract).
     */
   final case class QualityNormalize(groupCol: String, scoreCol: String,
-      minPct: Double) extends StepSpec
+      keyCol: String, minPct: Double) extends StepSpec
 }
 
 final case class OutputSpec(path: String, format: String)
@@ -163,7 +172,8 @@ object PipelineLoader {
       case "decontaminate" =>
         StepSpec.Decontaminate(
           side(require(n, "bench", where), s"$where.bench"),
-          opt(n, "max_hits").map(_.asLong).getOrElse(0L))
+          opt(n, "max_hits").map(_.asLong).getOrElse(0L),
+          opt(n, "bloom").exists(_.asBoolean))
       case "source_cap" =>
         val k = require(n, "k", where).asInt
         if (k <= 0) throw new IllegalArgumentException(s"$where: k must be positive")
@@ -221,6 +231,7 @@ object PipelineLoader {
         StepSpec.QualityNormalize(
           opt(n, "group_col").map(_.asText).getOrElse("source"),
           opt(n, "score_col").map(_.asText).getOrElse("n_chars"),
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
           minPct)
       case other =>
         throw new IllegalArgumentException(

@@ -184,9 +184,25 @@ object FingerprintStore {
     *
     * The everything-deleted edge (no leaves remain) degrades to a full
     * rewrite of the tiny empty-root store — documented, not silent.
+    *
+    * CRASH SAFETY: the update is not atomic — a failure between the
+    * dynamic-partition overwrite and the explicit deletes of emptied
+    * partitions leaves a MIXED-GENERATION store. A `_UPDATE_IN_PROGRESS`
+    * sentinel file is written before the first mutation and removed
+    * after the last, so a torn update is detectable without a full
+    * [[merkleLocalize]]; while the sentinel exists this method REFUSES
+    * to run (a later delta would fold the torn buckets' stale digests
+    * into `stored − touched` and make them permanent). Recovery is
+    * either (a) re-run the SAME update — pass `recovering = true` —
+    * which is convergent because every touched bucket's stored digest
+    * is discarded and recomputed from `newDf` regardless of whether
+    * the torn write reached it, or (b) rebuild via [[writeMerkle]],
+    * whose whole-path overwrite also clears the sentinel (the option
+    * when the torn store no longer READS cleanly, e.g. a crash
+    * mid-commit left partial files).
     */
   def updateMerkle(newDf: DataFrame, changedRows: DataFrame,
-      path: String): MerkleUpdate = {
+      path: String, recovering: Boolean = false): MerkleUpdate = {
     require(changedRows.columns.sameElements(newDf.columns),
       "changedRows must carry the same schema as newDf (full row images)")
     import org.apache.spark.storage.StorageLevel
@@ -194,6 +210,14 @@ object FingerprintStore {
     val stored = spark.read.parquet(path)
     require(stored.columns.contains("shard"),
       "store predates the sharded layout — rebuild once with writeMerkle")
+    val hconf0 = spark.sparkContext.hadoopConfiguration
+    val root0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = root0.getFileSystem(hconf0)
+    val sentinel = new org.apache.hadoop.fs.Path(root0, "_UPDATE_IN_PROGRESS")
+    require(recovering || !fs0.exists(sentinel),
+      s"torn update detected at $path ($sentinel exists): a prior " +
+        "updateMerkle died mid-write. Re-run the SAME delta with " +
+        "recovering = true, or rebuild with writeMerkle (see scaladoc).")
     val hexLen = stored.select(max(col("level"))).head().getInt(0)
 
     val touched = changedRows
@@ -241,6 +265,8 @@ object FingerprintStore {
       import spark.implicits._
       val leafN = fresh.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
       release()
+      // whole-path overwrite is self-healing (deletes the store dir,
+      // sentinel included, before writing) — no sentinel needed
       storeRows(Seq((hexLen, "", EmptyMd5, 0L))
           .toDF("level", "node", "fingerprint", "n"), hexLen)
         .write.mode("overwrite").partitionBy("level", "shard").parquet(path)
@@ -266,6 +292,8 @@ object FingerprintStore {
     val writeRows = storeRows(tree, hexLen).where(partCond)
     val writtenParts = writeRows.select(col("level"), col("shard")).distinct()
       .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    fs.create(new org.apache.hadoop.fs.Path(root, "_UPDATE_IN_PROGRESS"), true)
+      .close() // sentinel: mutation begins — see crash-safety scaladoc
     writeRows.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("level", "shard").parquet(path)
@@ -275,6 +303,7 @@ object FingerprintStore {
       val dir = new org.apache.hadoop.fs.Path(root, s"level=$l/shard=$s")
       if (fs.exists(dir)) fs.delete(dir, true)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_UPDATE_IN_PROGRESS"), false)
     val leafN = fresh.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
     release()
     MerkleUpdate(touched,

@@ -421,6 +421,79 @@ object Dedup {
     DedupPlan(pairs, "banded", Seq(sh))
   }
 
+  /** [[simhash]] at a CALLER-SIZED width: the token's value is the
+    * first `bits/4` md5 hex digits (bits ≡ 0 mod 4, 16..60 — ≤ 60
+    * keeps the fingerprint below the sign bit in BOTH engines, so no
+    * sign-extension special cases anywhere). Width 16 reproduces
+    * [[simhash]] bit-for-bit.
+    */
+  def simhashBits(docs: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 16 && bits <= 60 && bits % 4 == 0,
+      s"bits must be a multiple of 4 in [16, 60], got $bits")
+    val nd = bits / 4
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("tok"))
+      .distinct()
+    val h = (0 until nd).map { d =>
+      (instr(lit(Hex), substring(md5(col("tok")), d + 1, 1)) - 1).cast("long") *
+        lit(1L << (4 * (nd - 1 - d)))
+    }.reduce(_ + _)
+    val withBits = toks.withColumn("h", h)
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), bits - 1 - j) % 2 === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val fingerprint = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << (bits - 1 - j))).otherwise(0L)
+    }.reduce(_ + _)
+    withBits
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** Smallest legal [[simhashBits]] width whose per-band bucket
+    * occupancy stays at `occupancy` — the [[Similarity.autoBits]] rule
+    * transplanted to hamming banding. The knob is the TOTAL width, not
+    * the band width: pigeonhole exactness pins the band count at
+    * maxHamming+1, so the only way to keep band buckets sparse as the
+    * corpus grows is a wider fingerprint (each band then spans
+    * bits/(maxHamming+1) bits → 2^(bits/nb) buckets; the rule takes
+    * the smallest bits with occupancy·2^(bits/nb) ≥ n). The fixed
+    * 16-bit form SATURATES: its distinct-value space is 2¹⁶, so the
+    * banded value join grows quadratically until the whole space is
+    * occupied — the 100× rehearsal measured it at 64× on 100× data,
+    * the worst non-embedding ratio. Integer-exact and replayed
+    * verbatim by the oracle (same floor-division, same shifts).
+    */
+  private[operators] def simhashAutoBits(n: Long, maxHamming: Int,
+      occupancy: Long = 64L): Int = {
+    val nb = maxHamming + 1
+    (16 to 60 by 4).find(b => (occupancy << (b / nb)) >= n).getOrElse(60)
+  }
+
+  /** [[simhashPairs]] with the fingerprint width auto-sized from the
+    * corpus count — the 100 TB form (see [[simhashAutoBits]]). One
+    * driver-side COUNT picks the width; banding and pair expansion
+    * reuse [[bandedFingerprintPairs]] unchanged (exact recall at any
+    * width — the bands stay pigeonhole-disjoint). Note the SEMANTICS
+    * move with the width: hamming radius 3 over a 48-bit fingerprint
+    * is a tighter near-dup contract than over 16 bits — the scale
+    * path trades looser-match recall for candidate sparsity exactly
+    * like [[embeddingPairsLshAuto]] does, and exact duplicates match
+    * at every width.
+    */
+  def simhashPairsAutoPlan(docs: DataFrame, maxHamming: Int): DedupPlan = {
+    val bits = simhashAutoBits(docs.count(), maxHamming)
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, ${bits - 1}]")
+    val sh = simhashBits(docs, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = bandedFingerprintPairs(
+      sh.select(col("doc_id"), col("simhash").as("fp")), bits, maxHamming)
+    DedupPlan(pairs, "banded_auto", Seq(sh))
+  }
+
   /** IDF-weighted SimHash — the production form of [[simhash]]: each
     * distinct token votes ± its integer idf surrogate
     * (n_docs · 10⁶ div df — the repo's log-free idf) instead of ±1,
@@ -615,15 +688,22 @@ object Dedup {
     * purpose): the band self-join carries vector IDS ONLY — at
     * occupancy 64 the candidate stream is ~n·256 rows of 16 bytes,
     * not 1 KB rows with both embedding payloads (measured 76 s → the
-    * payload copy dominated, not the dot products) — then candidates
-    * dedup ACROSS tables before any scoring (a table-collision
-    * re-score is pure waste for near-dup pairs, which collide in
-    * several tables by construction), and the two vector payloads
-    * attach once per SURVIVING pair via id-keyed joins. The quantized
-    * input is referenced three times; each reference is one narrow
-    * column-pruned scan, deliberately recomputed (cheaper than a
-    * SER-cache round trip at this row weight — the
-    * [[graft.operators.TextAnalysis]] commonness measurement).
+    * payload copy dominated, not the dot products). What happens next
+    * depends on the driver-decided attach strategy: while the payload
+    * table fits a broadcast, candidates are scored IN the band-join
+    * stage via two map-side broadcast probes and only the surviving
+    * pairs are deduped (the candidate stream never shuffles at all);
+    * past the broadcast budget, candidates dedup across tables FIRST
+    * and the payloads attach to the halved stream via id-keyed shuffle
+    * joins. The signature input is repartitioned to the session
+    * shuffle parallelism first — the broadcast-path stage chain
+    * otherwise inherits the parquet SPLIT COUNT as its task count
+    * (measured: a 4-file input pinned the whole candidate stage to 4
+    * of 32 cores). The quantized input is referenced three times; each
+    * reference is one narrow column-pruned scan, deliberately
+    * recomputed (cheaper than a SER-cache round trip at this row
+    * weight — the [[graft.operators.TextAnalysis]] commonness
+    * measurement).
     *
     * One driver-side COUNT picks width and bucket count (the
     * kmeans-centroid bounded-state pattern); both rules are
@@ -639,8 +719,19 @@ object Dedup {
     val bits = Similarity.autoBits(n, occupancy)
     val numBuckets = math.max(1L, (n + occupancy - 1) / occupancy)
     val q = normed(emb)
+    // DECOUPLE compute parallelism from input file layout: under the
+    // broadcast attach the whole heavy pipeline (T·bits plane
+    // projections per vector, bucket self-join, candidate emit) runs
+    // in the SCAN stage, whose task count is the parquet split count —
+    // measured at 100× bench data: a 4-file input pinned 4 of 32 cores
+    // busy for minutes while the rest idled. One cheap round-robin
+    // shuffle of the narrow (vec_id, v) projection first puts the
+    // signature/candidate stage at full cluster parallelism regardless
+    // of how the source was written
+    val shufflePar = emb.sparkSession.sessionState.conf.numShufflePartitions
     val ids = Similarity
-      .lshBucketsBits(q.select(col("vec_id"), col("v")), bits)
+      .lshBucketsBits(q.select(col("vec_id"), col("v")).repartition(shufflePar),
+        bits)
       .select(col("t"), pmod(col("bucket"), lit(numBuckets)).as("bucket"),
         col("vec_id"))
     val cand = ids
@@ -648,29 +739,59 @@ object Dedup {
         Seq("t", "bucket"))
       .where(col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"))
-      .distinct()
     // payload-attach strategy, decided from the driver-known n: the
     // candidate stream is large and skinny, the vector table is
-    // n × ~0.6 KB. While the payload side fits a broadcast (≤128 MB)
-    // the two attaches are map-side hash lookups — no candidate ever
-    // shuffles; past that both sides shuffle and the volume is
-    // candidates·16 B + n·payload, linear either way (Catalyst won't
-    // broadcast on its own here: the payload table sits above the
-    // default 10 MB auto-broadcast threshold long before n stops
-    // fitting comfortably)
-    val smallPayload = n * (8L * 64 + 24L) <= (128L << 20)
-    def attach(df: DataFrame) = if (smallPayload) broadcast(df) else df
-    val va = attach(q.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("norm").as("na")))
-    val vb = attach(q.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("norm").as("nb")))
-    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+    // n × (8·dim + 24) bytes. While the payload side fits a broadcast
+    // (≤128 MB) the two attaches are map-side hash lookups — no
+    // candidate ever shuffles; past that both sides shuffle and the
+    // volume is candidates·16 B + n·payload, linear either way
+    // (Catalyst won't broadcast on its own here: the payload table
+    // sits above the default 10 MB auto-broadcast threshold long
+    // before n stops fitting comfortably). The row weight uses the
+    // MEASURED vector width — one single-row probe job — not an
+    // assumed 64: a 1024-dim embedding column would otherwise pass
+    // the test at 16× its real size and broadcast ~2 GB silently
+    val dim = emb.select(size(col("embedding")).as("d")).head(1) match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0).toLong
+      case _                          => 64L
+    }
+    val smallPayload = n * (8L * dim + 24L) <= (128L << 20)
+    val va = q.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("norm").as("na"))
+    val vb = q.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("norm").as("nb"))
+    def score(df: DataFrame) = df
       .withColumn("cos",
         when(col("na") * col("nb") > 0,
           dot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
           .otherwise(lit(0.0)))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+    if (smallPayload)
+      // broadcast path: score FIRST, dedup only survivors. The two
+      // payload attaches are map-side broadcast probes and the dot is
+      // codegen'd, so the whole candidate stream — self-join output,
+      // probes, score, threshold — runs inside the band-join stage with
+      // NO exchange, and the only shuffle in the query is the distinct
+      // over the (tiny) surviving pair set. The previous shape
+      // (distinct candidates BEFORE attach) shuffled the full
+      // candidate stream — n·occupancy·2 rows — into a global
+      // dedup hashAgg; at 100× bench data AQE coalesced that reduce
+      // stage by compressed BYTES (16 B/row keys compress hard) down
+      // to 4 tasks each aggregating hundreds of millions of rows:
+      // minutes of wall on a stage the score-first shape never runs.
+      // A pair colliding in k ≤ NumTables tables is scored k times —
+      // k extra 64-mult dots, orders cheaper than shuffling the
+      // candidate stream once
+      score(cand.join(broadcast(va), Seq("vec_a"))
+        .join(broadcast(vb), Seq("vec_b"))).distinct()
+    else
+      // shuffle path (payload over the broadcast budget): dedup the
+      // ids-only candidate stream BEFORE the attaches — here the
+      // attaches are shuffle joins that move payload bytes, so the
+      // cross-table dedup halves real shuffle volume instead of
+      // feeding a needless global hashAgg
+      score(cand.distinct().join(va, Seq("vec_a")).join(vb, Seq("vec_b")))
   }
 
   private def normed(emb: DataFrame): DataFrame =
@@ -740,7 +861,12 @@ object Dedup {
     import org.apache.spark.sql.graftshim.CheckpointBridge
     val sc = vertices.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
+    // capStats on every round's leaf: Dataset.checkpoint PRESERVES the
+    // origin plan's size estimate, so without the clamp round N's leaf
+    // inherits round N-1's join-product estimate and the digit count
+    // compounds EXPONENTIALLY in rounds — by round ~8 every stats walk
+    // is minutes of driver BigInteger math (see CheckpointBridge.capStats)
+    def ckpt(df: DataFrame): DataFrame = CheckpointBridge.capStats(
       if (reliable) {
         // persist first: RDD.checkpoint's file-write job otherwise
         // RECOMPUTES the whole round's plan (compute once into cache,
@@ -750,7 +876,7 @@ object Dedup {
         val out = cached.checkpoint()
         cached.unpersist(blocking = false)
         out
-      } else df.localCheckpoint()
+      } else df.localCheckpoint())
     def release(df: DataFrame): Unit = CheckpointBridge.release(df)
 
     // SEVER the caller's pair plan once, at entry. Two reasons, both
@@ -1389,6 +1515,13 @@ object Dedup {
     "dd_simhash_pairs" -> ((s, dir) =>
       simhashPairs(table(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),
 
+    // the auto-width 100 TB form: fingerprint width sized from COUNT so
+    // the banded value join never saturates (the fixed 16-bit form above
+    // stays as the deterministic small-scale gate)
+    "dd_simhash_pairs_auto" -> ((s, dir) =>
+      simhashPairsAutoPlan(table(s, dir, "documents"), 3).df
+        .orderBy("doc_a", "doc_b")),
+
     // idf-weighted fingerprints: distinctive vocabulary sets the bits
     "dd_simhash_idf" -> ((s, dir) =>
       simhashIdfPlan(table(s, dir, "documents")).df.orderBy("doc_id")),
@@ -1783,6 +1916,44 @@ object Dedup {
          |FROM sh a, sh b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // width rule replayed verbatim (smallest multiple-of-4 bits in
+    // [16,60] with 64·2^(bits/4) >= n), then the generalized
+    // hex-digit vote machinery at that width; banding is a Spark-side
+    // physical detail (exact by pigeonhole), so the oracle checks the
+    // all-pairs hamming truth directly. Bit extraction uses BIGINT
+    // floor-division — h reaches 2^60, past DOUBLE's 2^53 exactness
+    "dd_simhash_pairs_auto" ->
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT COALESCE(MIN(b), 60) AS bits FROM
+        |   (SELECT 16 + 4*i AS b FROM UNNEST(range(0, 12)) AS r(i)) cand, n
+        |  WHERE 64 * CAST(POWER(2, b // 4) AS HUGEINT) >= n_docs),
+        |toks AS (
+        | SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+        | FROM documents),
+        |hv AS (
+        | SELECT doc_id, tok,
+        |  CAST(SUM((strpos('0123456789abcdef', substr(md5(tok), d, 1)) - 1)
+        |       * CAST(POWER(16, (SELECT bits FROM w) // 4 - d) AS BIGINT))
+        |    AS BIGINT) AS h
+        | FROM toks, UNNEST(range(1, (SELECT bits FROM w) // 4 + 1)) AS r(d)
+        | GROUP BY doc_id, tok),
+        |votes AS (
+        | SELECT doc_id, j,
+        |  SUM(CASE WHEN (h // CAST(POWER(2, (SELECT bits FROM w) - 1 - j) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS s
+        | FROM hv, UNNEST(range(0, (SELECT bits FROM w))) AS r(j)
+        | GROUP BY doc_id, j),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0
+        |    THEN CAST(POWER(2, (SELECT bits FROM w) - 1 - j) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        | FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_dedup_clusters" ->
       s"""WITH RECURSIVE $clustersCte
          |SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS is_keeper

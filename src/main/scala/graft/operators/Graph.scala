@@ -69,13 +69,17 @@ object Graph {
   private def eagerReleased(plan: DedupPlan): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val reliable = plan.df.sparkSession.sparkContext.getCheckpointDir.isDefined
-    val out =
+    // capStats: the checkpoint leaf inherits the origin plan's size
+    // estimate (possibly an astronomical join product) — clamp it so a
+    // caller composing this result can't seed compounding driver-side
+    // BigInteger stats (see CheckpointBridge.capStats)
+    val out = org.apache.spark.sql.graftshim.CheckpointBridge.capStats(
       if (reliable) { // eager + survives executor loss
         val cached = plan.df.persist(StorageLevel.MEMORY_AND_DISK_SER)
         val ck = cached.checkpoint()
         cached.unpersist(blocking = false)
         ck
-      } else plan.df.localCheckpoint() // eager: materializes now
+      } else plan.df.localCheckpoint()) // eager: materializes now
     plan.release()
     out
   }
@@ -139,13 +143,16 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     val sc = edges.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
+    // capStats per round: checkpoint PRESERVES origin size estimates,
+    // and per-round estimates otherwise compound exponentially in the
+    // round count (see CheckpointBridge.capStats)
+    def ckpt(df: DataFrame): DataFrame = CheckpointBridge.capStats(
       if (reliable) {
         val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
         val out = cached.checkpoint()
         cached.unpersist(blocking = false)
         out
-      } else df.localCheckpoint()
+      } else df.localCheckpoint())
     // cached PRE-PARTITIONED on src: every round joins e by src, and a
     // cached frame's output partitioning satisfies the join's
     // requirement, so the per-round exchange of the (large) edge list
@@ -255,13 +262,16 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     val sc = edges.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
+    // capStats per round: checkpoint PRESERVES origin size estimates,
+    // and per-round estimates otherwise compound exponentially in the
+    // round count (see CheckpointBridge.capStats)
+    def ckpt(df: DataFrame): DataFrame = CheckpointBridge.capStats(
       if (reliable) {
         val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
         val out = cached.checkpoint()
         cached.unpersist(blocking = false)
         out
-      } else df.localCheckpoint()
+      } else df.localCheckpoint())
     // pre-partitioned on src for the same reason as pageRankPlan: the
     // per-round frontier join requires hashpartitioning(src), and the
     // cached layout satisfies it — rounds stop re-exchanging the edges

@@ -166,6 +166,24 @@ object ScaleData {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
     }
+    // the 2^dim capacity claim needs the masks ACTUALLY GENERATED to be
+    // pairwise distinct — at small dims two groups collide with
+    // probability ~2^-dim, silently reintroducing the K² pair explosion.
+    // Distinctness is checked up to GLOBAL sign: mask and -mask make
+    // copies identical up to a sign flip (cos = ±1), and the −1 case
+    // still collapses under |cos|-based near-dup machinery. Driver-side,
+    // O(groups · dim) — groups is k/dim, tiny
+    if (k > 1) {
+      val nGroups = (k - 1) / minDim + 1
+      val canon = (0 until nGroups).map { g =>
+        val m = signMask(g).toSeq
+        if (m.head < 0) m.map(-_) else m
+      }
+      require(canon.distinct.size == nGroups,
+        s"sign-mask collision among $nGroups copy groups at dim $maxDim: " +
+          "two groups would replicate near-identical vectors (the K-squared " +
+          "pair explosion). Use a higher-dimensional embeddings input.")
+    }
     replicate("embeddings", Seq("vec_id")) { (df, i) =>
       if (i == 0) df
       else {

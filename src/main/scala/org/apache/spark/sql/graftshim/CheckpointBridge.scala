@@ -39,6 +39,49 @@ object CheckpointBridge {
       case _             => None
     }
 
+  /** Clamp a checkpoint leaf's inherited size estimate to the Long
+    * range. Since Spark 3.4, `Dataset.checkpoint` PRESERVES the origin
+    * plan's `Statistics` on the returned `LogicalRDD` — so checkpointing
+    * does NOT reset size-only estimates, and in an ITERATIVE algorithm
+    * the estimates COMPOUND: the size-only visitor estimates a join as
+    * the PRODUCT of its children, round N's leaf inherits round N-1's
+    * product, and with j joins per round the digit count grows by a
+    * factor of ~j per round — BigInts of hundreds of thousands of
+    * digits within ~8 rounds. Every subsequent stats walk (the
+    * runtime-filter rule's broadcastability probe, join selection) then
+    * burns driver MINUTES in BigInteger Toom-Cook multiplication while
+    * all executors idle. Measured: the sf10 embedding-dedup composition
+    * (auto LSH pairs → connected components) went from a >9-minute
+    * driver-bound stall to executor-bound wall once rounds were
+    * clamped; jstack showed `SizeInBytesOnlyStatsPlanVisitor` inside
+    * `InjectRuntimeFilter` at Toom-Cook recursion depth 4+.
+    *
+    * The clamp is semantics-preserving in the only sense that matters:
+    * `sizeInBytes` means BYTES, and a value beyond Long.MaxValue (8
+    * exbibytes) carries no information a planner could act on — every
+    * size-gated decision (broadcast thresholds ~100 MB) saturated long
+    * before. GENUINE small estimates (a checkpointed 100 MB dimension)
+    * pass through untouched, so downstream auto-broadcast decisions
+    * keep working. No-op for non-checkpoint plans.
+    */
+  def capStats(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val s = l.computeStats()
+        if (s.sizeInBytes.isValidLong) df
+        else {
+          val capped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = BigInt(Long.MaxValue), rowCount = s.rowCount)
+          val session = df.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val fresh = new LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(
+            session, Some(capped), Some(l.constraints))
+          org.apache.spark.sql.classic.Dataset.ofRows(session, fresh)
+        }
+      case _ => df
+    }
+
   /** Release a superseded checkpointed Dataset: unpersist its blocks
     * and, for RELIABLE checkpoints, delete its checkpoint files (the
     * context cleaner only does that on GC, and only when

@@ -76,6 +76,48 @@ class PipelineRunSpec extends SparkSpec {
     assert(got.size < docs.count()) // the filter and dedup really dropped rows
   }
 
+  test("decontaminate bloom: parses, equals the hand bloom drop, supersets exact") {
+    val benchDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val docs = spark.read.parquet(docsPath)
+    docs.orderBy("doc_id").limit(5).write.mode("overwrite").parquet(benchDir)
+    def yaml(bloomLine: String) =
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: decontaminate
+         |      max_hits: 0$bloomLine
+         |      bench:
+         |        db: {type: parquet, path: $benchDir}
+         |""".stripMargin
+    val spec = PipelineLoader.fromYaml(yaml("\n      bloom: true"))
+    assert(spec.steps.size == 1 &&
+      spec.steps.head.asInstanceOf[StepSpec.Decontaminate].bloom)
+    // default stays exact: bloom omitted => false
+    assert(!PipelineLoader.fromYaml(yaml("")).steps.head
+      .asInstanceOf[StepSpec.Decontaminate].bloom)
+
+    val bench = spark.read.parquet(benchDir)
+    val expect = docs.join(
+      graft.operators.Curation.decontaminateBloom(docs, bench)
+        .where(col("bench_hits") > 0).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Pipeline.run(spark, spec)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+    // one-sided error: the bloom form never KEEPS a doc the exact form
+    // would drop (its flagged set is a superset), and the seeded
+    // benchmark docs themselves are always flagged out
+    val exactKept = docs.join(
+      graft.operators.Curation.decontaminate(docs, bench)
+        .where(col("bench_hits") > 0).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(exactKept))
+    assert(bench.select("doc_id").collect().map(_.getLong(0)).forall(!got.contains(_)))
+  }
+
   test("lm_filter step: parses, bounds validated, equals the hand semi-join") {
     def bad(y: String): String =
       intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
@@ -140,7 +182,7 @@ class PipelineRunSpec extends SparkSpec {
     assert(spec.steps == Seq(
       StepSpec.Temperature("source", "doc_id", 0.5, "temp"),
       StepSpec.Stratified("source", "doc_id", 0.5, "s1"),
-      StepSpec.QualityNormalize("source", "n_chars", 0.25),
+      StepSpec.QualityNormalize("source", "n_chars", "doc_id", 0.25),
       StepSpec.Kfold("doc_id", 5, "fold")))
 
     val docs = spark.read.parquet(docsPath)

@@ -448,6 +448,74 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("capStats clamps a checkpoint leaf's inherited astronomical size estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.graftshim.CheckpointBridge
+    // stack row-preserving self-joins: the size-only stats visitor
+    // estimates each join as the PRODUCT of its children, so the
+    // estimate SQUARES per level — far past Long range on 4 rows
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L)).toDF("doc_a", "doc_b")
+    var big = base
+    (1 to 6).foreach { _ =>
+      val r = big.select(col("doc_a").as("a2"), col("doc_b").as("b2"))
+      big = big.join(r, col("doc_a") === col("a2") && col("doc_b") === col("b2"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val ck = big.localCheckpoint()
+    // precondition — the hazard this guards against: Dataset.checkpoint
+    // PRESERVES the origin plan's estimate on the leaf (if a future
+    // Spark stops doing that, capStats is obsolete and this test says so)
+    val inherited = ck.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+      .computeStats().sizeInBytes
+    assert(!inherited.isValidLong, s"expected an over-Long estimate, got $inherited")
+    val capped = CheckpointBridge.capStats(ck)
+    val lr = capped.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+    assert(lr.computeStats().sizeInBytes == BigInt(Long.MaxValue))
+    // data unaffected by the leaf swap
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L)))
+    // no-op on an in-range leaf (idempotent: second call returns df as-is)
+    assert(CheckpointBridge.capStats(capped) eq capped)
+  }
+
+  test("connected components keeps round-leaf size estimates bounded " +
+      "(driver stats-explosion guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.LogicalRDD
+    // seed CC with a pair plan whose size estimate is already beyond
+    // Long range (the embeddingPairsLshAuto composition shape at scale).
+    // Without the per-round capStats clamp, every round's checkpoint
+    // leaf INHERITS the prior round's join-product estimate and digits
+    // compound exponentially in rounds — the measured failure mode was
+    // 17+ driver-minutes of BigInteger multiplication inside stats
+    // walks while every executor idled. The guard: after the loop, the
+    // label table's leaves are checkpoint leaves with Long-range stats.
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("doc_a", "doc_b")
+    var pairs = base
+    (1 to 6).foreach { _ =>
+      val r = pairs.select(col("doc_a").as("a2"), col("doc_b").as("b2"))
+      pairs = pairs.join(r, col("doc_a") === col("a2") && col("doc_b") === col("b2"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val vertices = (1L to 7L).toDF("doc_id")
+    val plan = Dedup.connectedComponentsPlan(vertices, pairs)
+    val cc = plan.df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(3L) == 1L && cc(6L) == 4L && cc(7L) == 7L)
+    val leaves = plan.df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach {
+      case l: LogicalRDD =>
+        val s = l.computeStats().sizeInBytes
+        assert(s.isValidLong, s"round leaf carries an unbounded estimate: $s")
+      case other =>
+        fail(s"CC output reads a non-checkpoint leaf: ${other.nodeName}")
+    }
+    plan.release()
+  }
+
   test("token stats: n_tokens matches manual split") {
     import spark.implicits._
     val d = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
