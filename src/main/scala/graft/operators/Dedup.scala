@@ -696,10 +696,12 @@ object Dedup {
     * past the broadcast budget, candidates dedup across tables FIRST
     * and the payloads attach to the halved stream via id-keyed shuffle
     * joins. The signature input is repartitioned to the session
-    * shuffle parallelism first — the broadcast-path stage chain
-    * otherwise inherits the parquet SPLIT COUNT as its task count
-    * (measured: a 4-file input pinned the whole candidate stage to 4
-    * of 32 cores). The quantized input is referenced three times; each
+    * shuffle parallelism ONLY when the scan's split count is
+    * degenerate (under a quarter of the parallelism) — the stage
+    * chain otherwise inherits the parquet SPLIT COUNT as its task
+    * count, but the re-shuffle is not free and an unconditional form
+    * was A/B-measured 2x slower at 100x bench data (see the inline
+    * comment). The quantized input is referenced three times; each
     * reference is one narrow column-pruned scan, deliberately
     * recomputed (cheaper than a SER-cache round trip at this row
     * weight — the [[graft.operators.TextAnalysis]] commonness
@@ -719,19 +721,27 @@ object Dedup {
     val bits = Similarity.autoBits(n, occupancy)
     val numBuckets = math.max(1L, (n + occupancy - 1) / occupancy)
     val q = normed(emb)
-    // DECOUPLE compute parallelism from input file layout: under the
-    // broadcast attach the whole heavy pipeline (T·bits plane
-    // projections per vector, bucket self-join, candidate emit) runs
-    // in the SCAN stage, whose task count is the parquet split count —
-    // measured at 100× bench data: a 4-file input pinned 4 of 32 cores
-    // busy for minutes while the rest idled. One cheap round-robin
-    // shuffle of the narrow (vec_id, v) projection first puts the
-    // signature/candidate stage at full cluster parallelism regardless
-    // of how the source was written
+    // DECOUPLE compute parallelism from input file layout — but ONLY
+    // when the layout is actually degenerate. The signature stage
+    // (T·bits plane projections per vector) runs in the SCAN stage,
+    // whose task count is the parquet split count: a single-file
+    // 200k-vector input would compute ~3G multiplies on one core
+    // while the rest idle, so a few-split input gets one narrow
+    // (vec_id, v) re-shuffle up to the session parallelism first.
+    // The guard is CONDITIONAL because the shuffle is not free — A/B
+    // at 100× bench data, where the scan already had 9+ splits: an
+    // unconditional repartition ran the query at 75–79 s (round-robin
+    // and hash keyed alike) vs 37 s without; the extra exchange
+    // materializes the quantized vectors twice (both band self-join
+    // sides re-read it) for parallelism the scan already had
     val shufflePar = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val sig0 = q.select(col("vec_id"), col("v"))
+    val sigIn =
+      if (sig0.rdd.getNumPartitions * 4 < shufflePar)
+        sig0.repartition(shufflePar, col("vec_id"))
+      else sig0
     val ids = Similarity
-      .lshBucketsBits(q.select(col("vec_id"), col("v")).repartition(shufflePar),
-        bits)
+      .lshBucketsBits(sigIn, bits)
       .select(col("t"), pmod(col("bucket"), lit(numBuckets)).as("bucket"),
         col("vec_id"))
     val cand = ids
