@@ -79,6 +79,12 @@ object Pipeline {
     case _: StepSpec.Stratified      => "stratified"
     case _: StepSpec.Kfold           => "kfold"
     case _: StepSpec.QualityNormalize => "quality_normalize"
+    case _: StepSpec.Mixture         => "mixture"
+    case _: StepSpec.QualityWeighted => "quality_weighted"
+    case _: StepSpec.FixedK          => "fixed_k"
+    case _: StepSpec.EpochOrder      => "epoch_order"
+    case _: StepSpec.Pack            => "pack"
+    case _: StepSpec.KAnonSuppress   => "k_anon_suppress"
   }
 
   private[graft] def applyStep(
@@ -158,5 +164,35 @@ object Pipeline {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(keyCol))))
         .where(col("pct_rank") >= minPct)
+
+    case StepSpec.Mixture(groupCol, keyCol, weights, salt) =>
+      Sampling.mixtureSample(df, col(groupCol), col(keyCol), weights, salt)
+
+    case StepSpec.QualityWeighted(keyCol, scoreCol, salt) =>
+      Sampling.qualityWeightedSample(df, col(keyCol), col(scoreCol), salt)
+
+    case StepSpec.FixedK(keyCol, k, salt) =>
+      Sampling.fixedK(df, col(keyCol), k, salt)
+
+    case StepSpec.EpochOrder(keyCol, epoch, shards, salt) =>
+      Sampling.epochOrder(df, col(keyCol), epoch, shards, salt)
+
+    case StepSpec.Pack(keyCol, tokensCol, capacity, shards, salt) =>
+      Sampling.packSequences(df, col(keyCol), col(tokensCol), capacity,
+        shards, salt)
+
+    case StepSpec.KAnonSuppress(quasiCols, k) =>
+      // group-size predicate as a window count DIRECTLY over the
+      // incoming frame (one shuffle to the quasi grain) — the
+      // operator-output anti-join alternative puts df on both join
+      // sides and executes every upstream step twice. Same k-anonymity
+      // contract as [[Curation.kAnonymityViolations]]: rows whose
+      // quasi combination is shared by fewer than k rows are dropped
+      df.withColumn("__qn",
+          org.apache.spark.sql.functions.count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(quasiCols.map(col): _*)))
+        .where(col("__qn") >= k)
+        .drop("__qn")
   }
 }

@@ -109,6 +109,55 @@ object StepSpec {
     */
   final case class QualityNormalize(groupCol: String, scoreCol: String,
       keyCol: String, minPct: Double) extends StepSpec
+
+  /** Domain-mixture sampling
+    * ([[graft.operators.Sampling.mixtureSample]]): downsample groups
+    * to the target mixture `weights`, keeping the binding group whole.
+    * Groups absent from the mapping are DROPPED (weight zero) — the
+    * mixture is a whitelist, unlike [[Temperature]]'s keep-everything
+    * flattening.
+    */
+  final case class Mixture(groupCol: String, keyCol: String,
+      weights: Seq[(String, Double)], salt: String) extends StepSpec
+
+  /** Quality-weighted sampling
+    * ([[graft.operators.Sampling.qualityWeightedSample]]): keep each
+    * row with probability `scoreCol` (a [0,1] score — e.g. the
+    * `pct_rank` a preceding [[QualityNormalize]] step adds), the soft
+    * alternative to a hard cutoff.
+    */
+  final case class QualityWeighted(keyCol: String, scoreCol: String,
+      salt: String) extends StepSpec
+
+  /** Exact-k deterministic sample ([[graft.operators.Sampling.fixedK]]):
+    * exactly k rows, chosen by salted-hash order of `keyCol` — stable
+    * under repartitioning and re-runs where `df.sample` is not.
+    */
+  final case class FixedK(keyCol: String, k: Int, salt: String) extends StepSpec
+
+  /** Deterministic epoch-shuffled reader order
+    * ([[graft.operators.Sampling.epochOrder]]): adds `shard` and `pos`
+    * — a per-shard permutation that re-randomizes per `epoch` without
+    * any global sort; readers consume shards independently.
+    */
+  final case class EpochOrder(keyCol: String, epoch: Int, shards: Int,
+      salt: String) extends StepSpec
+
+  /** Greedy sequence packing ([[graft.operators.Sampling.packSequences]]):
+    * adds `shard` and `bin`, assigning docs to token-budget bins of
+    * `capacity` (counted from `tokensCol`) within hash shards — the
+    * pretraining batch-packing layout, shard-local and deterministic.
+    */
+  final case class Pack(keyCol: String, tokensCol: String, capacity: Long,
+      shards: Int, salt: String) extends StepSpec
+
+  /** k-anonymity suppression: drop every row whose quasi-identifier
+    * combination (`quasiCols`) is shared by fewer than k rows — the
+    * enforcement form of [[graft.operators.Curation.kAnonymityViolations]]
+    * (one group-size aggregate + an anti-join; output is k-anonymous on
+    * those columns by construction).
+    */
+  final case class KAnonSuppress(quasiCols: Seq[String], k: Long) extends StepSpec
 }
 
 final case class OutputSpec(path: String, format: String)
@@ -233,12 +282,64 @@ object PipelineLoader {
           opt(n, "score_col").map(_.asText).getOrElse("n_chars"),
           opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
           minPct)
+      case "mixture" =>
+        val w = require(n, "weights", where)
+        if (!w.isObject || w.isEmpty)
+          throw new IllegalArgumentException(
+            s"$where: weights must be a non-empty mapping of group -> weight")
+        val weights = w.fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toSeq
+        if (weights.exists(_._2 <= 0))
+          throw new IllegalArgumentException(s"$where: weights must be positive")
+        StepSpec.Mixture(
+          opt(n, "group_col").map(_.asText).getOrElse("source"),
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          weights, opt(n, "salt").map(_.asText).getOrElse("mix"))
+      case "quality_weighted" =>
+        StepSpec.QualityWeighted(
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          opt(n, "score_col").map(_.asText).getOrElse("pct_rank"),
+          opt(n, "salt").map(_.asText).getOrElse("qw"))
+      case "fixed_k" =>
+        val k = require(n, "k", where).asInt
+        if (k <= 0) throw new IllegalArgumentException(s"$where: k must be positive")
+        StepSpec.FixedK(
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          k, opt(n, "salt").map(_.asText).getOrElse("fixedk"))
+      case "epoch_order" =>
+        val epoch = opt(n, "epoch").map(_.asInt).getOrElse(0)
+        val shards = opt(n, "shards").map(_.asInt).getOrElse(64)
+        if (epoch < 0 || shards <= 0)
+          throw new IllegalArgumentException(
+            s"$where: need epoch >= 0 and shards > 0")
+        StepSpec.EpochOrder(
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          epoch, shards, opt(n, "salt").map(_.asText).getOrElse("epoch"))
+      case "pack" =>
+        val capacity = require(n, "capacity", where).asLong
+        val shards = opt(n, "shards").map(_.asInt).getOrElse(64)
+        if (capacity <= 0 || shards <= 0)
+          throw new IllegalArgumentException(
+            s"$where: need capacity > 0 and shards > 0")
+        StepSpec.Pack(
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          opt(n, "tokens_col").map(_.asText).getOrElse("n_chars"),
+          capacity, shards, opt(n, "salt").map(_.asText).getOrElse("pack"))
+      case "k_anon_suppress" =>
+        val q = require(n, "quasi_cols", where)
+        if (!q.isArray || q.isEmpty)
+          throw new IllegalArgumentException(
+            s"$where: quasi_cols must be a non-empty list")
+        val k = require(n, "k", where).asLong
+        if (k < 2) throw new IllegalArgumentException(s"$where: k must be >= 2")
+        StepSpec.KAnonSuppress(q.elements().asScala.map(_.asText).toSeq, k)
       case other =>
         throw new IllegalArgumentException(
           s"$where: unknown kind '$other' (valid: filter_stack, redact_pii, " +
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
             "split, forget, lm_filter, temperature, stratified, kfold, " +
-            "quality_normalize)")
+            "quality_normalize, mixture, quality_weighted, fixed_k, " +
+            "epoch_order, pack, k_anon_suppress)")
     }
   }
 }

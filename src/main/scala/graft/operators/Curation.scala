@@ -323,6 +323,33 @@ object Curation {
         .orderBy("pseudo_source")
     }),
 
+    // The TRAINING-PREP pipeline as one declarative composition —
+    // every stage is oracle-gated alone (cur_kanon, sa_mixture,
+    // sa_quality_norm, sa_quality_weighted, sa_epoch_order, sa_pack);
+    // this row proves the YAML-level chain: suppress re-identifiable
+    // quasi-groups, reshape to the 4:2:1:1 source mixture, percentile-
+    // normalize quality per source, soft-sample by the calibrated
+    // score, lay out the epoch-1 reader order, pack into 2048-char
+    // bins. One lazy plan; the oracle replays all six stages as CTEs
+    "pipe_training_prep" -> ((s, dir) => {
+      import graft.config.{PipelineSpec, SideSpec, SourceSpec, StepSpec}
+      val spec = PipelineSpec(
+        input = SideSpec("docs",
+          SourceSpec.File("parquet", s"$dir/documents.parquet", None)),
+        steps = Seq(
+          StepSpec.KAnonSuppress(Seq("source", "lang"), 5L),
+          StepSpec.Mixture("source", "doc_id", Sampling.MixWeights, "mix"),
+          StepSpec.QualityNormalize("source", "n_chars", "doc_id", 0.25),
+          StepSpec.QualityWeighted("doc_id", "pct_rank", "qw"),
+          StepSpec.EpochOrder("doc_id", 1, 4, "epoch"),
+          StepSpec.Pack("doc_id", "n_chars", 2048L, 4, "pack")),
+        output = None)
+      graft.Pipeline.run(s, spec)
+        .select(col("doc_id"), col("pct_rank"), col("pos"),
+          col("shard").cast("long").as("shard"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // right-to-be-forgotten cascade: every 13th user tombstoned, purged
     // from both tables that key on the entity; per-table audit counts
     "cur_forget" -> ((s, dir) => {
@@ -337,6 +364,49 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // the six training-prep stages replayed as CTEs: the same window
+    // count, the same binding-group mixture arithmetic (doubles, so
+    // every keep threshold is the identical IEEE value), the same
+    // (score, key)-ordered percent_rank, the same salted-hash
+    // fractions, the same exclusive-prefix-sum packing
+    "pipe_training_prep" -> {
+      val mixFrac = s"CAST(${Sampling.hex8ToLong("md5('mix|' || doc_id)")} AS DOUBLE) / 4294967296.0"
+      val packFrac = s"CAST(${Sampling.hex8ToLong("md5('pack|' || doc_id)")} AS DOUBLE) / 4294967296.0"
+      val cases = Sampling.MixWeights
+        .map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+      s"""WITH ka AS (SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |   COUNT(*) OVER (PARTITION BY source, lang) AS qn
+         |  FROM documents) WHERE qn >= 5),
+         |g AS (SELECT source AS grp, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM ka GROUP BY source),
+         |w AS (SELECT grp, n, CASE grp $cases END AS wgt FROM g),
+         |w2 AS (SELECT * FROM w WHERE wgt IS NOT NULL),
+         |sc AS (SELECT MIN(n / wgt) AS s FROM w2),
+         |p AS (SELECT grp, (sc.s * wgt / n) AS p FROM w2, sc),
+         |mixed AS (SELECT ka.doc_id, ka.source, ka.n_chars
+         |  FROM ka JOIN p ON ka.source = p.grp WHERE $mixFrac < p.p),
+         |qn2 AS (SELECT doc_id, source, n_chars,
+         |  PERCENT_RANK() OVER (PARTITION BY source
+         |    ORDER BY n_chars, doc_id) AS pct_rank FROM mixed),
+         |kept AS (SELECT * FROM qn2 WHERE pct_rank >= 0.25
+         |  AND ${Sampling.hashFractionSql("doc_id", "qw")} < pct_rank),
+         |eo AS (SELECT doc_id, n_chars, pct_rank,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY FLOOR(${Sampling.hashFractionSql("doc_id", "epoch-shard")} * 4)
+         |    ORDER BY ${Sampling.hashFractionSql("doc_id", "epoch-1")}, doc_id) AS BIGINT)
+         |    AS pos
+         |  FROM kept),
+         |pk AS (SELECT doc_id, pct_rank, pos,
+         |  CAST(FLOOR($packFrac * 4) AS BIGINT) AS shard,
+         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+         |    PARTITION BY CAST(FLOOR($packFrac * 4) AS INT) ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+         |    AS BIGINT) AS bin
+         |  FROM eo)
+         |SELECT doc_id, pct_rank, pos, shard, bin FROM pk
+         |ORDER BY doc_id""".stripMargin
+    },
     "cur_kanon" ->
       """WITH g AS (SELECT event_type,
         |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,

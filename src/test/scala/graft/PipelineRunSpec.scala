@@ -211,6 +211,95 @@ class PipelineRunSpec extends SparkSpec {
       "quality_normalize", "kfold"))
   }
 
+  test("training-prep steps: parse validation, hand equality, funnel names") {
+    def bad(y: String): String =
+      intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
+    val head =
+      s"pipeline:\n  input:\n    db: {type: parquet, path: $docsPath}\n"
+    assert(bad(head + "  steps:\n    - kind: mixture").contains("weights"))
+    assert(bad(head + "  steps:\n    - kind: mixture\n      weights: {a: -1}")
+      .contains("positive"))
+    assert(bad(head + "  steps:\n    - kind: fixed_k\n      k: 0")
+      .contains("k must be positive"))
+    assert(bad(head + "  steps:\n    - kind: epoch_order\n      epoch: -1")
+      .contains("epoch"))
+    assert(bad(head + "  steps:\n    - kind: pack").contains("capacity"))
+    assert(bad(head + "  steps:\n    - kind: pack\n      capacity: 0")
+      .contains("capacity"))
+    assert(bad(head + "  steps:\n    - kind: k_anon_suppress\n      k: 5")
+      .contains("quasi_cols"))
+    assert(bad(head +
+      "  steps:\n    - kind: k_anon_suppress\n      k: 1\n      quasi_cols: [lang]")
+      .contains("k must be >= 2"))
+
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: k_anon_suppress
+         |      quasi_cols: [source, lang]
+         |      k: 3
+         |    - kind: mixture
+         |      weights: {src0: 0.5, src1: 0.25}
+         |    - kind: quality_normalize
+         |      min_pct: 0.0
+         |    - kind: quality_weighted
+         |      score_col: pct_rank
+         |    - kind: fixed_k
+         |      k: 10
+         |    - kind: epoch_order
+         |      epoch: 2
+         |      shards: 4
+         |    - kind: pack
+         |      capacity: 2000
+         |      shards: 4
+         |""".stripMargin)
+    assert(spec.steps == Seq(
+      StepSpec.KAnonSuppress(Seq("source", "lang"), 3L),
+      StepSpec.Mixture("source", "doc_id", Seq("src0" -> 0.5, "src1" -> 0.25), "mix"),
+      StepSpec.QualityNormalize("source", "n_chars", "doc_id", 0.0),
+      StepSpec.QualityWeighted("doc_id", "pct_rank", "qw"),
+      StepSpec.FixedK("doc_id", 10, "fixedk"),
+      StepSpec.EpochOrder("doc_id", 2, 4, "epoch"),
+      StepSpec.Pack("doc_id", "n_chars", 2000L, 4, "pack")))
+
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(docsPath)
+    // hand composition, step by step (the window form of the k-anon
+    // suppression must equal the operator's violating-group contract)
+    val viol = graft.operators.Curation
+      .kAnonymityViolations(docs, Seq(col("source"), col("lang")), 3L)
+      .select(col("source"), col("lang"))
+    val ka = docs.join(viol, Seq("source", "lang"), "left_anti")
+    val mixed = Sampling.mixtureSample(ka, col("source"), col("doc_id"),
+      Seq("src0" -> 0.5, "src1" -> 0.25))
+    val qn = mixed.join(
+      Sampling.qualityNormalize(mixed, col("source"), col("n_chars"))
+        .select(col("doc_id"), col("pct_rank")), Seq("doc_id"))
+    val qw = Sampling.qualityWeightedSample(qn, col("doc_id"), col("pct_rank"))
+    val fk = Sampling.fixedK(qw, col("doc_id"), 10)
+    val eo = Sampling.epochOrder(fk, col("doc_id"), 2, 4)
+    val expect = Sampling
+      .packSequences(eo.drop("shard"), col("doc_id"), col("n_chars"), 2000L, 4)
+      .select("doc_id", "pos", "shard", "bin").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+
+    val out = Pipeline.run(spark, spec)
+    assert(Seq("pct_rank", "pos", "shard", "bin").forall(out.columns.contains))
+    val got = out.select("doc_id", "pos", "shard", "bin").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got == expect && got.size == 10) // fixed_k's exact-size contract
+    // only the whitelisted mixture sources survive
+    val srcs = out.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs.subsetOf(Set("src0", "src1")))
+    // funnel reports every new step by name
+    val funnel = Pipeline.funnel(spark, spec)
+      .select("step").collect().map(_.getString(0)).toSeq
+    assert(funnel == Seq("input", "k_anon_suppress", "mixture",
+      "quality_normalize", "quality_weighted", "fixed_k", "epoch_order", "pack"))
+  }
+
   test("funnel: hand-computed per-step retention, stage caches released") {
     import spark.implicits._
     import graft.config.{PipelineSpec, SideSpec, SourceSpec}
