@@ -266,8 +266,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_FILTER: comma-separated names or prefixes —
     // the scale-rehearsal hook (run just the heavy families at sf1)
     // and the local dev loop's narrow-timing hook. Unset = all.
+    // set-but-EMPTY means unset (matches benchFiltered's trim test):
+    // Some(Seq()) would otherwise match nothing and silently run a
+    // 0-query bench that exits green
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     // Prior-round per-query medians from the COMMITTED detail artifact
     // (written flat by emit() below, so a regex parse is exact). Only
     // trusted when the artifact's sf matches this run's — a different
