@@ -427,6 +427,15 @@ object Similarity {
       .withColumn("sem_rank", row_number().over(ws).cast("long"))
       .where(col("sem_rank") <= kPer)
       .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    rrfFuse(lex, sem, k, rrfK)
+  }
+
+  /** The RRF fusion stage shared by [[hybridTopK]] and
+    * [[hybridTopKAnn]]: full-outer join at the O(queries·kPer) grain,
+    * integer-surrogate reciprocal ranks, per-query WindowGroupLimit.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame,
+      k: Int, rrfK: Int): DataFrame = {
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)) +
@@ -437,6 +446,66 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("lex_rank"), col("sem_rank"), col("rrf"))
+  }
+
+  /** [[hybridTopK]] with the semantic arm BUCKETED at the count-auto
+    * grain — the 100 TB form. The exhaustive arm above scores every
+    * (query, vector) pair — an O(n·queries) cross join measured at
+    * 60 s / ratio 44 on 100× bench data, the worst non-baseline
+    * similarity ratio — while this form probes only each query's
+    * SRP-LSH buckets at occupancy held CONSTANT by the
+    * [[autoBits]]/⌈n/occ⌉ width rule: per-query candidates are bounded
+    * by tables × occupancy, independent of corpus size, and the
+    * broadcast query side keeps the probe join map-side. The FIXED
+    * 4-bit grain ([[lshBuckets]]) was A/B-measured here and REJECTED:
+    * at 100× data its 16-bucket space saturates (12.5 k vectors per
+    * bucket), the probe join emits 200 M candidates, and the "scale
+    * path" ran 2.8× SLOWER than the brute-force arm it replaces
+    * (167 s vs 60 s); the auto grain is what makes bucketing win. The
+    * lexical arm, RRF arithmetic, and output schema are IDENTICAL to
+    * [[hybridTopK]] — swapping the semantic retriever never changes
+    * the fusion contract.
+    *
+    * Recall contract: the bucketed arm can miss low-cosine neighbors
+    * the exhaustive arm would surface (per-table collision for an
+    * angle-θ pair is (1−θ/π)^bits, and the auto width GROWS with the
+    * corpus); exact duplicates collide in every table, and
+    * [[annRecall]] ([[queries]] `ss_recall`) is the report that
+    * validates the trade before pointing it at a corpus. One
+    * driver-side COUNT picks the width; the oracle recomputes it from
+    * COUNT(*) with the same integer rules.
+    */
+  def hybridTopKAnn(docs: DataFrame, emb: DataFrame, queryMod: Int = 101,
+      kPer: Int = 10, k: Int = 5, rrfK: Int = 60,
+      occupancy: Long = 64L): DataFrame = {
+    require(occupancy > 0, "occupancy must be positive")
+    val lex = TextAnalysis.lexicalTopK(docs, queryMod, kPer)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val n = emb.count()
+    val bits = autoBits(n, occupancy)
+    val numBuckets = math.max(1L, (n + occupancy - 1) / occupancy)
+    val tb = lshBucketsBits(quantized(emb).select(col("vec_id"), col("v")), bits)
+      .select(col("vec_id"), col("v"), col("t"),
+        pmod(col("bucket"), lit(numBuckets)).as("bucket"))
+    val queries = broadcast(
+      tb.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("t"), col("bucket")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val sem = tb.select(col("vec_id").as("doc_id"), col("v"), col("t"),
+        col("bucket"))
+      .join(queries, Seq("t", "bucket"))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("doc_id"), col("v"))
+      // a pair colliding in several tables counts once; dedup on the
+      // pair KEYS only (the payload columns are identical per pair)
+      .dropDuplicates("query_id", "doc_id")
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("sem_rank", row_number().over(ws).cast("long"))
+      .where(col("sem_rank") <= kPer)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    rrfFuse(lex, sem, k, rrfK)
   }
 
   /** Recall@k of an ANN result list against the exact brute-force
@@ -503,6 +572,11 @@ object Similarity {
     // share the id space: the embedding of document i)
     "ss_hybrid" -> ((s, dir) =>
       hybridTopK(table(s, dir, "documents"), table(s, dir, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // the bucketed-semantic-arm twin: same fusion contract, candidates
+    // per query bounded by tables × bucket occupancy instead of n
+    "ss_hybrid_ann" -> ((s, dir) =>
+      hybridTopKAnn(table(s, dir, "documents"), table(s, dir, "embeddings"))
         .orderBy("query_id", "rank")),
     // topic labels for the k-means clusters: vec_id ↔ doc_id share the
     // id space in the test tables (the embedding of document i)
@@ -793,6 +867,50 @@ object Similarity {
          |qs AS (SELECT vec_id AS query_id, v AS qv FROM qv WHERE vec_id % 101 = 0),
          |ssc AS (SELECT query_id, vec_id AS doc_id, ${cosSql("qv", "v")} AS cos
          |  FROM qv CROSS JOIN qs WHERE vec_id <> query_id),
+         |semr0 AS (SELECT query_id, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank FROM ssc),
+         |semr AS (SELECT * FROM semr0 WHERE sem_rank <= 10),
+         |f AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         |   COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank
+         |  FROM lexr l FULL JOIN semr s
+         |   ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |sf AS (SELECT query_id, doc_id, lex_rank, sem_rank,
+         |   COALESCE(1000000 // (60 + lex_rank), 0)
+         |    + COALESCE(1000000 // (60 + sem_rank), 0) AS rrf FROM f),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rank FROM sf)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         | lex_rank, sem_rank, CAST(rrf AS BIGINT) AS rrf
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the bucketed twin: lexical CTEs identical to ss_hybrid, the
+    // semantic arm replayed through the AUTO-grain bucket CTEs (width
+    // recomputed from COUNT(*), candidates = bucket collisions)
+    "ss_hybrid_ann" ->
+      s"""WITH tok_raw AS (SELECT doc_id,
+         |   unnest(string_split_regex(trim(text), ' +')) AS term FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, term FROM tok_raw),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ql AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id % 101 = 0),
+         |sc AS (SELECT ql.query_id, tok.doc_id, COUNT(*) AS n_shared,
+         |   SUM((n.n_docs * 1000000) // dfreq.df) AS score
+         |  FROM ql JOIN tok USING (term) JOIN dfreq USING (term) CROSS JOIN n
+         |  WHERE tok.doc_id <> ql.query_id
+         |  GROUP BY ql.query_id, tok.doc_id),
+         |lexr0 AS (SELECT query_id, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, n_shared DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM sc),
+         |lexr AS (SELECT * FROM lexr0 WHERE lex_rank <= 10),
+         |q AS ($quantSql),
+         |${lshBucketsAutoSqlCte(64L)},
+         |qs AS (SELECT vec_id AS query_id, v AS qqv, t, bucket FROM tb
+         |  WHERE vec_id % 101 = 0),
+         |cand AS (
+         | SELECT DISTINCT query_id, qqv, tb.vec_id AS doc_id, tb.v
+         | FROM tb JOIN qs USING (t, bucket) WHERE tb.vec_id <> query_id),
+         |ssc AS (SELECT query_id, doc_id, ${cosSql("qqv", "v")} AS cos FROM cand),
          |semr0 AS (SELECT query_id, doc_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank FROM ssc),

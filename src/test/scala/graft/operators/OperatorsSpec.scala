@@ -385,6 +385,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid ANN twin: same fusion contract as the exhaustive form, bucket-bounded arm") {
+    val full = Similarity.hybridTopK(docs, emb)
+    val ann = Similarity.hybridTopKAnn(docs, emb)
+    assert(ann.columns.toSeq == full.columns.toSeq)
+    val fr = full.collect()
+    val ar = ann.collect()
+    // per-query: ranks 1..<=5, rrf strictly ordered by construction
+    ar.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length).toSeq)
+      val rrf = g.sortBy(_.getLong(1)).map(_.getLong(5))
+      assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b })
+    }
+    // both forms answer the SAME query set (queries come from the
+    // shared queryMod rule, not from the retriever)
+    assert(ar.map(_.getLong(0)).toSet == fr.map(_.getLong(0)).toSet)
+    // the lexical arm is identical across forms: any (query, doc) with
+    // a lex_rank must carry the SAME lex_rank in both result sets
+    def lexMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val fl = lexMap(fr); val al = lexMap(ar)
+    val shared = fl.keySet & al.keySet
+    assert(shared.nonEmpty && shared.forall(k => fl(k) == al(k)))
+    // recall sanity: the bucketed fused lists overlap the exhaustive
+    // fused lists (exact/near duplicates collide in every table)
+    val fSet = fr.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val aSet = ar.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((fSet & aSet).nonEmpty)
+  }
+
   test("LSH ANN recall@10 vs brute force is reasonable (same-bucket candidates only)") {
     val bf = Similarity.bruteForceTopK(emb, 5, 10)
       .select(col("query_id"), col("neighbor_id")).collect()
