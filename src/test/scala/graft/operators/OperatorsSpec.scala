@@ -385,6 +385,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sampled minhash eval equals the full eval over the fixedK sample") {
+    val sample = Sampling.fixedK(docs, col("doc_id"), 200, "eval")
+    val hand = Dedup.evaluateMinhashPlan(sample, 0.1)
+    val got = Dedup.evaluateMinhashSampledPlan(docs, 0.1, 200)
+    val a = hand.df.collect().toSeq
+    val b = got.df.collect().toSeq
+    hand.release(); got.release()
+    assert(a == b && b.length == 1)
+    val r = b.head
+    // P/R/F1 well-formed, and the sample produced a non-trivial report
+    assert(r.getLong(0) >= 0 && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0
+      && r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("hybrid ANN twin: same fusion contract as the exhaustive form, bucket-bounded arm") {
     val full = Similarity.hybridTopK(docs, emb)
     val ann = Similarity.hybridTopKAnn(docs, emb)
