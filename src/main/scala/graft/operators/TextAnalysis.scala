@@ -413,20 +413,57 @@ object TextAnalysis {
   def lexicalTopK(docs: DataFrame, queryMod: Int = 101, k: Int = 5): DataFrame =
     lexicalTopKPlan(docs, queryMod, k).df
 
+  /** [[lexicalTopK]] with an idf FLOOR — the impact-pruned (WAND-
+    * flavored) 100 TB form. The full form's cost is the posting-list
+    * intersection Σ_term q_df·df, and a Zipf vocabulary concentrates
+    * that sum in a handful of stopword-grade terms whose postings span
+    * much of the corpus while contributing near-nothing to the score
+    * (idf_i = N·10⁶ div df is SMALLEST exactly where df is largest).
+    * Dropping terms with idf_i < minIdfPpm — i.e. df > N·10⁶/floor —
+    * removes the heaviest posting lists BEFORE any candidate
+    * materializes; the trade is explicit and deterministic: a doc
+    * retrievable only through sub-floor terms is no longer found, the
+    * same contract as every banded/bucketed scale twin here. The
+    * prune rule is one integer comparison, replayed verbatim by the
+    * oracle. The floor is a corpus-vocabulary knob: idf_i spans
+    * [10⁶, N·10⁶], so the default 2·10⁶ means "drop terms in more
+    * than half the corpus" — the loosest defensible stopword line;
+    * raise it toward 10·10⁶ (df > N/10) as the vocabulary grows.
+    * Honesty note on the gate measurement: the synthetic gate corpus
+    * has a COMPRESSED idf range (every term is common; max query-term
+    * idf ≈ 1.34·10⁶), so the gate floor (1.25·10⁶) exercises the
+    * score semantics but barely moves wall time there (10.1 s vs
+    * 11.0 s at 100× bench data). The win this operator exists for —
+    * df ≤ N·10⁶/floor bounds EVERY surviving posting list — needs a
+    * Zipf vocabulary to show; on one, the head terms the floor drops
+    * carry most of Σ q_df·df.
+    */
+  def lexicalTopKPruned(docs: DataFrame, queryMod: Int = 101, k: Int = 5,
+      minIdfPpm: Long = 2000000L): DataFrame =
+    lexicalTopKPlan(docs, queryMod, k, minIdfPpm).df
+
   /** Managed form of [[lexicalTopK]]: the posting list feeds the df
     * derivation, the query extraction AND the score join (three
     * references), so it is persisted behind the release contract.
     */
-  def lexicalTopKPlan(docs: DataFrame, queryMod: Int = 101, k: Int = 5): DedupPlan = {
+  def lexicalTopKPlan(docs: DataFrame, queryMod: Int = 101, k: Int = 5,
+      minIdfPpm: Long = 0L): DedupPlan = {
     import org.apache.spark.storage.StorageLevel
     val terms = docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // the idf floor prunes at the TERM grain, before any posting list
+    // materializes: a hot term (df > n·10⁶/floor) never reaches the
+    // terms⋈dfreq join output, so the (query, doc) candidate stream —
+    // the Σ q_df·df cost center — loses exactly its heaviest factors
+    val dfreq0 = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("idf_i", expr("(n_docs * 1000000) div df"))
+      .select(col("term"), col("df"), col("idf_i"))
+    val dfreq = if (minIdfPpm > 0) dfreq0.where(col("idf_i") >= minIdfPpm)
+                else dfreq0
     val qterms = terms.where(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("term"))
-    val postings = terms.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
-      .withColumn("idf_i", expr("(n_docs * 1000000) div df"))
+    val postings = terms.join(dfreq, Seq("term"))
     val scored = qterms.join(postings, Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -624,6 +661,13 @@ object TextAnalysis {
       chunk(table(s, dir, "documents")).orderBy("doc_id", "chunk_idx")),
     "ta_search" -> ((s, dir) =>
       lexicalTopK(table(s, dir, "documents")).orderBy("query_id", "rank")),
+    // the idf-floor twin: stopword-grade posting lists pruned at the
+    // term grain before any candidate materializes (floor 1.25M —
+    // the gate corpus' vocabulary is deliberately common-heavy, so
+    // the floor sits where it provably changes scores on every sf)
+    "ta_search_pruned" -> ((s, dir) =>
+      lexicalTopKPruned(table(s, dir, "documents"), minIdfPpm = 1250000L)
+        .orderBy("query_id", "rank")),
     "ta_commonness" -> ((s, dir) =>
       commonness(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_tokens" -> ((s, dir) => tokenStats(table(s, dir, "documents")).orderBy("doc_id")),
@@ -707,6 +751,25 @@ object TextAnalysis {
          |   SUM((n.n_docs * 1000000) // dfreq.df) AS score
          |  FROM q JOIN tok USING (term) JOIN dfreq USING (term) CROSS JOIN n
          |  WHERE tok.doc_id <> q.query_id
+         |  GROUP BY q.query_id, tok.doc_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, n_shared DESC, doc_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         | CAST(n_shared AS BIGINT) AS n_shared, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // identical chain with the idf floor replayed in the score join
+    "ta_search_pruned" ->
+      s"""WITH tok_raw AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, term FROM tok_raw),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |q AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id % 101 = 0),
+         |sc AS (SELECT q.query_id, tok.doc_id,
+         |   COUNT(*) AS n_shared,
+         |   SUM((n.n_docs * 1000000) // dfreq.df) AS score
+         |  FROM q JOIN tok USING (term) JOIN dfreq USING (term) CROSS JOIN n
+         |  WHERE tok.doc_id <> q.query_id
+         |   AND (n.n_docs * 1000000) // dfreq.df >= 1250000
          |  GROUP BY q.query_id, tok.doc_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, n_shared DESC, doc_id) AS rank FROM sc)

@@ -385,6 +385,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pruned lexical search: floor 0 is exact, floored scores respect the bound") {
+    val full = TextAnalysis.lexicalTopK(docs).orderBy("query_id", "rank")
+      .collect().toSeq
+    // the refactor is behavior-preserving at floor 0
+    val zero = TextAnalysis.lexicalTopKPlan(docs, 101, 5, 0L)
+    val z = zero.df.orderBy("query_id", "rank").collect().toSeq
+    zero.release()
+    assert(z == full && full.nonEmpty)
+    // with the floor, every surviving contribution is >= minIdfPpm, so
+    // score >= n_shared * floor — and only floor-passing terms count
+    val pruned = TextAnalysis.lexicalTopKPruned(docs).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3) * 2000000L,
+        s"score ${r.getLong(4)} below n_shared*floor for ${r.getLong(0)}")
+    }
+  }
+
   test("sampled minhash eval equals the full eval over the fixedK sample") {
     val sample = Sampling.fixedK(docs, col("doc_id"), 200, "eval")
     val hand = Dedup.evaluateMinhashPlan(sample, 0.1)
