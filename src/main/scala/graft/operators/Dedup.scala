@@ -714,8 +714,17 @@ object Dedup {
     * (1−θ/π)^bits — use NEAR-DUP thresholds (cos ≥ ~0.9) at scale;
     * exact duplicates collide at any width (spec-asserted).
     */
+  /** The attach-strategy rule for [[embeddingPairsLshAuto]], named so
+    * it is unit-testable on its own: the vector payload table is
+    * n × (8·dim + 24) bytes (8 B per quantized component + row
+    * overhead), and only a table inside `budget` may be broadcast.
+    */
+  private[operators] def attachBroadcastable(n: Long, dim: Long,
+      budget: Long = 128L << 20): Boolean =
+    n * (8L * dim + 24L) <= budget
+
   def embeddingPairsLshAuto(emb: DataFrame, threshold: Double,
-      occupancy: Long = 64L): DataFrame = {
+      occupancy: Long = 64L, broadcastBudgetBytes: Long = 128L << 20): DataFrame = {
     require(occupancy > 0, "occupancy must be positive")
     val n = emb.count()
     val bits = Similarity.autoBits(n, occupancy)
@@ -765,7 +774,7 @@ object Dedup {
       case Array(r) if !r.isNullAt(0) => r.getInt(0).toLong
       case _                          => 64L
     }
-    val smallPayload = n * (8L * dim + 24L) <= (128L << 20)
+    val smallPayload = attachBroadcastable(n, dim, broadcastBudgetBytes)
     val va = q.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))
     val vb = q.select(col("vec_id").as("vec_b"), col("v").as("vb"),

@@ -385,6 +385,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("embedding attach strategy: width-aware rule, shuffle path equals broadcast path") {
+    // the rule uses the MEASURED vector width: a 512-dim column at 40k
+    // rows is ~165 MB — over budget — where the old assumed-64-dim
+    // estimate would have called it broadcastable at 16x its real size
+    assert(!Dedup.attachBroadcastable(40000L, 512L))
+    assert(Dedup.attachBroadcastable(40000L, 64L))
+    assert(Dedup.attachBroadcastable(2000L, 64L))
+    // boundary is exact: n*(8*dim+24) == budget is still broadcastable
+    assert(Dedup.attachBroadcastable(1L, 1L, budget = 32L))
+    assert(!Dedup.attachBroadcastable(1L, 1L, budget = 31L))
+    // end-to-end: forcing the shuffle attach (budget 0) must produce
+    // EXACTLY the pairs the broadcast attach produces — the strategy
+    // is a physical detail, never a semantic one
+    val emb = GraftSession.table(spark, Sf0001, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = pairs(Dedup.embeddingPairsLshAuto(emb, 0.4))
+    val viaShuffle = pairs(Dedup.embeddingPairsLshAuto(emb, 0.4,
+      broadcastBudgetBytes = 0L))
+    assert(viaShuffle == viaBroadcast && viaBroadcast.nonEmpty)
+  }
+
   test("pruned lexical search: floor 0 is exact, floored scores respect the bound") {
     val full = TextAnalysis.lexicalTopK(docs).orderBy("query_id", "rank")
       .collect().toSeq
