@@ -157,6 +157,41 @@ class GraphSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("pagerank/bfs round leaves keep bounded size estimates (stats-clamp guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.LogicalRDD
+    // inflate the edge frame's size estimate past Long range by
+    // stacking row-preserving self-joins (the size-only visitor
+    // multiplies child estimates) — the seed shape of the measured
+    // driver stats explosion, here fed into the OTHER two iterative
+    // checkpoint users besides connected components
+    val base = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    var big = base
+    (1 to 6).foreach { _ =>
+      val r = big.select(col("src").as("s2"), col("dst").as("d2"))
+      big = big.join(r, col("src") === col("s2") && col("dst") === col("d2"))
+        .select(col("src"), col("dst"))
+    }
+    def assertBounded(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val rddLeaves = df.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case l: LogicalRDD => l }
+      assert(rddLeaves.nonEmpty, s"$what: expected checkpoint leaves in the plan")
+      rddLeaves.foreach { l =>
+        val s = l.computeStats().sizeInBytes
+        assert(s.isValidLong, s"$what leaf carries an unbounded estimate: $s")
+      }
+    }
+    val pr = Graph.pageRankPlan(big, iters = 3, checkpointEvery = 1)
+    assert(pr.df.collect().nonEmpty)
+    assertBounded(pr.df, "pagerank")
+    pr.release()
+    val bfs = Graph.bfsLevelsPlan(big, Seq("a").toDF("id"), maxHops = 3)
+    assert(bfs.df.collect().nonEmpty)
+    assertBounded(bfs.df, "bfs")
+    bfs.release()
+  }
+
   test("co-purchase edges: support threshold drops accidental pairs") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))
