@@ -85,10 +85,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toInt
+    // SPARK_GRAFT_BENCH_FILTER, parsed ONCE: comma-separated names or
+    // prefixes; unset OR empty-after-parse (e.g. "", ",") = all
+    // queries. Artifact routing derives from the SAME parse so a
+    // degenerate value can never run the full surface while routing
+    // its artifacts to the *.filtered.json files (or vice versa)
+    val benchFilter: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
     // a filtered (dev / scale-rehearsal) run must never overwrite the
     // committed full-surface artifacts — it writes *.filtered.json
-    val benchFiltered =
-      sys.env.get("SPARK_GRAFT_BENCH_FILTER").exists(_.trim.nonEmpty)
+    val benchFiltered = benchFilter.isDefined
     val totalsFile =
       if (benchFiltered) "BENCH_TOTALS.filtered.json" else "BENCH_TOTALS.json"
     val detailFile =
@@ -263,15 +271,10 @@ object Bench {
         || n == "q40_pagerank" || n == "q41_triangles" || n == "q42_bfs"
         || n == "q43_components") 1
       else 2
-    // SPARK_GRAFT_BENCH_FILTER: comma-separated names or prefixes —
     // the scale-rehearsal hook (run just the heavy families at sf1)
-    // and the local dev loop's narrow-timing hook. Unset = all.
-    // set-but-EMPTY means unset (matches benchFiltered's trim test):
-    // Some(Seq()) would otherwise match nothing and silently run a
-    // 0-query bench that exits green
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
+    // and the local dev loop's narrow-timing hook — parsed once at
+    // startup next to the artifact routing it must agree with
+    val filter = benchFilter
     // Prior-round per-query medians from the COMMITTED detail artifact
     // (written flat by emit() below, so a regex parse is exact). Only
     // trusted when the artifact's sf matches this run's — a different

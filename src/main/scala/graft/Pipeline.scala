@@ -178,7 +178,20 @@ object Pipeline {
       Sampling.epochOrder(df, col(keyCol), epoch, shards, salt)
 
     case StepSpec.Pack(keyCol, tokensCol, capacity, shards, salt) =>
-      Sampling.packSequences(df, col(keyCol), col(tokensCol), capacity,
+      // after an epoch_order step the frame already carries a reader
+      // layout (shard, pos); packing must BIN THAT ORDER, not impose a
+      // second differently-salted shard — packSequences' withColumn
+      // would silently overwrite the epoch shard while pos survived,
+      // leaving a (shard, pos) pair that is not a permutation. Inside
+      // an epoch layout, bins are contiguous runs of the reader order
+      if (df.columns.contains("shard") && df.columns.contains("pos")) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("pos"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        df.withColumn("bin",
+          floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / capacity)
+            .cast("long"))
+      } else Sampling.packSequences(df, col(keyCol), col(tokensCol), capacity,
         shards, salt)
 
     case StepSpec.KAnonSuppress(quasiCols, k) =>

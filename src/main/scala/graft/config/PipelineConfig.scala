@@ -147,6 +147,11 @@ object StepSpec {
     * adds `shard` and `bin`, assigning docs to token-budget bins of
     * `capacity` (counted from `tokensCol`) within hash shards — the
     * pretraining batch-packing layout, shard-local and deterministic.
+    * When the incoming frame already carries an [[EpochOrder]] layout
+    * (`shard` + `pos` columns), the step packs INSIDE that layout —
+    * bins become contiguous runs of the reader order (keyCol/shards/
+    * salt are then unused) — instead of overwriting the epoch shard
+    * with a second hash assignment.
     */
   final case class Pack(keyCol: String, tokensCol: String, capacity: Long,
       shards: Int, salt: String) extends StepSpec

@@ -125,6 +125,15 @@ object FingerprintStore {
       else plan.df
     storeRows(tree, hexLen).write.mode("overwrite")
       .partitionBy("level", "shard").parquet(path)
+    // a full rebuild is the documented recovery from a torn
+    // updateMerkle — clear its sibling sentinel (and the legacy in-dir
+    // location, which the dir overwrite already removed) so the next
+    // delta update is not refused against a now-clean store
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val sentinel = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "._UPDATE_IN_PROGRESS")
+    if (fs.exists(sentinel)) fs.delete(sentinel, false)
     plan.release()
   }
 
@@ -187,19 +196,24 @@ object FingerprintStore {
     *
     * CRASH SAFETY: the update is not atomic — a failure between the
     * dynamic-partition overwrite and the explicit deletes of emptied
-    * partitions leaves a MIXED-GENERATION store. A `_UPDATE_IN_PROGRESS`
-    * sentinel file is written before the first mutation and removed
-    * after the last, so a torn update is detectable without a full
-    * [[merkleLocalize]]; while the sentinel exists this method REFUSES
-    * to run (a later delta would fold the torn buckets' stale digests
-    * into `stored − touched` and make them permanent). Recovery is
-    * either (a) re-run the SAME update — pass `recovering = true` —
-    * which is convergent because every touched bucket's stored digest
-    * is discarded and recomputed from `newDf` regardless of whether
-    * the torn write reached it, or (b) rebuild via [[writeMerkle]],
-    * whose whole-path overwrite also clears the sentinel (the option
-    * when the torn store no longer READS cleanly, e.g. a crash
-    * mid-commit left partial files).
+    * partitions leaves a MIXED-GENERATION store. A
+    * `<store>._UPDATE_IN_PROGRESS` sentinel file (a SIBLING of the
+    * store dir, so no whole-dir overwrite can erase it mid-mutation)
+    * is written before the first mutation — on BOTH branches,
+    * including the everything-deleted full rewrite — and removed
+    * after the last, and it is checked before the store is even read,
+    * so a torn update fails with an actionable message rather than a
+    * raw parquet footer error. While the sentinel exists this method
+    * REFUSES to run (a later delta would fold the torn buckets' stale
+    * digests into `stored − touched` and make them permanent).
+    * Recovery is either (a) re-run the SAME update — pass
+    * `recovering = true` — which is convergent because every touched
+    * bucket's stored digest is discarded and recomputed from `newDf`
+    * regardless of whether the torn write reached it, or (b) rebuild
+    * via [[writeMerkle]], which clears the sentinel after its
+    * whole-path overwrite commits (the option when the torn store no
+    * longer READS cleanly, e.g. a crash mid-commit left partial
+    * files).
     */
   def updateMerkle(newDf: DataFrame, changedRows: DataFrame,
       path: String, recovering: Boolean = false): MerkleUpdate = {
@@ -207,17 +221,29 @@ object FingerprintStore {
       "changedRows must carry the same schema as newDf (full row images)")
     import org.apache.spark.storage.StorageLevel
     val spark = newDf.sparkSession
-    val stored = spark.read.parquet(path)
-    require(stored.columns.contains("shard"),
-      "store predates the sharded layout — rebuild once with writeMerkle")
+    // sentinel lives BESIDE the store dir (sibling file), not inside
+    // it, so (a) it survives whole-dir overwrites of the store — the
+    // empty-root branch below mutates via mode("overwrite"), whose
+    // dir delete would erase an in-dir marker mid-mutation — and (b)
+    // it is checked BEFORE the first store read: a torn store with
+    // partial parquet files must fail with the actionable message,
+    // not an opaque footer exception from schema inference
     val hconf0 = spark.sparkContext.hadoopConfiguration
     val root0 = new org.apache.hadoop.fs.Path(path)
     val fs0 = root0.getFileSystem(hconf0)
-    val sentinel = new org.apache.hadoop.fs.Path(root0, "_UPDATE_IN_PROGRESS")
-    require(recovering || !fs0.exists(sentinel),
-      s"torn update detected at $path ($sentinel exists): a prior " +
+    val sentinel = new org.apache.hadoop.fs.Path(
+      root0.getParent, root0.getName + "._UPDATE_IN_PROGRESS")
+    // legacy in-dir location from the first sentinel generation —
+    // still detected so a torn store written by older code refuses too
+    val legacySentinel = new org.apache.hadoop.fs.Path(root0, "_UPDATE_IN_PROGRESS")
+    require(recovering ||
+        (!fs0.exists(sentinel) && !fs0.exists(legacySentinel)),
+      s"torn update detected at $path (sentinel exists): a prior " +
         "updateMerkle died mid-write. Re-run the SAME delta with " +
         "recovering = true, or rebuild with writeMerkle (see scaladoc).")
+    val stored = spark.read.parquet(path)
+    require(stored.columns.contains("shard"),
+      "store predates the sharded layout — rebuild once with writeMerkle")
     val hexLen = stored.select(max(col("level"))).head().getInt(0)
 
     val touched = changedRows
@@ -261,15 +287,20 @@ object FingerprintStore {
     }
 
     if (mergedLeaves.isEmpty) {
-      // everything-deleted edge: full rewrite of the empty-root store
+      // everything-deleted edge: full rewrite of the empty-root store.
+      // Sentinel-covered like the dynamic path — the whole-path
+      // overwrite deletes the store dir before committing new files,
+      // and a crash inside that window would otherwise leave a
+      // partial/empty store with NO marker (the sibling sentinel
+      // survives the dir delete, which is why it lives outside)
       import spark.implicits._
       val leafN = fresh.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
       release()
-      // whole-path overwrite is self-healing (deletes the store dir,
-      // sentinel included, before writing) — no sentinel needed
+      fs0.create(sentinel, true).close()
       storeRows(Seq((hexLen, "", EmptyMd5, 0L))
           .toDF("level", "node", "fingerprint", "n"), hexLen)
         .write.mode("overwrite").partitionBy("level", "shard").parquet(path)
+      fs0.delete(sentinel, false)
       return MerkleUpdate(touched, Seq("<all: store emptied>"), leafN)
     }
 
@@ -292,7 +323,7 @@ object FingerprintStore {
     val writeRows = storeRows(tree, hexLen).where(partCond)
     val writtenParts = writeRows.select(col("level"), col("shard")).distinct()
       .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
-    fs.create(new org.apache.hadoop.fs.Path(root, "_UPDATE_IN_PROGRESS"), true)
+    fs0.create(sentinel, true)
       .close() // sentinel: mutation begins — see crash-safety scaladoc
     writeRows.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -303,7 +334,7 @@ object FingerprintStore {
       val dir = new org.apache.hadoop.fs.Path(root, s"level=$l/shard=$s")
       if (fs.exists(dir)) fs.delete(dir, true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(root, "_UPDATE_IN_PROGRESS"), false)
+    fs0.delete(sentinel, false)
     val leafN = fresh.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
     release()
     MerkleUpdate(touched,

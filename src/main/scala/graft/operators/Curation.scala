@@ -329,8 +329,10 @@ object Curation {
     // this row proves the YAML-level chain: suppress re-identifiable
     // quasi-groups, reshape to the 4:2:1:1 source mixture, percentile-
     // normalize quality per source, soft-sample by the calibrated
-    // score, lay out the epoch-1 reader order, pack into 2048-char
-    // bins. One lazy plan; the oracle replays all six stages as CTEs
+    // score, lay out the epoch-1 reader order, and pack that order
+    // into contiguous 2048-char bins (the pack step detects the epoch
+    // layout and bins the reader order rather than re-sharding).
+    // One lazy plan; the oracle replays all six stages as CTEs
     "pipe_training_prep" -> ((s, dir) => {
       import graft.config.{PipelineSpec, SideSpec, SourceSpec, StepSpec}
       val spec = PipelineSpec(
@@ -371,7 +373,6 @@ object Curation {
     // fractions, the same exclusive-prefix-sum packing
     "pipe_training_prep" -> {
       val mixFrac = s"CAST(${Sampling.hex8ToLong("md5('mix|' || doc_id)")} AS DOUBLE) / 4294967296.0"
-      val packFrac = s"CAST(${Sampling.hex8ToLong("md5('pack|' || doc_id)")} AS DOUBLE) / 4294967296.0"
       val cases = Sampling.MixWeights
         .map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
       s"""WITH ka AS (SELECT doc_id, source, n_chars FROM (
@@ -392,15 +393,16 @@ object Curation {
          |kept AS (SELECT * FROM qn2 WHERE pct_rank >= 0.25
          |  AND ${Sampling.hashFractionSql("doc_id", "qw")} < pct_rank),
          |eo AS (SELECT doc_id, n_chars, pct_rank,
+         |  CAST(FLOOR(${Sampling.hashFractionSql("doc_id", "epoch-shard")} * 4) AS BIGINT)
+         |    AS shard,
          |  CAST(ROW_NUMBER() OVER (
          |    PARTITION BY FLOOR(${Sampling.hashFractionSql("doc_id", "epoch-shard")} * 4)
          |    ORDER BY ${Sampling.hashFractionSql("doc_id", "epoch-1")}, doc_id) AS BIGINT)
          |    AS pos
          |  FROM kept),
-         |pk AS (SELECT doc_id, pct_rank, pos,
-         |  CAST(FLOOR($packFrac * 4) AS BIGINT) AS shard,
+         |pk AS (SELECT doc_id, pct_rank, pos, shard,
          |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
-         |    PARTITION BY CAST(FLOOR($packFrac * 4) AS INT) ORDER BY doc_id
+         |    PARTITION BY shard ORDER BY pos
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
          |    AS BIGINT) AS bin
          |  FROM eo)

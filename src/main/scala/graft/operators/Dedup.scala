@@ -484,9 +484,13 @@ object Dedup {
     * at every width.
     */
   def simhashPairsAutoPlan(docs: DataFrame, maxHamming: Int): DedupPlan = {
+    // validate BEFORE the distributed count: maxHamming = -1 would
+    // otherwise die with a bare /-by-zero inside the width rule after
+    // paying a full corpus scan
+    require(maxHamming >= 0 && maxHamming < 16,
+      "maxHamming must be in [0, 15] (the narrowest legal width)")
     val bits = simhashAutoBits(docs.count(), maxHamming)
-    require(maxHamming >= 0 && maxHamming < bits,
-      s"maxHamming must be in [0, ${bits - 1}]")
+    require(maxHamming < bits, s"maxHamming must be < $bits")
     val sh = simhashBits(docs, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val pairs = bandedFingerprintPairs(
@@ -767,12 +771,14 @@ object Dedup {
     // (Catalyst won't broadcast on its own here: the payload table
     // sits above the default 10 MB auto-broadcast threshold long
     // before n stops fitting comfortably). The row weight uses the
-    // MEASURED vector width — one single-row probe job — not an
-    // assumed 64: a 1024-dim embedding column would otherwise pass
-    // the test at 16× its real size and broadcast ~2 GB silently
-    val dim = emb.select(size(col("embedding")).as("d")).head(1) match {
-      case Array(r) if !r.isNullAt(0) => r.getInt(0).toLong
-      case _                          => 64L
+    // MEASURED MAXIMUM vector width — one map-side-combinable
+    // aggregate, not an arbitrary first row: a ragged corpus whose
+    // first-scanned row is the narrow one would otherwise
+    // under-measure the payload and broadcast a multi-GB table
+    // silently (the exact hazard the probe exists to close)
+    val dim = emb.agg(max(size(col("embedding"))).as("d")).head() match {
+      case r if !r.isNullAt(0) => r.getInt(0).toLong
+      case _                   => 64L
     }
     val smallPayload = attachBroadcastable(n, dim, broadcastBudgetBytes)
     val va = q.select(col("vec_id").as("vec_a"), col("v").as("va"),

@@ -455,8 +455,11 @@ object Similarity {
     * similarity ratio — while this form probes only each query's
     * SRP-LSH buckets at occupancy held CONSTANT by the
     * [[autoBits]]/⌈n/occ⌉ width rule: per-query candidates are bounded
-    * by tables × occupancy, independent of corpus size, and the
-    * broadcast query side keeps the probe join map-side. The FIXED
+    * by tables × occupancy, independent of corpus size, and the query
+    * side — which grows as n/queryMod — is broadcast only while it
+    * fits the [[Dedup.attachBroadcastable]] budget (shuffle probe join
+    * past it; the map-side probe is an optimization, never an
+    * assumption). The FIXED
     * 4-bit grain ([[lshBuckets]]) was A/B-measured here and REJECTED:
     * at 100× data its 16-bucket space saturates (12.5 k vectors per
     * bucket), the probe join emits 200 M candidates, and the "scale
@@ -487,10 +490,22 @@ object Similarity {
     val tb = lshBucketsBits(quantized(emb).select(col("vec_id"), col("v")), bits)
       .select(col("vec_id"), col("v"), col("t"),
         pmod(col("bucket"), lit(numBuckets)).as("bucket"))
-    val queries = broadcast(
-      tb.where(pmod(col("vec_id"), lit(queryMod)) === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("t"), col("bucket")))
+    // the query side is n/queryMod vectors × NumTables exploded rows —
+    // it GROWS with the corpus, so broadcasting it is a driver-decided
+    // budget call (the same attachBroadcastable rule as the pairs
+    // payload, sized from the measured MAX vector width × the table
+    // fan-out), never an assumption: past the budget the probe join
+    // runs as a shuffle join on (t, bucket) — linear either way
+    val dim = emb.agg(max(size(col("embedding"))).as("d")).head() match {
+      case r if !r.isNullAt(0) => r.getInt(0).toLong
+      case _                   => 64L
+    }
+    val qRows = (n / math.max(1, queryMod) + 1) * NumTables
+    val qSide = tb.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("t"), col("bucket"))
+    val queries =
+      if (Dedup.attachBroadcastable(qRows, dim)) broadcast(qSide) else qSide
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id"))
     val sem = tb.select(col("vec_id").as("doc_id"), col("v"), col("t"),

@@ -169,20 +169,22 @@ object ScaleData {
     // the 2^dim capacity claim needs the masks ACTUALLY GENERATED to be
     // pairwise distinct — at small dims two groups collide with
     // probability ~2^-dim, silently reintroducing the K² pair explosion.
-    // Distinctness is checked up to GLOBAL sign: mask and -mask make
-    // copies identical up to a sign flip (cos = ±1), and the −1 case
-    // still collapses under |cos|-based near-dup machinery. Driver-side,
-    // O(groups · dim) — groups is k/dim, tiny
+    // Distinctness is checked on the minDim-length PREFIX: a ragged
+    // corpus's shortest vectors only consume that prefix, so two masks
+    // differing beyond it are still identical for them. Checked up to
+    // GLOBAL sign: mask and -mask make copies identical up to a sign
+    // flip (cos = ±1), and the −1 case still collapses under
+    // |cos|-based near-dup machinery. Driver-side, O(groups · dim)
     if (k > 1) {
       val nGroups = (k - 1) / minDim + 1
       val canon = (0 until nGroups).map { g =>
-        val m = signMask(g).toSeq
+        val m = signMask(g).toSeq.take(minDim)
         if (m.head < 0) m.map(-_) else m
       }
       require(canon.distinct.size == nGroups,
-        s"sign-mask collision among $nGroups copy groups at dim $maxDim: " +
-          "two groups would replicate near-identical vectors (the K-squared " +
-          "pair explosion). Use a higher-dimensional embeddings input.")
+        s"sign-mask collision among $nGroups copy groups on the $minDim-dim " +
+          "prefix: two groups would replicate near-identical vectors (the " +
+          "K-squared pair explosion). Use a higher-dimensional embeddings input.")
     }
     replicate("embeddings", Seq("vec_id")) { (df, i) =>
       if (i == 0) df

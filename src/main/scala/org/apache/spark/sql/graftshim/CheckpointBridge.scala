@@ -68,10 +68,13 @@ object CheckpointBridge {
     df.queryExecution.analyzed match {
       case l: LogicalRDD =>
         val s = l.computeStats()
-        if (s.sizeInBytes.isValidLong) df
+        // rowCount compounds the same way under CBO (row-count join
+        // products), so it gets the same Long-range clamp
+        if (s.sizeInBytes.isValidLong && s.rowCount.forall(_.isValidLong)) df
         else {
           val capped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
-            sizeInBytes = BigInt(Long.MaxValue), rowCount = s.rowCount)
+            sizeInBytes = s.sizeInBytes.min(BigInt(Long.MaxValue)),
+            rowCount = s.rowCount.map(_.min(BigInt(Long.MaxValue))))
           val session = df.sparkSession
             .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           val fresh = new LogicalRDD(l.output, l.rdd, l.outputPartitioning,

@@ -280,16 +280,30 @@ class PipelineRunSpec extends SparkSpec {
     val qw = Sampling.qualityWeightedSample(qn, col("doc_id"), col("pct_rank"))
     val fk = Sampling.fixedK(qw, col("doc_id"), 10)
     val eo = Sampling.epochOrder(fk, col("doc_id"), 2, 4)
-    val expect = Sampling
-      .packSequences(eo.drop("shard"), col("doc_id"), col("n_chars"), 2000L, 4)
+    // pack after epoch_order bins the READER ORDER: cumulative tokens
+    // within the epoch shard ordered by pos (never a second shard)
+    val wPack = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expect = eo
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_chars")).over(wPack), lit(0L)) / 2000L)
+          .cast("long"))
       .select("doc_id", "pos", "shard", "bin").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
 
     val out = Pipeline.run(spark, spec)
     assert(Seq("pct_rank", "pos", "shard", "bin").forall(out.columns.contains))
     val got = out.select("doc_id", "pos", "shard", "bin").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == expect && got.size == 10) // fixed_k's exact-size contract
+    // the (shard, pos) layout is COHERENT: pos values are a
+    // 1..n permutation within each shard (the property the old
+    // re-sharding pack silently destroyed)
+    got.values.groupBy(_._2).foreach { case (_, inShard) =>
+      val ps = inShard.map(_._1).toSeq.sorted
+      assert(ps == (1L to ps.length).toSeq, s"pos not a permutation: $ps")
+    }
     // only the whitelisted mixture sources survive
     val srcs = out.select("source").distinct().collect().map(_.getString(0)).toSet
     assert(srcs.subsetOf(Set("src0", "src1")))

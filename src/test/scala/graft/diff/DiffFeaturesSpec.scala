@@ -193,6 +193,46 @@ class DiffFeaturesSpec extends SparkSpec {
     assert(same.driftedBuckets.isEmpty && same.nodesRead == 2)
   }
 
+  test("torn merkle update: sibling sentinel refuses, recovery converges, rebuild clears") {
+    val base = Files.createTempDirectory("merkle-torn").toString
+    import spark.implicits._
+    val tiny = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    FingerprintStore.writeMerkle(tiny, s"$base/s", hexLen = 1)
+    val newDf = tiny.withColumn("v",
+      when(col("k") === 2L, lit("Z")).otherwise(col("v")))
+    val delta = tiny.where(col("k") === 2L)
+      .unionByName(newDf.where(col("k") === 2L))
+    // simulate a crash mid-update: the sibling sentinel exists
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sentinel = new org.apache.hadoop.fs.Path(s"$base/s._UPDATE_IN_PROGRESS")
+    fs.create(sentinel, true).close()
+    val e = intercept[IllegalArgumentException](
+      FingerprintStore.updateMerkle(newDf, delta, s"$base/s"))
+    assert(e.getMessage.contains("torn update"))
+    // recovery (a): the SAME delta with recovering = true converges
+    // and clears the sentinel
+    val rep = FingerprintStore.updateMerkle(newDf, delta, s"$base/s",
+      recovering = true)
+    assert(rep.touchedBuckets.nonEmpty && !fs.exists(sentinel))
+    // the recovered store equals a from-scratch build
+    FingerprintStore.writeMerkle(newDf, s"$base/fresh", hexLen = 1)
+    val cmp = FingerprintStore.merkleLocalize(spark, s"$base/s", s"$base/fresh")
+    assert(cmp.driftedBuckets.isEmpty)
+    // recovery (b): a full rebuild clears a lingering sentinel too
+    fs.create(sentinel, true).close()
+    FingerprintStore.writeMerkle(newDf, s"$base/s", hexLen = 1)
+    assert(!fs.exists(sentinel))
+    // the legacy in-dir location also refuses (stores written by the
+    // first sentinel generation stay protected)
+    val legacy = new org.apache.hadoop.fs.Path(s"$base/s/_UPDATE_IN_PROGRESS")
+    fs.create(legacy, true).close()
+    val e2 = intercept[IllegalArgumentException](
+      FingerprintStore.updateMerkle(newDf, delta, s"$base/s"))
+    assert(e2.getMessage.contains("torn update"))
+    fs.delete(legacy, false)
+  }
+
   test("prefiltered jaccard drops hot shingles but keeps exact duplicate pairs") {
     val docs = GraftSession.table(spark, Sf0001, "documents")
     val exact = graft.operators.Dedup.jaccardPairs(docs, 0.9)
