@@ -335,7 +335,8 @@ object Bench {
       val overBudget = (System.nanoTime() - benchStart) / 1e9 > budgetSec
       val slowWarm = warm.exists(_ > 20.0)
       // structural top-20 protection: the most expensive queries keep
-      // >= 2 reps regardless of budget or a slow warm rep; without
+      // min(reps, 2) reps regardless of budget or a slow warm rep (an
+      // explicit SPARK_GRAFT_BENCH_REPS=1 still wins); without
       // usable priors the live warm rep (> 1 s = plausibly top-20)
       // stands in
       val protect =

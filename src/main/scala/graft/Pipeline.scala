@@ -66,6 +66,7 @@ object Pipeline {
 
   private def stepName(s: StepSpec): String = s match {
     case StepSpec.FilterStack        => "filter_stack"
+    case _: StepSpec.NormalizeText   => "normalize_text"
     case _: StepSpec.RedactPii       => "redact_pii"
     case _: StepSpec.Pseudonymize    => "pseudonymize"
     case _: StepSpec.DedupExact      => "dedup_exact"
@@ -92,6 +93,9 @@ object Pipeline {
     case StepSpec.FilterStack =>
       df.join(TextAnalysis.filterStack(df)
         .where(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
+    case StepSpec.NormalizeText(textCol, form) =>
+      TextAnalysis.normalizeText(df, textCol, form)
 
     case StepSpec.RedactPii(textCol) =>
       Curation.redactPii(df, col(textCol))

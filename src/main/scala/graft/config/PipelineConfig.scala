@@ -22,6 +22,15 @@ object StepSpec {
     */
   case object FilterStack extends StepSpec
 
+  /** Unicode-canonicalize `textCol` in place
+    * ([[graft.operators.TextAnalysis.normalizeText]] — the native
+    * [[graft.functions.UnicodeNormalize]] expression). Run FIRST:
+    * every hash-based step downstream (dedup_exact, dedup_near,
+    * decontaminate) treats decomposed and precomposed codepoint
+    * sequences as distinct text until this runs.
+    */
+  final case class NormalizeText(textCol: String, form: String) extends StepSpec
+
   /** Replace `textCol` with its PII-redacted form
     * ([[graft.operators.Curation.redactPii]]); audit counters are
     * dropped to keep the pipeline schema stable.
@@ -210,6 +219,13 @@ object PipelineLoader {
     val kind = require(n, "kind", where).asText
     kind match {
       case "filter_stack" => StepSpec.FilterStack
+      case "normalize_text" =>
+        val form = opt(n, "form").map(_.asText).getOrElse("NFC")
+        if (!Set("NFC", "NFD", "NFKC", "NFKD")(form.toUpperCase(java.util.Locale.ROOT)))
+          throw new IllegalArgumentException(
+            s"$where: form must be one of NFC, NFD, NFKC, NFKD (got '$form')")
+        StepSpec.NormalizeText(
+          opt(n, "text_col").map(_.asText).getOrElse("text"), form)
       case "redact_pii" =>
         StepSpec.RedactPii(opt(n, "text_col").map(_.asText).getOrElse("text"))
       case "pseudonymize" =>
@@ -340,7 +356,7 @@ object PipelineLoader {
         StepSpec.KAnonSuppress(q.elements().asScala.map(_.asText).toSeq, k)
       case other =>
         throw new IllegalArgumentException(
-          s"$where: unknown kind '$other' (valid: filter_stack, redact_pii, " +
+          s"$where: unknown kind '$other' (valid: filter_stack, normalize_text, redact_pii, " +
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
             "split, forget, lm_filter, temperature, stratified, kfold, " +
             "quality_normalize, mixture, quality_weighted, fixed_k, " +

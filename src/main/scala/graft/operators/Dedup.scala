@@ -1263,6 +1263,73 @@ object Dedup {
         coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"))
   }
 
+  /** Sliding-window exact-substring dedup — the suffix-array-style
+    * training-data metric ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022) re-expressed with hashed k-token
+    * grams: a duplicated span is detected at ANY token offset, not
+    * just on [[spanDedup]]'s fixed block grid (which misses every
+    * duplicate shifted off 20-token alignment — the common case, since
+    * boilerplate starts mid-page). Every k-gram (stride 1) is keyed by
+    * md5; an occurrence is duplicated when an identical gram appeared
+    * earlier in (doc_id, pos) order — first-occurrence-wins, so the
+    * pass is idempotent and ingestion-order-stable. Per doc the
+    * flagged gram intervals [pos, pos+k) are MERGED (overlapping grams
+    * of one duplicated passage collapse) into `dup_tokens`, the count
+    * of tokens covered by at least one duplicated gram — the fraction
+    * a C4-style rewrite would remove.
+    *
+    * Scale shape: ~one gram per input token, but each carries only a
+    * fixed 32-byte hash + (doc_id, pos) — the dedup shuffle is
+    * O(corpus tokens)·O(40 B), never gram text; the first-occurrence
+    * window partitions by gram hash (tiny per-key occurrence lists, no
+    * global sort); the interval merge is a per-doc window bounded by
+    * document length. Docs shorter than k tokens have no grams and
+    * report zero duplication. Exact integer counts + one division —
+    * cross-engine deterministic.
+    */
+  def spanDedupSliding(docs: DataFrame, gramTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramTokens >= 2, s"spanDedupSliding: gramTokens must be >= 2, got $gramTokens")
+    val ts = split(trim(col("text")), " +")
+    val grams = docs
+      .select(col("doc_id"), ts.as("ts"))
+      .where(size(col("ts")) >= gramTokens)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - gramTokens),
+          i => md5(concat_ws(" ", slice(col("ts"), i + 1, lit(gramTokens))))))
+          .as(Seq("pos", "gram_hash")))
+    val firstSeen = Window.partitionBy(col("gram_hash")).orderBy(col("doc_id"), col("pos"))
+    val flagged = grams
+      .withColumn("dup", row_number().over(firstSeen) > 1)
+      .select(col("doc_id"), col("pos"), col("dup"))
+    val perDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+    // island merge: a gram starts a new island iff it begins at or
+    // past the max end of every earlier flagged gram in the doc
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = byPos.rowsBetween(Window.unboundedPreceding, -1)
+    val coverage = flagged.where(col("dup"))
+      .withColumn("prev_end", max(col("pos") + gramTokens).over(prevEnd))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) + gramTokens - min(col("pos"))).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(coverage, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"))
+  }
+
   /** Asymmetric shingle-containment join — Broder's containment
     * measure |S(q) ∩ S(c)| / |S(q)|: how much of query doc q is
     * contained in corpus doc c. The directional companion to jaccard:
@@ -1674,6 +1741,12 @@ object Dedup {
     "dd_span_rewrite" -> ((s, dir) =>
       spanDedupRewrite(table(s, dir, "documents"), 20).orderBy("doc_id")),
 
+    // Sliding-window (stride-1, 8-token) substring dedup with merged
+    // duplicated-span token coverage — catches duplicates at ANY
+    // offset, not just the 20-token block grid.
+    "dd_span_sliding" -> ((s, dir) =>
+      spanDedupSliding(table(s, dir, "documents"), 8).orderBy("doc_id")),
+
     // LSH candidates → exact-jaccard verification: the two-stage
     // near-dup pipeline (exactness over O(candidates), never corpus²).
     "dd_lsh_verified" -> ((s, dir) =>
@@ -2074,6 +2147,40 @@ object Dedup {
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sliding k-gram (k=8) dedup: pos is 0-based in Spark, range() is
+    // 1-based here — i in [1, len-8+1] maps to pos = i-1; the island
+    // merge replays Spark's prev-max-end window verbatim
+    "dd_span_sliding" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |      FROM t, UNNEST(range(1, len(ts) - 8 + 2)) AS r(i)
+        |      WHERE len(ts) >= 8),
+        |f AS (SELECT doc_id, pos,
+        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1 AS dup
+        |      FROM g),
+        |p AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |        SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup_grams
+        |      FROM f GROUP BY 1),
+        |d AS (SELECT doc_id, pos,
+        |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f WHERE dup),
+        |isl AS (SELECT doc_id, pos,
+        |        SUM(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM d),
+        |c AS (SELECT doc_id, island, MAX(pos) + 8 - MIN(pos) AS covered
+        |      FROM isl GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, SUM(covered) AS dup_tokens FROM c GROUP BY 1)
+        |SELECT t.doc_id,
+        | CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+        | CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        | CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        | CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / len(t.ts) AS dup_token_frac
+        |FROM t LEFT JOIN p USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dd_span_rewrite" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts FROM documents),
         |i AS (SELECT doc_id, ts,

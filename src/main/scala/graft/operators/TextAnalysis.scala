@@ -644,7 +644,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unicode canonicalization of a text column (NFC | NFD | NFKC |
+    * NFKD) via the native [[graft.functions.UnicodeNormalize]]
+    * expression. Run this FIRST in any curation pipeline: every
+    * hash-based operator downstream (exact dedup, MinHash shingles,
+    * fingerprints, decontamination n-grams) treats `e`+U+0301 and
+    * precomposed `é` as distinct documents until codepoints are
+    * canonical. Zero shuffles — a codegen'd projection; the kernel
+    * returns already-normalized rows without copying, so an
+    * ASCII-dominant corpus pays one linear validation scan per row.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+      form: String = "NFC"): DataFrame =
+    docs.withColumn(textCol,
+      graft.functions.UnicodeNormalize(col(textCol), form))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the gate appends a decomposed suffix (combining acute/diaeresis)
+    // so normalization provably changes bytes AND length on every row
+    "ta_normalize" -> ((s, dir) =>
+      normalizeText(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" cafe\u0301 nai\u0308ve")).as("raw"),
+            concat(col("text"), lit(" cafe\u0301 nai\u0308ve")).as("text")),
+        textCol = "text", form = "NFC")
+        .select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          length(col("text")).cast("long").as("n_chars_nfc"),
+          col("text").as("text_nfc"))
+        .orderBy("doc_id")),
     "ta_lm_score" -> ((s, dir) =>
       lmScorePlan(table(s, dir, "documents")).df.orderBy("doc_id")),
     "ta_collocations" -> ((s, dir) =>
@@ -681,6 +711,17 @@ object TextAnalysis {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracles: Map[String, String] = Map(
+    // NFC normalization: chr(769)/chr(776) are the combining acute /
+    // diaeresis the Spark gate appends as ́/̈
+    "ta_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        | CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+        | nfc_normalize(raw) AS text_nfc
+        |FROM t ORDER BY doc_id""".stripMargin,
     // bigram LM: the conditional-ppm mean; bigrams via 1-based list
     // indexing over range(1, len) — exactly Spark's slice/zip_with pairs
     "ta_lm_score" ->

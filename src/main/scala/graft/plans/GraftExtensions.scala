@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.DotLong
+import graft.functions.{DotLong, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension registration — the idiomatic injection point for
@@ -14,12 +14,18 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotLong.descriptor)
+    ext.injectFunction(UnicodeNormalize.descriptor)
   }
 }
 
 object GraftExtensions {
   /** Imperative registration for sessions built without the conf. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       DotLong.descriptor._1, DotLong.descriptor._2, DotLong.descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      UnicodeNormalize.descriptor._1,
+      UnicodeNormalize.descriptor._2,
+      UnicodeNormalize.descriptor._3)
+  }
 }

@@ -645,9 +645,58 @@ object Relational {
         .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
         .limit(20)
     }),
+
+    // SCD2 (type-2 slowly-changing-dimension) history build: collapse
+    // each user's event stream into [valid_from, valid_to) intervals of
+    // constant event_type — the change-collapse every warehouse needs
+    // to turn snapshots/CDC feeds into queryable history. One shuffle
+    // on the entity key; both windows and the run rollup reuse that
+    // partitioning (per-entity cost bounded by per-entity row count —
+    // the only scale shape an inherently ordered-per-entity op can
+    // have; no global sort anywhere). run_seq is the surrogate key;
+    // the open interval (valid_to null) is flagged is_current.
+    "q44_scd2" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runs = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("changed",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_seq",
+          sum(col("changed")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val hist = runs.groupBy(col("user_id"), col("run_seq"))
+        .agg(min(col("event_type")).as("event_type"), // constant within a run
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_seq"))
+      hist
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("run_seq"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+        .orderBy("user_id", "run_seq")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q44_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |r AS (SELECT user_id, ts, event_type,
+        |    SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_seq
+        |  FROM o),
+        |h AS (SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq,
+        |    MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_seq, event_type, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq) AS valid_to,
+        |  n_events,
+        |  (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq) IS NULL) AS is_current
+        |FROM h ORDER BY user_id, run_seq""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -211,6 +211,67 @@ class PipelineRunSpec extends SparkSpec {
       "quality_normalize", "kfold"))
   }
 
+  test("normalize_text step: parses, validates form, equals the hand operator, dedup sees it") {
+    def bad(y: String): String =
+      intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
+    val head =
+      s"pipeline:\n  input:\n    db: {type: parquet, path: $docsPath}\n"
+    assert(bad(head + "  steps:\n    - kind: normalize_text\n      form: NFX")
+      .contains("form"))
+
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: normalize_text
+         |      form: NFC
+         |    - kind: dedup_exact
+         |""".stripMargin)
+    assert(spec.steps == Seq(
+      StepSpec.NormalizeText("text", "NFC"), StepSpec.DedupExact("doc_id", "text")))
+
+    // two visually-identical docs differing only in composition must
+    // collapse to ONE after normalize_text + dedup_exact
+    import spark.implicits._
+    val twins = Seq(
+      (1L, "caf\u00e9 culture", "w"), (2L, "cafe\u0301 culture", "w"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("norm_step").toString
+    twins.write.mode("overwrite").parquet(s"$tmp/docs")
+    val spec2 = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $tmp/docs}
+         |  steps:
+         |    - kind: normalize_text
+         |    - kind: dedup_exact
+         |""".stripMargin)
+    val out = Pipeline.run(spark, spec2).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    // without normalization the same dedup keeps both
+    val specNoNorm = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $tmp/docs}
+         |  steps:
+         |    - kind: dedup_exact
+         |""".stripMargin)
+    assert(Pipeline.run(spark, specNoNorm).count() == 2)
+    // hand equality over the real corpus
+    val docs = spark.read.parquet(docsPath)
+    val hand = graft.operators.TextAnalysis.normalizeText(docs, "text", "NFC")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Pipeline.run(spark, PipelineLoader.fromYaml(
+      head + "  steps:\n    - kind: normalize_text\n"))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == hand && got.nonEmpty)
+    // funnel includes the step by name
+    val funnel = Pipeline.funnel(spark, spec2)
+      .select("step").collect().map(_.getString(0)).toSeq
+    assert(funnel == Seq("input", "normalize_text", "dedup_exact"))
+  }
+
   test("training-prep steps: parse validation, hand equality, funnel names") {
     def bad(y: String): String =
       intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage

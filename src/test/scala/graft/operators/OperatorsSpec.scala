@@ -653,6 +653,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L)
   }
 
+  test("sliding span dedup: off-grid duplicates caught, islands merged, short docs zero") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ") // 10 tokens
+    val d = Seq(
+      (1L, passage + " t1 t2"),                    // first occurrence (12 tokens)
+      (2L, "x1 x2 x3 " + passage + " y1"),         // same passage at offset 3
+      (3L, "a b c d e f"),                         // < 8 tokens: no grams
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 z " + "q1 q2 q3 q4 q5 q6 q7 q8") // self-repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupSliding(d, 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1: 12 tokens -> 5 grams, all first occurrences
+    assert(out(1L) == ((12L, 5L, 0L, 0L, 0.0)))
+    // doc 2: the 10-token passage yields 3 duplicated 8-grams at
+    // offsets 3,4,5 — overlapping, so the island merge covers exactly
+    // the 10 passage tokens (a block-grid spanDedup at width 8 would
+    // MISS this: doc 2's grid blocks straddle the passage boundary)
+    val (n2, g2, dg2, dt2, f2) = out(2L)
+    assert(n2 == 14L && g2 == 7L && dg2 == 3L && dt2 == 10L && f2 == 10.0 / 14)
+    // doc 3: too short for any gram
+    assert(out(3L) == ((6L, 0L, 0L, 0L, 0.0)))
+    // doc 4: the trailing 8 tokens repeat the leading 8 -> exactly the
+    // last gram is a duplicate of the first (within ONE document)
+    val (_, g4, dg4, dt4, _) = out(4L)
+    assert(g4 == 10L && dg4 == 1L && dt4 == 8L)
+    // block-grid form at the same width indeed misses doc 2's duplicate
+    val grid = Dedup.spanDedup(d, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(grid(2L) == 0L)
+  }
+
   test("lsh-verified pairs report the TRUE jaccard for every surfaced pair") {
     // threshold must be > 0 (the verify join cannot emit jaccard-0
     // pairs); any pair sharing >= 1 shingle scores >= 1/(na+nb-1), so an

@@ -101,4 +101,43 @@ class RelationalSpec extends SparkSpec {
     assert(violations == 0, "a later offset retained more users than the cohort has")
     assert(d.where(col("offset_days") < 0).count() == 0)
   }
+
+  test("scd2: runs collapse consecutive types, intervals chain, exactly one current per user") {
+    val h = Relational.queries("q44_scd2")(spark, Sf0001)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("run_seq"))
+    // adjacent runs never share a type (otherwise they'd be one run)
+    assert(h.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type") === col("event_type")).count() == 0)
+    // each run's valid_to equals the next run's valid_from; only the
+    // last run per user is open — so exactly one current row per user
+    assert(h.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .where((col("valid_to").isNotNull || col("next_from").isNotNull) &&
+        !(col("valid_to") <=> col("next_from"))).count() == 0)
+    val users = h.select("user_id").distinct().count()
+    assert(h.where(col("is_current")).count() == users)
+    // events conserve: run sizes sum to the event count
+    val evs = GraftSession.table(spark, Sf0001, "events").count()
+    assert(h.agg(sum("n_events")).head().getLong(0) == evs)
+    // hand case: A A B A collapses to runs (A,2)(B,1)(A,1)
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    Seq((9001L, t(0), 1L, "A"), (9001L, t(1), 2L, "A"),
+      (9001L, t(2), 3L, "B"), (9001L, t(3), 4L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .createOrReplaceTempView("scd2_hand")
+    // replay the same operator inline over the hand data
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = spark.table("scd2_hand")
+      .withColumn("changed", when(lag(col("event_type"), 1).over(byUser).isNull ||
+        lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_seq",
+        sum(col("changed")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run_seq")
+      .agg(min("event_type").as("event_type"), count(lit(1)).as("n_events"))
+      .orderBy("run_seq").collect()
+    assert(runs.map(r => (r.getString(2), r.getLong(3))).toSeq ==
+      Seq(("A", 2L), ("B", 1L), ("A", 1L)))
+  }
 }

@@ -29,12 +29,17 @@ def norm(rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query names (mirrors Verify's
+    # dev filter) — check only those oracles
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
             exp = con.execute(sql).fetchall()
             exp_cols = [d[0] for d in con.description]
