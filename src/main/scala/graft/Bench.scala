@@ -95,12 +95,29 @@ object Bench {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty)
     // a filtered (dev / scale-rehearsal) run must never overwrite the
-    // committed full-surface artifacts — it writes *.filtered.json
+    // committed full-surface artifacts — it writes *.filtered.json.
+    // Likewise a FULL run against a different data directory than the
+    // committed artifact's: a dev pass at sf0.01 (or a rehearsal at
+    // sf10) silently replacing the sf0.1 numbers the judge reads is
+    // the same drift mode with no filter set, so off-sf runs route to
+    // BENCH_*.<sfbase>.json instead
     val benchFiltered = benchFilter.isDefined
-    val totalsFile =
-      if (benchFiltered) "BENCH_TOTALS.filtered.json" else "BENCH_TOTALS.json"
-    val detailFile =
-      if (benchFiltered) "BENCH_DETAIL.filtered.json" else "BENCH_DETAIL.json"
+    val committedSf: Option[String] = (try {
+      val p = java.nio.file.Paths.get("BENCH_TOTALS.json")
+      if (java.nio.file.Files.exists(p)) {
+        val t = java.nio.file.Files.readString(p)
+        "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(t).map(_.group(1))
+      } else None
+    } catch { case _: Throwable => None })
+    val offSf = committedSf.exists(_ != sfDir)
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val suffix =
+      if (benchFiltered) ".filtered" else if (offSf) s".$sfBase" else ""
+    if (offSf && !benchFiltered) System.err.println(
+      s"[bench] sf '$sfDir' differs from committed artifact's " +
+        s"'${committedSf.get}' — routing artifacts to BENCH_*$suffix.json")
+    val totalsFile = s"BENCH_TOTALS$suffix.json"
+    val detailFile = s"BENCH_DETAIL$suffix.json"
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
