@@ -264,6 +264,29 @@ object Similarity {
     (assigned.select(col("vec_id"), col("cluster")), cents)
   }
 
+  /** Incremental IVF index maintenance: fit centroids ONCE on the
+    * existing corpus ([[kmeansFit]]'s loop), then assign an arriving
+    * batch against the FROZEN centroid table — the standard ANN-index
+    * ingest path (FAISS `add` after `train`): new vectors get their
+    * inverted-list cell in one narrow, shuffle-free pass (centroids
+    * are plan literals — no join, no window, no re-read of the
+    * indexed corpus), so ingest cost is O(batch), independent of
+    * index size. Assigning an already-indexed vector reproduces its
+    * original cell exactly (same centroid set, same tie-break), so
+    * the incremental path and a full rebuild agree wherever they
+    * overlap — the invariant the spec asserts. Centroid refresh
+    * stays a periodic offline refit (the k-means rule that empty
+    * cells are dropped, never reseeded, makes the frozen table stable
+    * under any batch composition).
+    */
+  def ivfIncremental(embBase: DataFrame, embNew: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    val (_, cents) = kmeansFitQCents(
+      quantized(embBase).select(col("vec_id"), col("v")), k, iters, Dim)
+    assignToCentroids(quantized(embNew).select(col("vec_id"), col("v")), cents)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** PQ asymmetric-distance top-k — the search side of [[pqCodes]]:
     * corpus vectors are replaced by their codebook RECONSTRUCTIONS
     * (per block, the centroid the code names — a when-chain over plan
@@ -560,6 +583,16 @@ object Similarity {
     "ss_kmeans" -> ((s, dir) =>
       kmeansFit(table(s, dir, "embeddings"), k = 4, iters = 1)
         .orderBy("vec_id")),
+    // incremental IVF ingest: centroids trained on the existing corpus
+    // (vec_id % 5 != 0), the "arriving" batch (vec_id % 5 == 0)
+    // assigned against the frozen table — no refit, no corpus re-read
+    "ss_ivf_incremental" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      ivfIncremental(
+        e.where(pmod(col("vec_id"), lit(5)) =!= 0),
+        e.where(pmod(col("vec_id"), lit(5)) === 0), k = 4, iters = 1)
+        .orderBy("vec_id")
+    }),
     // product-quantization codes: 4 blocks of 16 dims, 4-centroid
     // codebook each — 256 virtual cells from 16 centroids
     "ss_pq_codes" -> ((s, dir) =>
@@ -703,8 +736,8 @@ object Similarity {
     * init c0 = 4 lowest ids → assign a1 → integer centroids c1 →
     * final assignment a2(vec_id, cluster).
     */
-  private def kmeansSqlCtes(k: Int): String =
-    s"""q AS ($quantSql),
+  private def kmeansSqlCtes(k: Int, where: String = ""): String =
+    s"""q AS ($quantSql$where),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k),
        |a1 AS (SELECT vec_id, v, cid AS cluster FROM (
        |  SELECT q.vec_id, q.v, c.cid,
@@ -822,6 +855,17 @@ object Similarity {
     "ss_kmeans" ->
       s"""WITH ${kmeansSqlCtes(4)}
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    // the kmeans chain over the base corpus only, then the new batch
+    // assigned against c1 — the frozen final centroid table
+    "ss_ivf_incremental" ->
+      s"""WITH ${kmeansSqlCtes(4, " WHERE vec_id % 5 <> 0")},
+         |qn AS ($quantSql WHERE vec_id % 5 = 0),
+         |an AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT qn.vec_id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY qn.vec_id
+         |     ORDER BY ${cosSql("qn.v", "c.cv")} DESC, c.cid) AS r
+         |  FROM qn CROSS JOIN c1 c) WHERE r = 1)
+         |SELECT vec_id, cluster FROM an ORDER BY vec_id""".stripMargin,
     "ss_cluster_terms" ->
       s"""WITH ${kmeansSqlCtes(4)},
          |tokr AS (SELECT doc_id,

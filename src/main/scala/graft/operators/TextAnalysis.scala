@@ -500,6 +500,107 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** The delimiter scheme shared by [[bpeTrain]] and [[bpeEncode]]: a
+    * document is one string with every token wrapped in `|…|`, so
+    * adjacent tokens meet at a DOUBLE bar (`|a||b|`). A merge of pair
+    * (x, y) is then a literal replace of `"|x||y|"` with `"|x␟y|"`
+    * (U+001F joins the merged token) — and because each occurrence
+    * owns its own closing/opening bars, left-to-right non-overlapping
+    * literal replacement (identical semantics in Spark's
+    * `StringReplace` and DuckDB/PG `replace`) is EXACTLY greedy BPE
+    * application: `|a||a||a||a|` → `|a␟a||a␟a|`, with no shared-
+    * boundary misses and no false prefix matches (`|a||ab|` never
+    * matches `|a||a|`).
+    */
+  private val BpeUS = "\u001f"
+
+  private def bpeRep(textCol: String): Column =
+    concat(lit("|"),
+      array_join(split(trim(translate(col(textCol), "|" + BpeUS, "")), " +"), "||"),
+      lit("|"))
+
+  private def bpeTokens(rep: Column): Column =
+    split(trim(rep, "|"), "\\|\\|")
+
+  /** Distributed BPE tokenizer training over the corpus: `merges`
+    * rounds of (count all adjacent token pairs) → (take the most
+    * frequent, ties broken by pair text) → (greedily merge every
+    * occurrence corpus-wide), exactly the word-level BPE/WordPiece
+    * vocabulary-learning loop. Returns the learned merge table
+    * (rank, left_tok, right_tok, n) — later rounds' tokens contain
+    * U+001F where earlier merges composed.
+    *
+    * Scale shape per round: ONE map-side-combinable aggregation at the
+    * (pair) grain (vocab-sized, never corpus-sized), a 1-row argmax to
+    * the driver, and one codegen'd narrow literal replace over the
+    * cached representation — no join, no window, no corpus-sized
+    * driver state; k merges = k cached passes. Real tokenizer builds
+    * run tens of thousands of merges over a FIXED-SIZE sample — at
+    * 100 TB compose this with [[graft.operators.Sampling.fixedK]]
+    * (the sample is the standard practice, not a shortcut; pair
+    * frequencies converge long before corpus scale). Tokens must not
+    * contain `|` or U+001F; both are stripped on entry (the delimiter
+    * contract above). Exact integer counts — cross-engine
+    * deterministic including the tie order.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame = {
+    require(merges >= 1 && merges <= 100,
+      s"bpeTrain: merges must be in [1, 100], got $merges")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var cur = docs.select(bpeRep(textCol).as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var prev: Option[DataFrame] = None
+    var r = 1
+    var go = true
+    while (r <= merges && go) {
+      val top = cur.select(bpeTokens(col("rep")).as("ts"))
+        .select(explode(bigramStructs()).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      prev.foreach(_.unpersist(blocking = false)) // cur is materialized now
+      prev = None
+      if (top.isEmpty) go = false
+      else {
+        val (l, rt, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r.toLong, l, rt, n))
+        if (r < merges) {
+          val next = cur.select(
+            replace(col("rep"), lit(s"|$l||$rt|"), lit(s"|$l$BpeUS$rt|")).as("rep"))
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          prev = Some(cur)
+          cur = next
+        }
+        r += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    prev.foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left_tok", "right_tok", "n")
+  }
+
+  /** Apply a learned merge table ([[bpeTrain]]'s output shape) to the
+    * corpus: the replaces chain in rank order inside ONE codegen'd
+    * projection — zero shuffles, zero joins; the merge table is
+    * driver-side by construction (k rows). Emits per-doc piece counts
+    * before and after — the compression-ratio report a tokenizer
+    * build is judged by.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val rep0 = bpeRep(textCol)
+    val repN = merges.foldLeft(rep0) { case (c, (l, r)) =>
+      replace(c, lit(s"|$l||$r|"), lit(s"|$l$BpeUS$r|"))
+    }
+    docs.select(col("doc_id"),
+      size(bpeTokens(rep0)).cast("long").as("n_tokens"),
+      size(bpeTokens(repN)).cast("long").as("n_pieces"))
+  }
+
   /** Per-document content NOVELTY against ingestion order — for each
     * doc, the fraction of its distinct word-3-gram shingles whose
     * FIRST corpus occurrence (min doc_id) is this document. The
@@ -685,6 +786,15 @@ object TextAnalysis {
       noveltyStats(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_bpe_pairs" -> ((s, dir) =>
       bpePairCounts(table(s, dir, "documents"))),
+    // 5-round BPE vocabulary training: the learned merge table.
+    "ta_bpe_train" -> ((s, dir) =>
+      bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")),
+    // apply the learned merges: per-doc piece counts before/after.
+    "ta_bpe_encode" -> ((s, dir) => {
+      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncode(table(s, dir, "documents"), m).orderBy("doc_id")
+    }),
     "ta_tfidf" -> ((s, dir) =>
       tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
     "ta_chunk" -> ((s, dir) =>
@@ -710,7 +820,43 @@ object TextAnalysis {
 
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
+  /** The BPE CTE chain shared by the train and encode oracles: round r
+    * re-tokenizes round r−1's representation, counts pairs, picks the
+    * (n DESC, w1, w2) argmax, and applies the bar-wrapped literal
+    * replace — the exact loop [[bpeTrain]] runs, DuckDB's `replace`
+    * having the same leftmost non-overlapping semantics as Spark's.
+    */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= ("WITH d0 AS (SELECT doc_id, '|' || array_to_string(" +
+      "string_split_regex(trim(translate(text, '|' || chr(31), '')), ' +')," +
+      " '||') || '|' AS rep FROM documents)")
+    (1 to k).foreach { r =>
+      sb ++= s""",
+         |t$r AS (SELECT string_split(trim(rep, '|'), '||') AS ts FROM d${r - 1}),
+         |p$r AS (SELECT ts[i] AS w1, ts[i+1] AS w2, COUNT(*) AS n
+         |  FROM t$r, UNNEST(range(1, len(ts))) AS u$r(i) GROUP BY 1, 2),
+         |m$r AS (SELECT w1, w2, n FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
+         |d$r AS (SELECT doc_id,
+         |  replace(rep, '|' || w1 || '||' || w2 || '|',
+         |          '|' || w1 || chr(31) || w2 || '|') AS rep
+         |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
+    }
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
+    "ta_bpe_train" -> (bpeCtes(5) + "\n" +
+      (1 to 5).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, w1 AS left_tok, " +
+          s"w2 AS right_tok, CAST(n AS BIGINT) AS n FROM m$r")
+        .mkString("\nUNION ALL\n") + "\nORDER BY rank"),
+    "ta_bpe_encode" -> (bpeCtes(5) +
+      """
+        |SELECT dk.doc_id,
+        | CAST(len(string_split(trim(d0.rep, '|'), '||')) AS BIGINT) AS n_tokens,
+        | CAST(len(string_split(trim(dk.rep, '|'), '||')) AS BIGINT) AS n_pieces
+        |FROM d5 dk JOIN d0 USING (doc_id) ORDER BY doc_id""".stripMargin),
     // NFC normalization: chr(769)/chr(776) are the combining acute /
     // diaeresis the Spark gate appends as ́/̈
     "ta_normalize" ->

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotLong, UnicodeNormalize}
+import graft.functions.{DotLong, TopKAgg, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension registration — the idiomatic injection point for
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(DotLong.descriptor)
     ext.injectFunction(UnicodeNormalize.descriptor)
+    ext.injectFunction(TopKAgg.descriptor)
   }
 }
 
@@ -27,5 +28,7 @@ object GraftExtensions {
       UnicodeNormalize.descriptor._1,
       UnicodeNormalize.descriptor._2,
       UnicodeNormalize.descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      TopKAgg.descriptor._1, TopKAgg.descriptor._2, TopKAgg.descriptor._3)
   }
 }

@@ -677,9 +677,32 @@ object Relational {
           col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
         .orderBy("user_id", "run_seq")
     }),
+
+    // Skew-safe per-group top-k via the native bounded-heap aggregate
+    // ([[graft.functions.TopKAgg]]): map-side partial combine ships at
+    // most k pairs per group per input partition — the window
+    // row_number form ships every row of a group to one reducer, so
+    // one hot key serializes the stage at scale. Same rows, same
+    // order, plan-asserted ObjectHashAggregate partial+final.
+    "q45_group_topk" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAgg(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("idx", "t")))
+        .select(col("o_custkey"), (col("idx") + 1).cast("long").as("rank"),
+          col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
+        .orderBy("o_custkey", "rank")),
   )
 
   def oracles: Map[String, String] = Map(
+    "q45_group_topk" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q44_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -653,6 +653,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L)
   }
 
+  test("bpe train: greedy merges, nested rounds, deterministic ties, encode compresses") {
+    import spark.implicits._
+    val us = "\u001f"
+    val d = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b c a b c")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(d, 3).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,b) x4; round 2 merges the MERGED token with c (x3) —
+    // nesting; round 3 is a 1-count tie broken by pair text
+    assert(m(0) == ((1L, "a", "b", 4L)))
+    assert(m(1) == ((2L, s"a${us}b", "c", 3L)))
+    assert(m(2) == ((3L, s"a${us}b", s"a${us}b${us}c", 1L)))
+    val enc = TextAnalysis.bpeEncode(d, m.map(x => (x._2, x._3)).toSeq)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(1L) == ((5L, 1L))) // a b a b c -> [ab][abc] -> [ab abc]
+    assert(enc(2L) == ((6L, 2L))) // a b c a b c -> [abc][abc]
+    // greedy left-to-right on runs: merging (a,a) over 5 a's gives
+    // [aa][aa][a] — 3 pieces, never 4 (shared-boundary miss) or 2
+    val run = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val rEnc = TextAnalysis.bpeEncode(run, Seq(("a", "a"))).head()
+    assert(rEnc.getLong(2) == 3L)
+    // delimiter chars in input are stripped, not corrupted into bounds
+    val tricky = Seq((1L, s"x| y$us z")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeEncode(tricky, Seq(("x", "y"))).head().getLong(2) == 2L)
+  }
+
   test("sliding span dedup: off-grid duplicates caught, islands merged, short docs zero") {
     import spark.implicits._
     val passage = (1 to 10).map(i => s"p$i").mkString(" ") // 10 tokens
@@ -862,6 +889,26 @@ class OperatorsSpec extends SparkSpec {
     val init = Similarity.kmeansFit(emb, k = 10, iters = 0)
     assert(meanCos(fit) > meanCos(init),
       s"fit=${meanCos(fit)} init=${meanCos(init)}")
+  }
+
+  test("ivf incremental: frozen-centroid ingest agrees with full rebuild, plan is narrow") {
+    val base = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+    val inc = Similarity.ivfIncremental(base, batch, k = 6, iters = 2)
+    // every new vector lands in exactly one cell
+    assert(inc.count() == batch.count())
+    assert(inc.select("vec_id").distinct().count() == batch.count())
+    // re-ingesting ALREADY-INDEXED vectors reproduces their original
+    // cells exactly (same frozen centroid table, same tie-break)
+    val rebuilt = Similarity.ivfIncremental(base, base, k = 6, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Similarity.kmeansFit(base, k = 6, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rebuilt == full)
+    // the assignment pass itself is narrow: centroids are plan
+    // literals — no join and no exchange anywhere in the batch plan
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
   }
 
   test("jaccard self-joins pin sort-merge (no single-threaded broadcast build)") {
