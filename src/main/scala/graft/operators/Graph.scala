@@ -350,6 +350,71 @@ object Graph {
       .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
   }
 
+  /** Synchronous label propagation (community detection), `iters`
+    * fixed rounds: every node starts as its own label; each round a
+    * node adopts the most frequent label among its IN-neighbors
+    * (count DESC, label ASC — fully deterministic, unlike classic
+    * random-order LPA), keeping its current label when it has none.
+    * Fixed-round synchronous updates make the result engine-exact (no
+    * convergence race) and sidestep LPA's bipartite oscillation by
+    * construction — callers pick `iters`, they don't wait on a fixed
+    * point.
+    *
+    * Scale shape matches [[pageRankPlan]]: edges cached PRE-PARTITIONED
+    * on src so the per-round label join never re-exchanges the edge
+    * list; each round is that join + a map-side-combinable (dst,
+    * label) count + a min(struct) argmax at the node grain; round
+    * checkpoints (stats-capped) bound plan depth at high `iters`.
+    * Labels live at the node grain — O(|V|) state per round, never
+    * edge-sized.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 0): DataFrame =
+    eagerReleased(labelPropagationPlan(edges, iters, checkpointEvery))
+
+  def labelPropagationPlan(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 0): DedupPlan = {
+    require(iters >= 1, "need iters >= 1")
+    import org.apache.spark.sql.graftshim.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
+    val sc = edges.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame = CheckpointBridge.capStats(
+      if (reliable) {
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint())
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var ckpts = List.empty[DataFrame]
+    (1 to iters).foreach { i =>
+      val votes = e.join(labels, e("src") === labels("id"))
+        .groupBy(e("dst").as("nid"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC) via min(struct(-c, lbl))
+      val winner = votes
+        .groupBy(col("nid"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
+        .select(col("nid").as("id"), col("w.l").as("new_lbl"))
+      labels = labels.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        labels = ckpt(labels)
+        val live = labels :: ckpts
+        live.drop(2).foreach(CheckpointBridge.release)
+        ckpts = live.take(2)
+      }
+    }
+    DedupPlan(labels, "label-propagation", Seq(e, nodes),
+      finalizers = ckpts.map(d => () => CheckpointBridge.release(d)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 unrolled rounds; top-25 hub nodes (suppliers dominate: a
     // supplier touches ~20x more edges than any part)
@@ -375,6 +440,15 @@ object Graph {
       val seed = li.agg(concat(lit("p"), min(col("l_partkey"))).as("id"))
       bfsLevels(partSupplierEdges(li), seed, maxHops = 4)
         .orderBy("lvl", "id")
+    }),
+
+    // 3 synchronous label-propagation rounds over the symmetrized
+    // co-purchase graph: deterministic community labels per product
+    "q46_label_prop" -> ((s, dir) => {
+      val cp = copurchaseEdges(table(s, dir, "lineitem"))
+      val sym = cp.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(cp.select(col("v").as("src"), col("u").as("dst")))
+      labelPropagation(sym, iters = 3).orderBy("id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -452,5 +526,29 @@ object Graph {
         |t AS (SELECT COUNT(*) AS n_triangles
         |      FROM e e1 JOIN e e2 ON e1.v = e2.u
         |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
-        |SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin,
+
+    // 3 LPA rounds replayed: per round, in-neighbor label votes, the
+    // (count DESC, label ASC) winner, keep-own for vote-less nodes
+    "q46_label_prop" -> {
+      val rounds = (1 to 3).map { r =>
+        s""",
+           |c$r AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+           |  FROM e JOIN l${r - 1} l ON e.src = l.id GROUP BY 1, 2),
+           |a$r AS (SELECT id, lbl FROM (
+           |  SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+           |    ORDER BY c DESC, lbl) AS rn FROM c$r) WHERE rn = 1),
+           |l$r AS (SELECT l.id, COALESCE(a.lbl, l.lbl) AS lbl
+           |  FROM l${r - 1} l LEFT JOIN a$r a USING (id))""".stripMargin
+      }.mkString
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |p0 AS (SELECT a.p AS u, b.p AS v FROM li a
+         |      JOIN li b ON a.o = b.o AND a.p < b.p
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT u AS src, v AS dst FROM p0
+         |      UNION ALL SELECT v, u FROM p0),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |l0 AS (SELECT id, id AS lbl FROM n)$rounds
+         |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin
+    })
 }

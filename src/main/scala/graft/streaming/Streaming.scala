@@ -403,6 +403,53 @@ object Streaming {
   final case class LastEvent(tsMicros: Long, eventId: Long, tpe: String)
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
+  // scd2-stream state: the user's OPEN run (current type-2 row)
+  final case class OpenRun(tpe: String, validFromMicros: Long, n: Long, runSeq: Long)
+  final case class Scd2Closed(user_id: Long, run_seq: Long, event_type: String,
+      valid_from: Timestamp, valid_to: Timestamp, n_events: Long)
+
+  /** Streaming SCD2 materialization — the twin of the batch
+    * `q44_scd2` history build: per entity, consecutive same-type
+    * events extend the OPEN run held in state; a type change CLOSES
+    * the run (emitted with `valid_to` = the new run's `valid_from`)
+    * and opens the next. Emitted rows are exactly the batch twin's
+    * non-current rows — the open run per user IS the `is_current` row,
+    * living in state until its closing event arrives (asserted in
+    * StreamingSpec). State is ONE small record per entity — bounded by
+    * the active-entity set, not stream length — which is the shape a
+    * warehouse's continuously-maintained dimension table needs: closed
+    * intervals append-only to storage, current rows in state.
+    * In-order delivery assumed (the CDC contract); within a
+    * micro-batch, (ts, event_id) restores the batch total order.
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenRun, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenRun]) =>
+          val evs = it.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          for (e <- evs) {
+            val t = toMicros(e.ts)
+            open match {
+              case Some(o) if o.tpe == e.event_type =>
+                open = Some(o.copy(n = o.n + 1))
+              case Some(o) =>
+                out += Scd2Closed(userId, o.runSeq, o.tpe,
+                  fromMicros(o.validFromMicros), fromMicros(t), o.n)
+                open = Some(OpenRun(e.event_type, t, 1, o.runSeq + 1))
+              case None =>
+                open = Some(OpenRun(e.event_type, t, 1, 1))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming Markov transitions — the twin of the batch
     * `q38_transitions` sequence stage: per user, every arriving event
     * emits one (from, to) transition against the chronologically

@@ -401,6 +401,21 @@ class PipelineRunSpec extends SparkSpec {
     assert(leaked.isEmpty, s"funnel leaked stage caches: $leaked")
   }
 
+  test("every pipeline example yaml in examples/ parses to a valid spec") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("examples")
+    val yamls = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".yaml"))
+      .filter(p => java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p)).contains("pipeline:"))
+      .toSeq.sorted
+    assert(yamls.nonEmpty)
+    yamls.foreach { p =>
+      val spec = PipelineLoader.load(p)
+      assert(spec.steps.nonEmpty, p)
+    }
+  }
+
   test("pipeline execute writes the sink and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/o"
     val spec = PipelineLoader.fromYaml(

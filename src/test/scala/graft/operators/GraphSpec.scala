@@ -192,6 +192,28 @@ class GraphSpec extends SparkSpec {
     bfs.release()
   }
 
+  test("label propagation: communities converge by hand, checkpoint path identical") {
+    import spark.implicits._
+    // two disjoint triangles, symmetrized
+    def tri(a: Long, b: Long, c: Long) =
+      Seq((a, b), (b, a), (a, c), (c, a), (b, c), (c, b))
+    val e = (tri(1L, 2L, 3L) ++ tri(10L, 11L, 12L)).toDF("src", "dst")
+    val l3 = Graph.labelPropagation(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand trace: round 1 takes each node's min neighbor id (all votes
+    // tie at 1); rounds 2-3 flood the community min everywhere
+    assert(l3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // a fixed-round checkpointed run is bit-identical to the plain one
+    val withCkpt = Graph.labelPropagation(e, iters = 3, checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withCkpt == l3)
+    // round 1 alone really is the min-neighbor vote (not yet converged)
+    val l1 = Graph.labelPropagation(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(1L) == 2L && l1(2L) == 1L && l1(3L) == 1L)
+  }
+
   test("co-purchase edges: support threshold drops accidental pairs") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))

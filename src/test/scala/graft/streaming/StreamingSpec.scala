@@ -252,6 +252,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2 stream: closed runs equal the batch history's non-current rows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("sscd2").outputMode("append").start()
+    try {
+      // in-order delivery split across micro-batch lines: the open run
+      // must carry over the boundary and close in a later trigger
+      val events = typedEvents.sortBy(e => (e.ts.getTime, e.event_id))
+      mem.addData(events.take(events.size / 3)); q.processAllAvailable()
+      mem.addData(events.slice(events.size / 3, 2 * events.size / 3)); q.processAllAvailable()
+      mem.addData(events.drop(2 * events.size / 3)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))
+      val streamed = spark.table("sscd2")
+        .select("user_id", "run_seq", "event_type", "valid_from", "valid_to", "n_events")
+        .collect().map(key).toSet
+      val batchAll = graft.queries.Relational.queries("q44_scd2")(spark, Sf0001)
+      val closed = batchAll.where(col("valid_to").isNotNull)
+        .select("user_id", "run_seq", "event_type", "valid_from", "valid_to", "n_events")
+        .collect().map(key).toSet
+      assert(streamed == closed && closed.nonEmpty)
+      // the state side: per user exactly one OPEN run remains — the
+      // batch is_current row; counts conserve across closed + open
+      val users = batchAll.select("user_id").distinct().count()
+      val openRows = batchAll.where(col("is_current")).count()
+      assert(openRows == users)
+      assert(streamed.size + users == batchAll.count())
+    } finally q.stop()
+  }
+
   test("anomaly grain stream: counts converge to batch, z finish matches dailyAnomalies") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
