@@ -109,7 +109,14 @@ object Bench {
         "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(t).map(_.group(1))
       } else None
     } catch { case _: Throwable => None })
-    val offSf = committedSf.exists(_ != sfDir)
+    // path-normalized compare: a trailing slash or relative spelling
+    // of the committed directory must NOT route a legitimate full run
+    // away from the committed artifacts (the drift mode this guard
+    // exists to close)
+    def normPath(p: String): String =
+      try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+      catch { case _: Throwable => p }
+    val offSf = committedSf.exists(s => normPath(s) != normPath(sfDir))
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
     val suffix =
       if (benchFiltered) ".filtered" else if (offSf) s".$sfBase" else ""
@@ -303,7 +310,7 @@ object Bench {
       else {
         val txt = java.nio.file.Files.readString(p)
         val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
+          .exists(m => normPath(m.group(1)) == normPath(sfDir))
         if (!sfOk) Map.empty[String, Double]
         else {
           val qm = """"queries_median":\{([^}]*)\}""".r

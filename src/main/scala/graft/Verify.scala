@@ -6,10 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // dev filter: optional 3rd arg = comma-separated query names; the
-    // driver always calls with 2 args and dumps everything
-    val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+    // dev filter: optional 3rd arg = comma-separated query names or
+    // prefixes (the Bench/check_oracles filter semantics: exact match
+    // OR prefix — the three tools must select the same set or a
+    // narrowed check silently skips half its targets); the driver
+    // always calls with 2 args and dumps everything
+    val only: Seq[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,7 +42,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        only.isEmpty || only.exists(f => name == f || name.startsWith(f)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

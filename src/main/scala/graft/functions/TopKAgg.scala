@@ -47,6 +47,23 @@ case class TopKAgg(
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val scoreOk = scoreExpr.dataType match {
+      case DoubleType | FloatType | IntegerType | LongType | ShortType |
+           ByteType | _: DecimalType => true
+      case _ => false
+    }
+    val idOk = idExpr.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (scoreOk && idOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_agg expects (numeric score, integral id), got " +
+        s"(${scoreExpr.dataType.simpleString}, ${idExpr.dataType.simpleString})")
+  }
+
   override def nullable: Boolean = false
 
   override def dataType: DataType = TopKAgg.resultType
@@ -59,11 +76,17 @@ case class TopKAgg(
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null) {
-      buf.offer(s match {
+      val score = s match {
         case d: Double => d
         case f: Float => f.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: java.lang.Number => n.doubleValue()
-      }, i.asInstanceOf[Long])
+      }
+      val id = i match {
+        case l: java.lang.Long => l.longValue()
+        case n: java.lang.Number => n.longValue()
+      }
+      buf.offer(score, id)
     }
     buf
   }
@@ -123,20 +146,41 @@ object TopKAgg {
   /** Fixed-capacity binary min-heap, WORST entry at the root — worst
     * means (smaller score, then larger id), the exact inverse of the
     * output order, so `offer` can reject or displace in O(log k).
+    *
+    * Score comparisons use SQL's total order for doubles (NaN sorts
+    * GREATEST, −0.0 equals 0.0 — `offer` normalizes the sign), so the
+    * result matches the window `ORDER BY score DESC` form bit for bit
+    * even on NaN-bearing columns; a naive IEEE `<` would let one NaN
+    * poison the root and reject every later offer. Backing arrays
+    * start small and grow geometrically to k — a large-k aggregate
+    * over many tiny groups must not pay k·16 bytes per group buffer.
     */
   final class Heap(capacity: Int) {
-    private val scores = new Array[Double](capacity)
-    private val ids = new Array[Long](capacity)
+    private var scores = new Array[Double](math.min(capacity, 16))
+    private var ids = new Array[Long](math.min(capacity, 16))
     private var n = 0
 
     def size: Int = n
 
-    // a is WORSE than b (belongs nearer the root)
-    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    // a is WORSE than b (belongs nearer the root); NaN is the BEST
+    // score (java.lang.Double.compare: NaN > any finite > -Inf)
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
-    def offer(s: Double, i: Long): Unit = {
+    private def ensure(cap: Int): Unit = {
+      if (cap > scores.length) {
+        val next = math.min(capacity, math.max(cap, scores.length * 2))
+        scores = java.util.Arrays.copyOf(scores, next)
+        ids = java.util.Arrays.copyOf(ids, next)
+      }
+    }
+
+    def offer(s0: Double, i: Long): Unit = {
+      val s = if (s0 == 0.0) 0.0 else s0 // normalize -0.0 (SQL equality)
       if (n < capacity) {
+        ensure(n + 1)
         // sift up
         var c = n
         scores(c) = s; ids(c) = i
@@ -177,14 +221,18 @@ object TopKAgg {
       while (j < n) { f(scores(j), ids(j)); j += 1 }
     }
 
-    /** Entries in output order: score DESC, id ASC. */
+    /** Entries in output order: score DESC (NaN first — SQL's DESC
+      * total order), id ASC.
+      */
     def sortedDesc(): Array[(Double, Long)] = {
       val arr = new Array[(Double, Long)](n)
       var j = 0
       while (j < n) { arr(j) = (scores(j), ids(j)); j += 1 }
       scala.util.Sorting.stableSort(arr,
-        (a: (Double, Long), b: (Double, Long)) =>
-          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        (a: (Double, Long), b: (Double, Long)) => {
+          val c = java.lang.Double.compare(a._1, b._1)
+          c > 0 || (c == 0 && a._2 < b._2)
+        })
       arr
     }
   }

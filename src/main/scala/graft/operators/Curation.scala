@@ -91,6 +91,46 @@ object Curation {
       .agg(count(lit(1)).as("bench_hits"))
   }
 
+  /** Decontamination SPAN AUDIT — [[decontaminate]] says how many
+    * benchmark shingles a training doc shares; this says WHICH
+    * benchmark item leaked and WHERE in the document: per (train doc,
+    * bench doc) pair, the shared-shingle count, the first/last
+    * matching token offset, and the token coverage of the merged
+    * match intervals (each 3-gram covers [pos, pos+3); overlapping
+    * grams of one leaked passage collapse — the dd_span_sliding
+    * island machinery at pair grain). This is the removal/appeal
+    * artifact a contamination report needs — "doc 4711 contains
+    * benchmark item 12's answer string at tokens 83..96", not just a
+    * hit count.
+    *
+    * Scale shape: the candidate side explodes positional 3-grams
+    * (~one row per token, carrying (doc_id, pos, shingle)); the
+    * benchmark side is [[graft.operators.Dedup.shingleDf]]'s distinct
+    * shingles — small by construction, so the join broadcasts and the
+    * corpus streams through. Interval merge runs per (doc, bench_doc)
+    * window, bounded by document length. Exact integers only.
+    */
+  def decontaminateSpans(candidates: DataFrame, bench: DataFrame): DataFrame = {
+    val k = 3
+    val ts = split(trim(col("text")), " +")
+    val cand = candidates
+      .select(col("doc_id"), ts.as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - k),
+          i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))
+          .as(Seq("pos", "shingle")))
+    val benchSh = Dedup.shingleDf(bench)
+      .select(col("doc_id").as("bench_doc"), col("shingle"))
+    Dedup.gramIslands(cand.join(benchSh, Seq("shingle")),
+        Seq("doc_id", "bench_doc"), k)
+      .groupBy(col("doc_id"), col("bench_doc"))
+      .agg(sum(col("hits")).as("n_hits"),
+        min(col("s")).cast("long").as("first_pos"),
+        (max(col("e")) - k).cast("long").as("last_pos"),
+        sum(col("e") - col("s")).as("covered_tokens"))
+  }
+
   /** Bloom-filter decontamination — the variant for benchmark suites
     * too large for [[decontaminate]]'s exact build side: the benchmark
     * shingles fold into a FIXED-SIZE bloom filter (a distributed
@@ -273,6 +313,14 @@ object Curation {
         d.where(pmod(col("doc_id"), lit(97)) =!= 0),
         d.where(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy("doc_id")
+    }),
+    // the span audit: which bench item leaked, at which token offsets
+    "cur_decontam_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      decontaminateSpans(
+        d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy("doc_id", "bench_doc")
     }),
     // the retention funnel over a declarative 3-step pipeline —
     // exact per-step in/out counts and drop ppm
@@ -457,6 +505,35 @@ object Curation {
          |SELECT doc_id, COUNT(*) AS bench_hits
          |FROM cand JOIN bs USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the span audit: positional candidate 3-grams joined to the bench
+    // shingle set, islands merged per (doc, bench_doc) — replays the
+    // Spark prev-max-end window verbatim; pos = i - 1 (0-based)
+    "cur_decontam_spans" ->
+      s"""WITH bs AS (SELECT DISTINCT doc_id AS bench_doc, shingle
+         | FROM (${Dedup.shingleSql}) WHERE doc_id % 97 = 0),
+         |cs AS (SELECT doc_id, i - 1 AS pos,
+         |   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         | FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
+         |       FROM documents WHERE doc_id % 97 <> 0),
+         |      UNNEST(range(1, len(ts)-1)) AS u(i)),
+         |m AS (SELECT cs.doc_id, bs.bench_doc, cs.pos
+         |      FROM cs JOIN bs USING (shingle)),
+         |d AS (SELECT doc_id, bench_doc, pos,
+         |  MAX(pos + 3) OVER (PARTITION BY doc_id, bench_doc ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         | FROM m),
+         |i2 AS (SELECT doc_id, bench_doc, pos,
+         |  SUM(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id, bench_doc ORDER BY pos) AS island
+         | FROM d),
+         |c AS (SELECT doc_id, bench_doc, island, COUNT(*) AS hits,
+         |  MIN(pos) AS s, MAX(pos) + 3 AS e
+         | FROM i2 GROUP BY 1, 2, 3)
+         |SELECT doc_id, bench_doc, CAST(SUM(hits) AS BIGINT) AS n_hits,
+         | CAST(MIN(s) AS BIGINT) AS first_pos,
+         | CAST(MAX(e) - 3 AS BIGINT) AS last_pos,
+         | CAST(SUM(e - s) AS BIGINT) AS covered_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY doc_id, bench_doc""".stripMargin,
     "pipe_funnel" ->
       """WITH n0 AS (SELECT COUNT(*) AS n FROM documents),
         |d AS (SELECT doc_id, source, text FROM documents

@@ -1287,6 +1287,33 @@ object Dedup {
     * report zero duplication. Exact integer counts + one division —
     * cross-engine deterministic.
     */
+  /** Interval-merge of k-wide gram hits at a key grain — rows
+    * (keys…, pos) in, (keys…, island, hits, s, e) out, where islands
+    * are maximal overlapping/touching runs of the intervals
+    * [pos, pos+k). The shared core of [[spanDedupSliding]] and
+    * [[Curation.decontaminateSpans]]: a per-key window (prev-max-end,
+    * island flag, running island id) + one island-grain rollup. Every
+    * window is bounded by the per-key hit count (document length at
+    * worst), never corpus-sized.
+    */
+  private[operators] def gramIslands(hits: DataFrame, keys: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val byPos = Window.partitionBy(kc: _*).orderBy(col("pos"))
+    val prevEnd = byPos.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("prev_end", max(col("pos") + k).over(prevEnd))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(kc :+ col("island"): _*)
+      .agg(count(lit(1)).as("hits"), min(col("pos")).as("s"),
+        (max(col("pos")) + k).as("e"))
+  }
+
   def spanDedupSliding(docs: DataFrame, gramTokens: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(gramTokens >= 2, s"spanDedupSliding: gramTokens must be >= 2, got $gramTokens")
@@ -1307,18 +1334,11 @@ object Dedup {
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
     // island merge: a gram starts a new island iff it begins at or
     // past the max end of every earlier flagged gram in the doc
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val prevEnd = byPos.rowsBetween(Window.unboundedPreceding, -1)
-    val coverage = flagged.where(col("dup"))
-      .withColumn("prev_end", max(col("pos") + gramTokens).over(prevEnd))
-      .withColumn("new_island",
-        when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("new_island")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) + gramTokens - min(col("pos"))).as("covered"))
+    val coverage = gramIslands(
+        flagged.where(col("dup")).select(col("doc_id"), col("pos")),
+        Seq("doc_id"), gramTokens)
       .groupBy(col("doc_id"))
-      .agg(sum(col("covered")).as("dup_tokens"))
+      .agg(sum(col("e") - col("s")).as("dup_tokens"))
     docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .join(coverage, Seq("doc_id"), "left")

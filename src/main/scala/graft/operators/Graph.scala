@@ -84,6 +84,26 @@ object Graph {
     out
   }
 
+  /** The ROUND-checkpoint protocol shared by every iterative plan
+    * (pagerank, BFS, label propagation): reliable `checkpoint()` when
+    * a checkpoint dir is set — persist-first so materialization does
+    * not execute the round twice — else `localCheckpoint()`; size
+    * stats capped either way (checkpoint PRESERVES origin estimates,
+    * and per-round estimates otherwise compound exponentially in the
+    * round count — see CheckpointBridge.capStats).
+    */
+  private def roundCkpt(df: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    org.apache.spark.sql.graftshim.CheckpointBridge.capStats(
+      if (reliable) {
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint())
+  }
+
   /** `iters` rounds of damped PageRank over a DIRECTED edge list
     * (src, dst). Returns (id, r) with r in [[Scale]] fixed-point.
     * Dangling nodes (no out-edges) keep the teleport term only —
@@ -141,18 +161,7 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
-    val sc = edges.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    // capStats per round: checkpoint PRESERVES origin size estimates,
-    // and per-round estimates otherwise compound exponentially in the
-    // round count (see CheckpointBridge.capStats)
-    def ckpt(df: DataFrame): DataFrame = CheckpointBridge.capStats(
-      if (reliable) {
-        val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
-        val out = cached.checkpoint()
-        cached.unpersist(blocking = false)
-        out
-      } else df.localCheckpoint())
+    def ckpt(df: DataFrame): DataFrame = roundCkpt(df)
     // cached PRE-PARTITIONED on src: every round joins e by src, and a
     // cached frame's output partitioning satisfies the join's
     // requirement, so the per-round exchange of the (large) edge list
@@ -260,18 +269,7 @@ object Graph {
     require(maxHops >= 0, "need maxHops >= 0")
     import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
-    val sc = edges.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    // capStats per round: checkpoint PRESERVES origin size estimates,
-    // and per-round estimates otherwise compound exponentially in the
-    // round count (see CheckpointBridge.capStats)
-    def ckpt(df: DataFrame): DataFrame = CheckpointBridge.capStats(
-      if (reliable) {
-        val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
-        val out = cached.checkpoint()
-        cached.unpersist(blocking = false)
-        out
-      } else df.localCheckpoint())
+    def ckpt(df: DataFrame): DataFrame = roundCkpt(df)
     // pre-partitioned on src for the same reason as pageRankPlan: the
     // per-round frontier join requires hashpartitioning(src), and the
     // cached layout satisfies it — rounds stop re-exchanging the edges
@@ -377,15 +375,7 @@ object Graph {
     require(iters >= 1, "need iters >= 1")
     import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
-    val sc = edges.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame = CheckpointBridge.capStats(
-      if (reliable) {
-        val cached = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
-        val out = cached.checkpoint()
-        cached.unpersist(blocking = false)
-        out
-      } else df.localCheckpoint())
+    def ckpt(df: DataFrame): DataFrame = roundCkpt(df)
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src").as("id"))
@@ -393,6 +383,14 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var labels = nodes.select(col("id"), col("id").as("lbl"))
     var ckpts = List.empty[DataFrame]
+    // each round's label frame is consumed TWICE by the next round
+    // (vote join + keep-own coalesce) — cached, the layer computes
+    // once per action instead of re-running every earlier round's
+    // joins through both branches (measured 4.7 -> ~1.9 s on the q46
+    // gate at sf0.1). Node-grain frames: O(iters·|V|) cached worst
+    // case; large-iters callers set checkpointEvery, which releases
+    // superseded rounds with the usual one-round grace.
+    var cached = List.empty[DataFrame]
     (1 to iters).foreach { i =>
       val votes = e.join(labels, e("src") === labels("id"))
         .groupBy(e("dst").as("nid"), col("lbl"))
@@ -404,14 +402,20 @@ object Graph {
         .select(col("nid").as("id"), col("w.l").as("new_lbl"))
       labels = labels.join(winner, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      cached ::= labels
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
         labels = ckpt(labels)
         val live = labels :: ckpts
         live.drop(2).foreach(CheckpointBridge.release)
         ckpts = live.take(2)
+        // the checkpoint materialized every cached round below it —
+        // release all but the newest (still feeding the live plan)
+        cached.drop(1).foreach(_.unpersist(blocking = false))
+        cached = cached.take(1)
       }
     }
-    DedupPlan(labels, "label-propagation", Seq(e, nodes),
+    DedupPlan(labels, "label-propagation", Seq(e, nodes) ++ cached,
       finalizers = ckpts.map(d => () => CheckpointBridge.release(d)))
   }
 

@@ -694,6 +694,30 @@ object Profiler {
       .select(col("dow"), col("hr"), col("n"),
         expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV total").as("share_ppm"))
 
+  /** Per-stream freshness/staleness report — the ingestion-health
+    * dashboard row every feed-driven warehouse checks first: for each
+    * key (a source, a topic, an event type), the last-seen timestamp,
+    * its lag in whole seconds behind the freshest key, and a stale
+    * flag at `staleSec`. ONE input scan: the corpus max is the max of
+    * the per-key maxima, re-aggregated from the tiny key-grain frame
+    * (never a second pass over the raw input) and broadcast back —
+    * integer second arithmetic, cross-engine exact. A silently-dead
+    * upstream shows up here hours before any volume-anomaly z-score
+    * can accumulate evidence.
+    */
+  def freshness(df: DataFrame, key: Column, ts: Column,
+      staleSec: Long = 3600L): DataFrame = {
+    val perKey = df.where(ts.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(max(ts).as("last_seen"), count(lit(1)).as("n"))
+    perKey
+      .crossJoin(broadcast(perKey.agg(max(col("last_seen")).as("corpus_max"))))
+      .select(col("key"), col("last_seen"), col("n"),
+        (unix_timestamp(col("corpus_max")) - unix_timestamp(col("last_seen")))
+          .as("lag_sec"))
+      .withColumn("stale", col("lag_sec") >= staleSec)
+  }
+
   /** Benford's-law first-digit audit — the classic "were these
     * numbers generated or measured" data-quality screen (fabricated,
     * truncated, or unit-mangled amount columns drift from the
@@ -939,6 +963,12 @@ object Profiler {
     // weekly (dow x hour) volume grid with exact ppm shares
     "dq_weekly" -> ((s, dir) =>
       weeklyProfile(table(s, dir, "events"), col("ts")).orderBy("dow", "hr")),
+
+    // per-event-type ingestion freshness: last_seen, lag vs freshest,
+    // stale flag at 1h
+    "dq_freshness" -> ((s, dir) =>
+      freshness(table(s, dir, "events"), col("event_type"), col("ts"))
+        .orderBy("key")),
 
     // per-event-type exact value quantiles, one aggregation
     "dq_group_quantiles" -> ((s, dir) =>
@@ -1268,6 +1298,17 @@ object Profiler {
         |SELECT g.dow, g.hr, g.n,
         | CAST(g.n * 1000000 // t.total AS BIGINT) AS share_ppm
         |FROM g CROSS JOIN t ORDER BY g.dow, g.hr""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH g AS (SELECT event_type AS key, MAX(ts) AS last_seen,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |m AS (SELECT MAX(ts) AS corpus_max FROM events WHERE ts IS NOT NULL)
+        |SELECT g.key, g.last_seen, g.n,
+        | CAST(FLOOR(epoch(m.corpus_max)) - FLOOR(epoch(g.last_seen)) AS BIGINT)
+        |   AS lag_sec,
+        | (FLOOR(epoch(m.corpus_max)) - FLOOR(epoch(g.last_seen))) >= 3600 AS stale
+        |FROM g CROSS JOIN m ORDER BY g.key""".stripMargin,
 
     "dq_benford" ->
       """WITH d AS (SELECT CAST(substring(

@@ -68,6 +68,33 @@ class TopKAggSpec extends SparkSpec {
       || plan.toLowerCase.contains("partial"), plan.take(1200))
   }
 
+  test("NaN scores follow SQL's DESC total order (NaN first) and cannot poison the heap") {
+    val d = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 1.0), (1L, 12L, 2.0), (1L, 13L, 3.0))
+      .toDF("g", "id", "score")
+    val agg = d.groupBy(col("g"))
+      .agg(TopKAgg(col("score"), col("id"), 2).as("top"))
+      .select(explode(col("top.id"))).as[Long].collect().toSeq
+    // the window form: ORDER BY score DESC puts NaN first, then 3.0 —
+    // insertion order (NaN arriving first) must not reject 2.0/3.0
+    val win = d.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("score").desc, col("id"))))
+      .where(col("rn") <= 2).orderBy("rn")
+      .select("id").as[Long].collect().toSeq
+    assert(agg == win && agg == Seq(10L, 13L))
+    // int ids and int scores accepted (widened), bad types rejected
+    val ints = Seq((1, 5, 7)).toDF("g", "id", "score")
+      .groupBy("g").agg(TopKAgg(col("score"), col("id"), 1).as("t"))
+      .select(explode(col("t.id"))).as[Long].head()
+    assert(ints == 5L)
+    val err = intercept[Exception] {
+      Seq((1L, "x", 1.0)).toDF("g", "id", "score")
+        .groupBy("g").agg(TopKAgg(col("score"), col("id"), 1)).collect()
+    }
+    assert(err.getMessage.contains("topk_agg expects"), err.getMessage)
+  }
+
   test("registered via session extensions: usable from SQL, k must be literal") {
     graft.plans.GraftExtensions.register(spark)
     Seq((1L, 10L, 2.0), (1L, 11L, 3.0), (1L, 12L, 1.0))

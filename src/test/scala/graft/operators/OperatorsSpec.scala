@@ -1071,6 +1071,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("decontaminate spans: which bench item, at which offsets, islands merged") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "secret eval question about turtles"),   // 3 shingles
+      (200L, "unrelated benchmark item text")).toDF("doc_id", "text")
+    val cands = Seq(
+      // the full 5-token passage at token offset 4: grams at pos 4,5,6
+      (1L, "w0 w1 w2 w3 secret eval question about turtles w9"),
+      // two separate leaks of 3-token fragments: islands must NOT merge
+      (2L, "secret eval question x1 x2 x3 x4 question about turtles"),
+      (3L, "completely clean training document here")).toDF("doc_id", "text")
+    val r = Curation.decontaminateSpans(cands, bench).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // doc 1 vs bench 100: 3 consecutive grams -> one island covering
+    // tokens [4, 9) = 5 tokens; last matching gram starts at 6
+    assert(r((1L, 100L)) == ((3L, 4L, 6L, 5L)))
+    // doc 2: grams at pos 0 and 7 -> two islands of 3 tokens each
+    assert(r((2L, 100L)) == ((2L, 0L, 7L, 6L)))
+    // clean doc and clean bench item produce no rows
+    assert(!r.keySet.exists(_._1 == 3L))
+    assert(!r.keySet.exists(_._2 == 200L))
+  }
+
   test("commonness: hand-computed df sums, hapax counts and ratio") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")

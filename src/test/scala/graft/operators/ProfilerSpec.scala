@@ -382,4 +382,21 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getLong(6) == 2)                      // 3 and 4 missing
     assert(r.getLong(7) == 1)                      // one duplicated key
   }
+
+  test("freshness: lag vs the freshest key, stale flag at the bound, nulls excluded") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def t(secOff: Long) = new java.sql.Timestamp(t0.getTime + secOff * 1000)
+    val d = Seq(
+      ("a", Option(t(0))), ("a", Option(t(7200))),  // freshest key
+      ("b", Option(t(3600))), ("b", Option.empty[java.sql.Timestamp]),
+      ("c", Option(t(7199))))                       // 1s behind: not stale
+      .toDF("k", "ts")
+    val r = Profiler.freshness(d, col("k"), col("ts")).collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3), x.getBoolean(4)))
+      .toMap
+    assert(r("a") == ((2L, 0L, false)))
+    assert(r("b") == ((1L, 3600L, true))) // null ts row not counted in n
+    assert(r("c") == ((1L, 1L, false)))
+  }
 }

@@ -256,6 +256,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(800))
   }
 
+  test("scd2: exactly one exchange — windows and rollup reuse the entity partitioning") {
+    val q = Relational.queries("q44_scd2")(spark, Sf0001)
+    val plan = initialPlan(q).toString
+    // one hashpartitioning exchange on user_id feeds both window
+    // passes and the run rollup; the final orderBy adds its range
+    // exchange — nothing else may shuffle
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"hash exchanges = $hashExchanges\n" + plan.take(1500))
+  }
+
+  test("group top-k aggregate: partial ObjectHashAggregate below the exchange, no Window") {
+    val q = Relational.queries("q45_group_topk")(spark, Sf0001)
+    val plan = initialPlan(q).toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    // the partial stage sits BELOW the exchange: shuffle carries <= k
+    // pairs per (group, input partition), never raw rows
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val lastAgg = plan.lastIndexOf("ObjectHashAggregate")
+    assert(exIdx >= 0 && lastAgg > exIdx, plan.take(1500))
+  }
+
   test("keeper election: single max-struct aggregation, no window over the corpus") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

@@ -29,16 +29,20 @@ def norm(rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    # optional 3rd arg: comma-separated query names (mirrors Verify's
-    # dev filter) — check only those oracles
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # optional 3rd arg: comma-separated query names or prefixes
+    # (mirrors Bench's filter semantics: exact match OR prefix) —
+    # check only those oracles; matching nothing is an ERROR, not a
+    # vacuous pass
+    only = ([f for f in sys.argv[3].split(",") if f.strip()]
+            if len(sys.argv) > 3 else None)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
-        if only is not None and name not in only:
+        if only is not None and not any(
+                name == f or name.startswith(f) for f in only):
             continue
         try:
             exp = con.execute(sql).fetchall()
@@ -75,6 +79,9 @@ def main():
             continue
         print(f"OK   {name} ({len(g)} rows)")
         ok += 1
+    if only is not None and ok + bad == 0:
+        print(f"ERROR: filter {only} matched no oracle names")
+        sys.exit(2)
     print(f"== {ok} ok, {bad} fail ==")
     sys.exit(1 if bad else 0)
 
