@@ -60,6 +60,67 @@ object EntityResolution {
       .where(col("name_dist") <= maxDist)
   }
 
+  /** Sorted-neighborhood candidate pairs — the classic complement to
+    * equality blocking: records are globally ordered by `sortKey`
+    * (totalized with `id` as tiebreak) and every pair within `window`
+    * positions becomes a candidate, so near-misses that an exact
+    * blocking key separates (typos in the key itself) still meet.
+    * Output (id_a, id_b, rank_dist) with id_a the lower-ranked record
+    * and 1 ≤ rank_dist < window.
+    *
+    * Scale shape — the textbook hazard is the global `row_number`
+    * (an unpartitioned window funnels every row through ONE reducer).
+    * Here the global rank is computed in bounded steps: range-exchange
+    * on the sort key, rank WITHIN each range (per-range windows), and
+    * add per-range exclusive-prefix offsets (one tiny count per range
+    * — `numRanges` longs to the driver, back as a map literal; ranges
+    * are ordered by construction, so offset(pid) totalizes the rank).
+    * Pairing is a self-join on the rank bucket floor(rank/window),
+    * the probe side replicated into its own and its PREVIOUS bucket —
+    * every pair within `window` ranks meets in exactly one keyed
+    * bucket join, never a cartesian, and bucket population is exactly
+    * `window` rows. The output is a pure function of the total order,
+    * so the (sampled, partitioning-dependent) range bounds cannot
+    * move a result bit.
+    */
+  def sortedNeighborhoodPairs(records: DataFrame, id: Column, sortKey: Column,
+      window: Int = 5, numRanges: Int = 64): DataFrame = {
+    require(window >= 2, s"sortedNeighborhoodPairs: window must be >= 2, got $window")
+    require(numRanges >= 1, "need numRanges >= 1")
+    val r = records.select(id.as("rec_id"), sortKey.cast("string").as("sk"))
+    // localCheckpoint: counts + ranking reuse ONE materialization and
+    // the partition ids stay stable for both consumers
+    val parted = r.repartitionByRange(numRanges, col("sk"), col("rec_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets: Map[Int, Long] = {
+      val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+        .collect().map(x => x.getInt(0) -> x.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      counts.map { case (p, n) => val o = p -> acc; acc += n; o }.toMap
+    }
+    if (offsets.isEmpty) { // empty input: keep the output schema, zero rows
+      return r.limit(0).select(col("rec_id").as("id_a"),
+        col("rec_id").as("id_b"), lit(0L).as("rank_dist"))
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col("sk"), col("rec_id"))
+    val ranked = parted
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1L +
+          element_at(typedLit(offsets), col("__pid")))
+    val a = ranked.select(col("rec_id").as("id_a"), col("__rank").as("rank_a"),
+      floor(col("__rank") / window).as("b"))
+    val bSide = ranked.select(col("rec_id").as("id_b"), col("__rank").as("rank_b"),
+      floor(col("__rank") / window).as("b0"))
+      .select(col("id_b"), col("rank_b"),
+        explode(array(col("b0"), col("b0") - 1)).as("b"))
+    a.join(bSide, Seq("b"))
+      .where(col("rank_b") > col("rank_a") &&
+        col("rank_b") - col("rank_a") < window)
+      .select(col("id_a"), col("id_b"),
+        (col("rank_b") - col("rank_a")).as("rank_dist"))
+  }
+
   /** The blocks [[blockedPairs]] would drop at `maxBlockSize` — the
     * auditable side channel for the cap (a silent drop would read as
     * "no matches" for exactly the entities with the noisiest keys).
@@ -193,6 +254,12 @@ object EntityResolution {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_pairs" -> ((s, dir) => partPairs(s, dir).orderBy("id_a", "id_b")),
+    // sorted-neighborhood candidates over the name order, window 4 —
+    // catches near-misses whose blocking key itself is noisy
+    "er_sorted_neighborhood" -> ((s, dir) =>
+      sortedNeighborhoodPairs(table(s, dir, "part"),
+        col("p_partkey"), col("p_name"), window = 4)
+        .orderBy("id_a", "id_b")),
     // the pre-run cost report over the same blocking key er_pairs uses
     "er_blocks" -> ((s, dir) => {
       val p = table(s, dir, "part")
@@ -225,6 +292,16 @@ object EntityResolution {
       |vp AS (SELECT * FROM p WHERE name_dist <= 3)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the oracle can afford the single-node global row_number the
+    // Spark form exists to avoid; same (sk, id) total order
+    "er_sorted_neighborhood" ->
+      """WITH r AS (SELECT p_partkey AS rec_id, p_name AS sk FROM part),
+        |rk AS (SELECT rec_id, sk,
+        |  ROW_NUMBER() OVER (ORDER BY sk, rec_id) - 1 AS rnk FROM r)
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        | CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+        |FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+        |ORDER BY id_a, id_b""".stripMargin,
     "er_blocks" ->
       """WITH r AS (SELECT split_part(p_name, ' ', 2) || '|' || p_brand AS block
         |  FROM part),

@@ -789,6 +789,15 @@ object TextAnalysis {
     // 5-round BPE vocabulary training: the learned merge table.
     "ta_bpe_train" -> ((s, dir) =>
       bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")),
+    // the SCALE path: the same 5-round loop over a FIXED-SIZE hash
+    // sample ([[Sampling.fixedK]]) — pair statistics converge long
+    // before corpus scale, so production tokenizer builds train on a
+    // bounded sample; every round's cost is then O(k), independent of
+    // corpus size. The oracle replays the sample rule verbatim.
+    "ta_bpe_train_sampled" -> ((s, dir) =>
+      bpeTrain(Sampling.fixedK(
+        table(s, dir, "documents"), col("doc_id"), 200, "bpe"), 5)
+        .orderBy("rank")),
     // apply the learned merges: per-doc piece counts before/after.
     "ta_bpe_encode" -> ((s, dir) => {
       val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
@@ -826,11 +835,11 @@ object TextAnalysis {
     * replace — the exact loop [[bpeTrain]] runs, DuckDB's `replace`
     * having the same leftmost non-overlapping semantics as Spark's.
     */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, source: String = "documents"): String = {
     val sb = new StringBuilder
     sb ++= ("WITH d0 AS (SELECT doc_id, '|' || array_to_string(" +
       "string_split_regex(trim(translate(text, '|' || chr(31), '')), ' +')," +
-      " '||') || '|' AS rep FROM documents)")
+      s" '||') || '|' AS rep FROM $source)")
     (1 to k).foreach { r =>
       sb ++= s""",
          |t$r AS (SELECT string_split(trim(rep, '|'), '||') AS ts FROM d${r - 1}),
@@ -847,6 +856,14 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "ta_bpe_train" -> (bpeCtes(5) + "\n" +
+      (1 to 5).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, w1 AS left_tok, " +
+          s"w2 AS right_tok, CAST(n AS BIGINT) AS n FROM m$r")
+        .mkString("\nUNION ALL\n") + "\nORDER BY rank"),
+    "ta_bpe_train_sampled" -> (bpeCtes(5,
+      "(SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "md5('bpe|' || CAST(doc_id AS VARCHAR)) AS h FROM documents " +
+        "ORDER BY h LIMIT 200))") + "\n" +
       (1 to 5).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, w1 AS left_tok, " +
           s"w2 AS right_tok, CAST(n AS BIGINT) AS n FROM m$r")

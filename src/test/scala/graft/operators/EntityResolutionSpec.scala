@@ -119,4 +119,32 @@ class EntityResolutionSpec extends SparkSpec {
     // blockedPairs' verify join pays
     assert(r.toSeq == Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 3L)))
   }
+
+  test("sorted neighborhood: window pairs by sort order, partition-count invariant") {
+    import spark.implicits._
+    // ids deliberately NOT in name order: rank order is b(2) c(3) d(1) e(4)
+    val d = Seq((2L, "bob"), (3L, "carl"), (1L, "dave"), (4L, "eve"))
+      .toDF("id", "name")
+    def run(ranges: Int) = EntityResolution
+      .sortedNeighborhoodPairs(d, col("id"), col("name"), window = 2, numRanges = ranges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // window 2 = adjacent-in-order pairs only, id_a = lower rank
+    val expect = Set((2L, 3L, 1L), (3L, 1L, 1L), (1L, 4L, 1L))
+    assert(run(1) == expect)
+    // the distributed rank (ranges > rows forces empty + tiny ranges,
+    // pairs straddling every boundary) must not move a bit
+    assert(run(3) == expect && run(8) == expect)
+    // window 3 adds the rank-distance-2 pairs
+    val w3 = EntityResolution
+      .sortedNeighborhoodPairs(d, col("id"), col("name"), window = 3, numRanges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w3 == expect ++ Set((2L, 1L, 2L), (3L, 4L, 2L)))
+    // the plan never degenerates to a global single-partition window:
+    // the one Window node partitions by the range id (__pid)
+    val plan = EntityResolution
+      .sortedNeighborhoodPairs(d, col("id"), col("name"), window = 2, numRanges = 4)
+      .queryExecution.executedPlan.toString
+    val winLine = plan.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("__pid"), plan.take(900))
+  }
 }
