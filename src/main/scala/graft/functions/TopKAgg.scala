@@ -30,10 +30,17 @@ import org.apache.spark.sql.types._
   * Buffer is a fixed-size binary min-heap keyed worst-first (smallest
   * score, then LARGEST id, at the root) so every update is O(log k)
   * with zero allocation once warm; serialization is the raw
-  * (size, score[], id[]) frame. Null score or id contributes nothing
-  * (the window form's rows with null sort keys land at the end and
-  * never make a top-k either). Exact doubles and longs pass through
-  * untouched — cross-engine deterministic including the tie order.
+  * (size, score[], id[]) frame. Null score or id contributes nothing.
+  * NOTE the one semantic divergence from the window form: with
+  * `ORDER BY score DESC NULLS LAST`, a group holding FEWER than k
+  * non-null rows still fills its `rn <= k` quota with null-score
+  * rows, while this aggregate emits only the non-null pairs — on a
+  * nullable score column the two forms differ exactly on such
+  * under-filled groups. That is deliberate (a null score is "no
+  * evidence", not "rank me last"); callers wanting window parity on
+  * nullable scores must coalesce first. Exact doubles and longs pass
+  * through untouched — cross-engine deterministic including the tie
+  * order.
   */
 case class TopKAgg(
     scoreExpr: Expression,

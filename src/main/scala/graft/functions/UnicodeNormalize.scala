@@ -24,12 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization per row); this is preference order (b) of the build
   * brief — a native `Expression` inside codegen.
   *
-  * Scale shape: the hot path calls `Normalizer.isNormalized` first and
-  * returns the INPUT UTF8String unchanged when it already is — for the
-  * ASCII-dominant corpora typical at 100 TB this is a single linear
-  * scan with zero allocation, and only the rare decomposed row pays
-  * the String round-trip. The form is resolved to the enum once at
-  * plan time, never per row.
+  * Scale shape: the hot path short-circuits pure-ASCII rows with a
+  * byte scan over the raw UTF8String — ASCII is invariant under all
+  * four forms, so the common row at 100 TB returns the input with NO
+  * String materialized at all. Non-ASCII rows materialize one
+  * `java.lang.String` for `Normalizer.isNormalized` and are returned
+  * as-is (no second copy) when already normalized; only the rare
+  * decomposed row pays the full normalize + re-encode. The form is
+  * resolved to the enum once at plan time, never per row.
   */
 case class UnicodeNormalize(child: Expression, formName: String)
     extends UnaryExpression {
@@ -72,10 +74,17 @@ object UnicodeNormalize {
   private[functions] val forms = Set("NFC", "NFD", "NFKC", "NFKD")
 
   /** Row kernel, shared by interpreted eval and codegen (called as a
-    * static forwarder from generated Java). Already-normalized input —
-    * the overwhelmingly common case — is returned as-is, no copy.
+    * static forwarder from generated Java). Pure-ASCII input — the
+    * overwhelmingly common case — is detected by a byte scan and
+    * returned as-is with zero allocation (ASCII is normalized under
+    * every form); other already-normalized input is returned as-is
+    * after one String materialization, no second copy.
     */
   def norm(s: UTF8String, form: Normalizer.Form): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII: invariant under NFC/NFD/NFKC/NFKD
     val str = s.toString
     if (Normalizer.isNormalized(str, form)) s
     else UTF8String.fromString(Normalizer.normalize(str, form))

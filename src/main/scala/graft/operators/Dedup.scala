@@ -1280,12 +1280,16 @@ object Dedup {
     *
     * Scale shape: ~one gram per input token, but each carries only a
     * fixed 32-byte hash + (doc_id, pos) — the dedup shuffle is
-    * O(corpus tokens)·O(40 B), never gram text; the first-occurrence
-    * window partitions by gram hash (tiny per-key occurrence lists, no
-    * global sort); the interval merge is a per-doc window bounded by
-    * document length. Docs shorter than k tokens have no grams and
-    * report zero duplication. Exact integer counts + one division —
-    * cross-engine deterministic.
+    * O(corpus tokens)·O(40 B), never gram text; the first occurrence
+    * per gram is a `min(struct(doc_id, pos))` aggregation at the
+    * gram-hash grain + a join back (the [[TextAnalysis.noveltyStats]]
+    * shape) — map-side combinable, so a corpus-hot boilerplate gram
+    * (a license header in millions of docs) partially aggregates on
+    * every input partition instead of shipping ALL its occurrences to
+    * one window reducer; the interval merge is a per-doc window
+    * bounded by document length. Docs shorter than k tokens have no
+    * grams and report zero duplication. Exact integer counts + one
+    * division — cross-engine deterministic.
     */
   /** Interval-merge of k-wide gram hits at a key grain — rows
     * (keys…, pos) in, (keys…, island, hits, s, e) out, where islands
@@ -1314,8 +1318,16 @@ object Dedup {
         (max(col("pos")) + k).as("e"))
   }
 
-  def spanDedupSliding(docs: DataFrame, gramTokens: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def spanDedupSliding(docs: DataFrame, gramTokens: Int = 8): DataFrame =
+    spanDedupSlidingPlan(docs, gramTokens).df
+
+  /** Managed form of [[spanDedupSliding]]: the gram table feeds both
+    * the first-occurrence aggregation and the join back, so it is
+    * persisted behind the release contract (one gram pass over the
+    * corpus, not two).
+    */
+  def spanDedupSlidingPlan(docs: DataFrame, gramTokens: Int = 8): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
     require(gramTokens >= 2, s"spanDedupSliding: gramTokens must be >= 2, got $gramTokens")
     val ts = split(trim(col("text")), " +")
     val grams = docs
@@ -1325,10 +1337,17 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("ts")) - gramTokens),
           i => md5(concat_ws(" ", slice(col("ts"), i + 1, lit(gramTokens))))))
           .as(Seq("pos", "gram_hash")))
-    val firstSeen = Window.partitionBy(col("gram_hash")).orderBy(col("doc_id"), col("pos"))
-    val flagged = grams
-      .withColumn("dup", row_number().over(firstSeen) > 1)
-      .select(col("doc_id"), col("pos"), col("dup"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // first occurrence per gram = lexicographic min of (doc_id, pos):
+    // a map-side-combinable aggregate, never a per-gram-hash window
+    // (a row_number form ships a hot gram's every occurrence to ONE
+    // reducer — the one skew funnel this family otherwise bans)
+    val first = grams.groupBy(col("gram_hash"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val flagged = grams.join(first, Seq("gram_hash"))
+      .select(col("doc_id"), col("pos"),
+        (col("first.doc_id") =!= col("doc_id") ||
+          col("first.pos") =!= col("pos")).as("dup"))
     val perDoc = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
@@ -1339,7 +1358,7 @@ object Dedup {
         Seq("doc_id"), gramTokens)
       .groupBy(col("doc_id"))
       .agg(sum(col("e") - col("s")).as("dup_tokens"))
-    docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
+    val out = docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .join(coverage, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -1348,6 +1367,7 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_token_frac"))
+    DedupPlan(out, "span_sliding", Seq(grams))
   }
 
   /** Asymmetric shingle-containment join — Broder's containment

@@ -61,10 +61,12 @@ object EntityResolution {
   }
 
   /** Sorted-neighborhood candidate pairs — the classic complement to
-    * equality blocking: records are globally ordered by `sortKey`
-    * (totalized with `id` as tiebreak) and every pair within `window`
-    * positions becomes a candidate, so near-misses that an exact
-    * blocking key separates (typos in the key itself) still meet.
+    * equality blocking: records are globally ordered by `sortKey` in
+    * its NATIVE type order (numeric keys sort numerically, strings
+    * lexicographically; totalized with `id` as tiebreak) and every
+    * pair within `window` positions becomes a candidate, so
+    * near-misses that an exact blocking key separates (typos in the
+    * key itself) still meet.
     * Output (id_a, id_b, rank_dist) with id_a the lower-ranked record
     * and 1 ≤ rank_dist < window.
     *
@@ -84,15 +86,30 @@ object EntityResolution {
     * move a result bit.
     */
   def sortedNeighborhoodPairs(records: DataFrame, id: Column, sortKey: Column,
-      window: Int = 5, numRanges: Int = 64): DataFrame = {
+      window: Int = 5, numRanges: Int = 64): DataFrame =
+    sortedNeighborhoodPairsPlan(records, id, sortKey, window, numRanges).df
+
+  /** Managed form of [[sortedNeighborhoodPairs]]: the ranked frame is
+    * localCheckpoint()ed (counts + ranking reuse ONE materialization
+    * and the partition ids stay stable for both consumers), and the
+    * returned plan's `release()` drops those checkpoint blocks once
+    * the caller has consumed the pairs — a long-running session
+    * running many SN passes must not accumulate them.
+    */
+  def sortedNeighborhoodPairsPlan(records: DataFrame, id: Column, sortKey: Column,
+      window: Int = 5, numRanges: Int = 64): graft.operators.DedupPlan = {
+    import org.apache.spark.sql.graftshim.CheckpointBridge
     require(window >= 2, s"sortedNeighborhoodPairs: window must be >= 2, got $window")
     require(numRanges >= 1, "need numRanges >= 1")
-    val r = records.select(id.as("rec_id"), sortKey.cast("string").as("sk"))
-    // localCheckpoint: counts + ranking reuse ONE materialization and
-    // the partition ids stay stable for both consumers
+    // the sort key keeps its NATIVE type end-to-end: the range
+    // exchange, the per-range window and the oracle's total order all
+    // agree on the column's own ordering (a string cast here would
+    // silently turn numeric keys lexicographic: '10' < '2')
+    val r = records.select(id.as("rec_id"), sortKey.as("sk"))
     val parted = r.repartitionByRange(numRanges, col("sk"), col("rec_id"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    val releaseParted = () => CheckpointBridge.release(parted)
     val offsets: Map[Int, Long] = {
       val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
         .collect().map(x => x.getInt(0) -> x.getLong(1)).sortBy(_._1)
@@ -100,8 +117,10 @@ object EntityResolution {
       counts.map { case (p, n) => val o = p -> acc; acc += n; o }.toMap
     }
     if (offsets.isEmpty) { // empty input: keep the output schema, zero rows
-      return r.limit(0).select(col("rec_id").as("id_a"),
-        col("rec_id").as("id_b"), lit(0L).as("rank_dist"))
+      return graft.operators.DedupPlan(
+        r.limit(0).select(col("rec_id").as("id_a"),
+          col("rec_id").as("id_b"), lit(0L).as("rank_dist")),
+        "sorted_neighborhood", Nil, finalizers = Seq(releaseParted))
     }
     val w = Window.partitionBy(col("__pid")).orderBy(col("sk"), col("rec_id"))
     val ranked = parted
@@ -114,11 +133,55 @@ object EntityResolution {
       floor(col("__rank") / window).as("b0"))
       .select(col("id_b"), col("rank_b"),
         explode(array(col("b0"), col("b0") - 1)).as("b"))
-    a.join(bSide, Seq("b"))
+    val pairs = a.join(bSide, Seq("b"))
       .where(col("rank_b") > col("rank_a") &&
         col("rank_b") - col("rank_a") < window)
       .select(col("id_a"), col("id_b"),
         (col("rank_b") - col("rank_a")).as("rank_dist"))
+    graft.operators.DedupPlan(pairs, "sorted_neighborhood", Nil,
+      finalizers = Seq(releaseParted))
+  }
+
+  /** Multi-pass sorted neighborhood — the production SN form: one
+    * pass per independent sort key (name, name-reversed, phonetic,
+    * zip+street…) and the candidate sets unioned, because a single
+    * key can never bring together records that diverge in its own
+    * prefix (a leading-token typo pushes the record arbitrarily far
+    * in that order, but a REVERSED-name pass still lands it next to
+    * its match). Pairs are normalized to id_a < id_b before the
+    * union; output one row per distinct pair with `n_keys` = how many
+    * passes surfaced it (agreement across independent orders is
+    * itself match evidence) and `min_rank_dist` = the closest rank
+    * distance any pass observed.
+    *
+    * Scale shape: k independent SN passes (each the bounded
+    * range-exchange + per-range rank + keyed bucket join of
+    * [[sortedNeighborhoodPairs]] — no global window funnel), then one
+    * map-side-combinable aggregate at the pair grain. Cost is k× one
+    * pass; k is 2–3 in practice.
+    */
+  def sortedNeighborhoodMulti(records: DataFrame, id: Column,
+      sortKeys: Seq[Column], window: Int = 5, numRanges: Int = 64): DataFrame =
+    sortedNeighborhoodMultiPlan(records, id, sortKeys, window, numRanges).df
+
+  /** Managed form of [[sortedNeighborhoodMulti]]: forwards every
+    * pass's checkpoint-release finalizer, so one `release()` frees the
+    * ranked frames of all k passes.
+    */
+  def sortedNeighborhoodMultiPlan(records: DataFrame, id: Column,
+      sortKeys: Seq[Column], window: Int = 5, numRanges: Int = 64): graft.operators.DedupPlan = {
+    require(sortKeys.nonEmpty, "sortedNeighborhoodMulti: need at least one sort key")
+    val plans = sortKeys.map(sk =>
+      sortedNeighborhoodPairsPlan(records, id, sk, window, numRanges))
+    val unioned = plans.map(_.df.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("rank_dist")))
+      .reduce(_ unionAll _)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_keys"), min(col("rank_dist")).as("min_rank_dist"))
+    graft.operators.DedupPlan(unioned, "sorted_neighborhood_multi", Nil,
+      finalizers = plans.map(pl => () => pl.release()))
   }
 
   /** The blocks [[blockedPairs]] would drop at `maxBlockSize` — the
@@ -260,6 +323,12 @@ object EntityResolution {
       sortedNeighborhoodPairs(table(s, dir, "part"),
         col("p_partkey"), col("p_name"), window = 4)
         .orderBy("id_a", "id_b")),
+    // multi-pass SN: name order + REVERSED-name order unioned — the
+    // pass pair that catches both leading- and trailing-token typos
+    "er_sorted_multi" -> ((s, dir) =>
+      sortedNeighborhoodMulti(table(s, dir, "part"), col("p_partkey"),
+        Seq(col("p_name"), reverse(col("p_name"))), window = 4)
+        .orderBy("id_a", "id_b")),
     // the pre-run cost report over the same blocking key er_pairs uses
     "er_blocks" -> ((s, dir) => {
       val p = table(s, dir, "part")
@@ -302,6 +371,25 @@ object EntityResolution {
         | CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
         |FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // per-key SN rule replayed twice (name, reversed name), pairs
+    // normalized to id_a < id_b, unioned, then the pair-grain rollup
+    "er_sorted_multi" ->
+      """WITH r AS (SELECT p_partkey AS rec_id, p_name AS sk1,
+        |             reverse(p_name) AS sk2 FROM part),
+        |rk1 AS (SELECT rec_id, ROW_NUMBER() OVER (ORDER BY sk1, rec_id) - 1 AS rnk FROM r),
+        |rk2 AS (SELECT rec_id, ROW_NUMBER() OVER (ORDER BY sk2, rec_id) - 1 AS rnk FROM r),
+        |p1 AS (SELECT LEAST(a.rec_id, b.rec_id) AS id_a,
+        |         GREATEST(a.rec_id, b.rec_id) AS id_b,
+        |         CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+        |       FROM rk1 a JOIN rk1 b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+        |p2 AS (SELECT LEAST(a.rec_id, b.rec_id) AS id_a,
+        |         GREATEST(a.rec_id, b.rec_id) AS id_b,
+        |         CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+        |       FROM rk2 a JOIN rk2 b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  MIN(rank_dist) AS min_rank_dist
+        |FROM u GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "er_blocks" ->
       """WITH r AS (SELECT split_part(p_name, ' ', 2) || '|' || p_brand AS block
         |  FROM part),

@@ -47,11 +47,33 @@ class UnicodeNormalizeSpec extends SparkSpec {
   }
 
   test("participates in whole-stage codegen (no fallback)") {
-    val d = spark.range(100)
-      .select(concat(lit("row \u00e9 "), col("id").cast("string")).as("s"))
-      .select(UnicodeNormalize(col("s"), "NFC").as("n"))
-    val plan = d.queryExecution.executedPlan.toString
-    assert(plan.contains("*(1) Project") && plan.contains("unicode_normalize"), plan)
-    assert(d.where(col("n").contains("\u00e9")).count() == 100)
+    // a '*(1) Project' plan string alone cannot catch a Janino failure
+    // (Spark silently falls back to interpreted eval at runtime) \u2014
+    // force CODEGEN_ONLY + fallback=false so a compile error SURFACES
+    withSQLConf(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val d = spark.range(100)
+        .select(concat(lit("row \u00e9 "), col("id").cast("string")).as("s"))
+        .select(UnicodeNormalize(col("s"), "NFC").as("n"))
+      val plan = d.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project") && plan.contains("unicode_normalize"), plan)
+      assert(d.where(col("n").contains("\u00e9")).count() == 100)
+    }
+  }
+
+  test("pure-ASCII byte-scan fast path returns the input object; non-ASCII normalized forms correct") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import java.text.Normalizer
+    val ascii = UTF8String.fromString("plain ascii 123 !@#")
+    // reference identity: the ASCII short-circuit must not allocate
+    assert(UnicodeNormalize.norm(ascii, Normalizer.Form.NFKD) eq ascii)
+    val dec = UTF8String.fromString(decomposed)
+    assert(UnicodeNormalize.norm(dec, Normalizer.Form.NFD) eq dec) // already NFD
+    assert(UnicodeNormalize.norm(dec, Normalizer.Form.NFC).toString == composed)
+    // multi-byte boundary: a non-ASCII byte anywhere defeats the scan
+    val tail = UTF8String.fromString("x" * 50 + decomposed)
+    assert(UnicodeNormalize.norm(tail, Normalizer.Form.NFC).toString ==
+      "x" * 50 + composed)
   }
 }

@@ -147,4 +147,48 @@ class EntityResolutionSpec extends SparkSpec {
     val winLine = plan.linesIterator.find(_.contains("Window")).getOrElse("")
     assert(winLine.contains("__pid"), plan.take(900))
   }
+
+  test("sorted neighborhood: numeric sort keys order numerically, not lexicographically") {
+    import spark.implicits._
+    // lexicographic order would be 10 < 2 < 9; numeric is 2 < 9 < 10
+    val d = Seq((1L, 10L), (2L, 2L), (3L, 9L)).toDF("id", "k")
+    val got = EntityResolution
+      .sortedNeighborhoodPairs(d, col("id"), col("k"), window = 2, numRanges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // adjacent under numeric order: (2,9) -> ids (2,3); (9,10) -> (3,1)
+    assert(got == Set((2L, 3L), (3L, 1L)))
+  }
+
+  test("multi-pass sorted neighborhood: reversed-name pass recovers leading-token typos a single pass misses") {
+    import spark.implicits._
+    // 'zmith john' is a leading-char typo of 'smith john': the name
+    // order exiles it to the far end (padding rows in between), but
+    // the REVERSED order brings the two back to adjacency
+    val d = Seq(
+      (1L, "smith john"), (2L, "zmith john"),
+      (3L, "miller ann"), (4L, "parker bea"), (5L, "taylor cid")
+    ).toDF("id", "name")
+    val single = EntityResolution
+      .sortedNeighborhoodPairs(d, col("id"), col("name"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 2L)) && !single.contains((2L, 1L)),
+      "fixture broken: single name pass should miss the typo pair")
+    val multi = EntityResolution
+      .sortedNeighborhoodMulti(d, col("id"),
+        Seq(col("name"), reverse(col("name"))), window = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // normalized to id_a < id_b; surfaced by exactly the reversed pass
+    assert(multi.contains((1L, 2L)))
+    assert(multi((1L, 2L)) == ((1L, 1L))) // n_keys = 1, min_rank_dist = 1
+    // a pair adjacent under BOTH orders reports n_keys = 2
+    assert(multi.keySet.exists(p => multi(p)._1 == 2L))
+    // union semantics: every single-pass pair survives (normalized)
+    val singleNorm = single.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(singleNorm.subsetOf(multi.keySet))
+    // managed form: release() runs every pass finalizer without error
+    val plan = EntityResolution.sortedNeighborhoodMultiPlan(d, col("id"),
+      Seq(col("name"), reverse(col("name"))), window = 2)
+    assert(plan.df.count() == multi.size)
+    plan.release()
+  }
 }

@@ -712,6 +712,53 @@ class OperatorsSpec extends SparkSpec {
     assert(grid(2L) == 0L)
   }
 
+  test("sliding span dedup: agg first-seen == window first-seen; hot gram has no per-gram window funnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // hot-gram fixture: ONE boilerplate 8-gram (a license header)
+    // repeated across 2000 docs plus per-doc unique tails — the shape
+    // that funnels every occurrence onto one reducer under a
+    // per-gram-hash row_number window
+    val header = (1 to 8).map(i => s"lic$i").mkString(" ")
+    val hot = (1L to 2000L).map(i => (i, s"$header u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val plan = Dedup.spanDedupSlidingPlan(hot, 8)
+    try {
+      // equality with the window-based first-occurrence form the agg replaced
+      val ts = split(trim(col("text")), " +")
+      val grams = hot
+        .select(col("doc_id"), ts.as("ts"))
+        .where(size(col("ts")) >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("ts")) - 8),
+            i => md5(concat_ws(" ", slice(col("ts"), i + 1, lit(8))))))
+            .as(Seq("pos", "gram_hash")))
+      val firstSeen = Window.partitionBy(col("gram_hash")).orderBy(col("doc_id"), col("pos"))
+      val windowDup = grams
+        .withColumn("dup", row_number().over(firstSeen) > 1)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val out = plan.df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(out.size == 2000)
+      (1L to 2000L).foreach { i =>
+        assert(out(i)._1 == windowDup(i), s"doc $i first-seen divergence")
+      }
+      // every doc past the first-seen one carries the full hot gram run
+      // as duplicated coverage: 4 hot grams (header + 3 straddling the
+      // unique tail would differ, so exactly the offset-0 gram is hot)
+      assert(out(1L) == ((0L, 0L)))
+      assert((2L to 2000L).forall(i => out(i) == ((1L, 8L))))
+      // structural de-skew assertion: NO window partitioned by the gram
+      // hash anywhere in the plan — the only windows are the per-doc
+      // island merge (bounded by document length)
+      val phys = plan.df.queryExecution.executedPlan.toString
+      assert(!phys.contains("windowspecdefinition(gram_hash"),
+        "first-occurrence flag must be a map-side-combinable aggregate, not a per-gram window")
+      assert(phys.contains("windowspecdefinition(doc_id"), "island merge window expected")
+    } finally plan.release()
+  }
+
   test("lsh-verified pairs report the TRUE jaccard for every surfaced pair") {
     // threshold must be > 0 (the verify join cannot emit jaccard-0
     // pairs); any pair sharing >= 1 shingle scores >= 1/(na+nb-1), so an
