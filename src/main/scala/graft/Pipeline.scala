@@ -86,6 +86,8 @@ object Pipeline {
     case _: StepSpec.EpochOrder      => "epoch_order"
     case _: StepSpec.Pack            => "pack"
     case _: StepSpec.KAnonSuppress   => "k_anon_suppress"
+    case _: StepSpec.Scd2            => "scd2"
+    case _: StepSpec.Freshness       => "freshness"
   }
 
   private[graft] def applyStep(
@@ -211,5 +213,11 @@ object Pipeline {
               .partitionBy(quasiCols.map(col): _*)))
         .where(col("__qn") >= k)
         .drop("__qn")
+
+    case StepSpec.Scd2(entityCol, tsCol, tieCol, stateCol) =>
+      graft.queries.Relational.scd2History(df, entityCol, tsCol, tieCol, stateCol)
+
+    case StepSpec.Freshness(keyCol, tsCol, staleSec) =>
+      graft.operators.Profiler.freshness(df, col(keyCol), col(tsCol), staleSec)
   }
 }

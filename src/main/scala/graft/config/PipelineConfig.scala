@@ -172,6 +172,26 @@ object StepSpec {
     * those columns by construction).
     */
   final case class KAnonSuppress(quasiCols: Seq[String], k: Long) extends StepSpec
+
+  /** SCD2 history build ([[graft.queries.Relational.scd2History]]):
+    * REPLACES the frame with the type-2 slowly-changing-dimension
+    * history — one row per (entity, run) of constant `stateCol` with
+    * [valid_from, valid_to) bounds and an is_current flag. A report
+    * step: the change-collapse that turns an event/CDC feed into
+    * queryable history, placed at the end of a pipeline (or followed
+    * by steps that operate on the history shape).
+    */
+  final case class Scd2(entityCol: String, tsCol: String, tieCol: String,
+      stateCol: String) extends StepSpec
+
+  /** Freshness report ([[graft.operators.Profiler.freshness]]):
+    * REPLACES the frame with the per-key ingestion-health report —
+    * last_seen, row count, lag in seconds behind the freshest key,
+    * and a stale flag at `staleSec`. The silently-dead-upstream
+    * detector as a declarative pipeline terminal.
+    */
+  final case class Freshness(keyCol: String, tsCol: String,
+      staleSec: Long) extends StepSpec
 }
 
 final case class OutputSpec(path: String, format: String)
@@ -354,13 +374,27 @@ object PipelineLoader {
         val k = require(n, "k", where).asLong
         if (k < 2) throw new IllegalArgumentException(s"$where: k must be >= 2")
         StepSpec.KAnonSuppress(q.elements().asScala.map(_.asText).toSeq, k)
+      case "scd2" =>
+        StepSpec.Scd2(
+          opt(n, "entity_col").map(_.asText).getOrElse("user_id"),
+          opt(n, "ts_col").map(_.asText).getOrElse("ts"),
+          opt(n, "tie_col").map(_.asText).getOrElse("event_id"),
+          opt(n, "state_col").map(_.asText).getOrElse("event_type"))
+      case "freshness" =>
+        val staleSec = opt(n, "stale_sec").map(_.asLong).getOrElse(3600L)
+        if (staleSec <= 0)
+          throw new IllegalArgumentException(s"$where: stale_sec must be positive")
+        StepSpec.Freshness(
+          opt(n, "key_col").map(_.asText).getOrElse("source"),
+          opt(n, "ts_col").map(_.asText).getOrElse("ts"),
+          staleSec)
       case other =>
         throw new IllegalArgumentException(
           s"$where: unknown kind '$other' (valid: filter_stack, normalize_text, redact_pii, " +
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
             "split, forget, lm_filter, temperature, stratified, kfold, " +
             "quality_normalize, mixture, quality_weighted, fixed_k, " +
-            "epoch_order, pack, k_anon_suppress)")
+            "epoch_order, pack, k_anon_suppress, scd2, freshness)")
     }
   }
 }

@@ -698,20 +698,27 @@ object Profiler {
     * dashboard row every feed-driven warehouse checks first: for each
     * key (a source, a topic, an event type), the last-seen timestamp,
     * its lag in whole seconds behind the freshest key, and a stale
-    * flag at `staleSec`. ONE input scan: the corpus max is the max of
-    * the per-key maxima, re-aggregated from the tiny key-grain frame
-    * (never a second pass over the raw input) and broadcast back —
-    * integer second arithmetic, cross-engine exact. A silently-dead
-    * upstream shows up here hours before any volume-anomaly z-score
-    * can accumulate evidence.
+    * flag at `staleSec`. ONE input scan, structurally: the corpus max
+    * is a global window over the KEY-GRAIN frame — the raw input is
+    * aggregated once and the max-of-maxima never touches it again (a
+    * crossJoin of a re-aggregation reads the plan tree twice; Catalyst
+    * does not reuse the exchange across the two branches — measured,
+    * and spec-asserted as a single scan). The unpartitioned window is
+    * over #keys rows (a handful of sources/topics), the same
+    * bounded-k shape as the Zipf head window — integer second
+    * arithmetic, cross-engine exact. A silently-dead upstream shows
+    * up here hours before any volume-anomaly z-score can accumulate
+    * evidence.
     */
   def freshness(df: DataFrame, key: Column, ts: Column,
       staleSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perKey = df.where(ts.isNotNull)
       .groupBy(key.as("key"))
       .agg(max(ts).as("last_seen"), count(lit(1)).as("n"))
     perKey
-      .crossJoin(broadcast(perKey.agg(max(col("last_seen")).as("corpus_max"))))
+      .withColumn("corpus_max",
+        max(col("last_seen")).over(Window.partitionBy()))
       .select(col("key"), col("last_seen"), col("n"),
         (unix_timestamp(col("corpus_max")) - unix_timestamp(col("last_seen")))
           .as("lag_sec"))

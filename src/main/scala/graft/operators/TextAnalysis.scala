@@ -589,9 +589,26 @@ object TextAnalysis {
     * driver-side by construction (k rows). Emits per-doc piece counts
     * before and after — the compression-ratio report a tokenizer
     * build is judged by.
+    *
+    * The chain depth is HARD-CAPPED at [[BpeEncodeMaxMerges]] (256)
+    * and fails loudly above it: 256 nested replaces still compile
+    * inside whole-stage codegen (measured under CODEGEN_ONLY +
+    * fallback=false), while ~512 overflows the driver stack in
+    * Catalyst's recursive tree walks before Janino is even reached —
+    * a silent depth would die with an opaque StackOverflowError at
+    * plan time. [[bpeTrain]] caps at 100 merges, so every table this
+    * library trains fits; production-size vocabularies (30k+ merges)
+    * need a dictionary-join encoder, not a literal replace chain.
     */
+  val BpeEncodeMaxMerges = 256
+
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame = {
+    require(merges.size <= BpeEncodeMaxMerges,
+      s"bpeEncode: merge table has ${merges.size} rows, cap is " +
+        s"$BpeEncodeMaxMerges — a literal replace chain this deep overflows " +
+        "Catalyst's recursive plan walks; segment the table or use a " +
+        "dictionary-join encoder for production-size vocabularies")
     val rep0 = bpeRep(textCol)
     val repN = merges.foldLeft(rep0) { case (c, (l, r)) =>
       replace(c, lit(s"|$l||$r|"), lit(s"|$l$BpeUS$r|"))

@@ -42,6 +42,43 @@ object Relational {
     finally names.foreach(s.catalog.dropTempView(_))
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) history build — the
+    * product form of the `q44_scd2` gate: collapse each entity's
+    * ordered change stream into [valid_from, valid_to) intervals of
+    * constant `state` — the change-collapse every warehouse needs to
+    * turn snapshots/CDC feeds into queryable history. Output one row
+    * per run: (entity, run_seq, state, valid_from, valid_to, n_events,
+    * is_current); run_seq is the surrogate key, the open interval
+    * (valid_to null) is flagged is_current.
+    *
+    * Scale shape: ONE shuffle on the entity key — both windows and the
+    * run rollup reuse that partitioning, so per-entity cost is bounded
+    * by per-entity row count (the only scale shape an inherently
+    * ordered-per-entity op can have; no global sort anywhere).
+    */
+  def scd2History(events: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val byEnt = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val runs = events
+      .select(col(entityCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("changed",
+        when(lag(col(stateCol), 1).over(byEnt).isNull ||
+          lag(col(stateCol), 1).over(byEnt) =!= col(stateCol), 1L)
+          .otherwise(0L))
+      .withColumn("run_seq",
+        sum(col("changed")).over(byEnt.rowsBetween(Window.unboundedPreceding, 0)))
+    val hist = runs.groupBy(col(entityCol), col("run_seq"))
+      .agg(min(col(stateCol)).as(stateCol), // constant within a run
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col(entityCol)).orderBy(col("run_seq"))
+    hist
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(entityCol), col("run_seq"), col(stateCol),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single scan, map-side partial agg, one shuffle of
     // |groups| rows. At 100 TB this stays a two-stage job whose shuffle
@@ -655,28 +692,10 @@ object Relational {
     // the only scale shape an inherently ordered-per-entity op can
     // have; no global sort anywhere). run_seq is the surrogate key;
     // the open interval (valid_to null) is flagged is_current.
-    "q44_scd2" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val runs = table(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("changed",
-          when(lag(col("event_type"), 1).over(byUser).isNull ||
-            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("run_seq",
-          sum(col("changed")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      val hist = runs.groupBy(col("user_id"), col("run_seq"))
-        .agg(min(col("event_type")).as("event_type"), // constant within a run
-          min(col("ts")).as("valid_from"),
-          count(lit(1)).as("n_events"))
-      val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_seq"))
-      hist
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
-        .withColumn("is_current", col("valid_to").isNull)
-        .select(col("user_id"), col("run_seq"), col("event_type"),
-          col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
-        .orderBy("user_id", "run_seq")
-    }),
+    "q44_scd2" -> ((s, dir) =>
+      scd2History(table(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "run_seq")),
 
     // Skew-safe per-group top-k via the native bounded-heap aggregate
     // ([[graft.functions.TopKAgg]]): map-side partial combine ships at

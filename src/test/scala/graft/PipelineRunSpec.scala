@@ -434,4 +434,64 @@ class PipelineRunSpec extends SparkSpec {
     val mx = read.groupBy("source").count().agg(max("count")).head().getLong(0)
     assert(mx <= 3)
   }
+
+  test("scd2 and freshness report steps parse and match their operator twins") {
+    val evPath = s"$Sf0001/events.parquet"
+    val scd2Spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $evPath}
+         |  steps:
+         |    - kind: scd2
+         |      entity_col: user_id
+         |      state_col: event_type
+         |""".stripMargin)
+    assert(scd2Spec.steps == Seq(
+      StepSpec.Scd2("user_id", "ts", "event_id", "event_type")))
+    // the pipeline source reads the raw NANOS column as timestamp_ntz
+    // while GraftSession.table converts to timestamp — same instants,
+    // so compare on the SQL string rendering
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("run_seq"), col("event_type"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("n_events"), col("is_current"))
+      .orderBy("user_id", "run_seq").collect()
+    val viaPipe = render(Pipeline.run(spark, scd2Spec))
+    val direct = render(graft.queries.Relational.scd2History(
+      GraftSession.table(spark, Sf0001, "events"),
+      "user_id", "ts", "event_id", "event_type"))
+    assert(viaPipe.length == direct.length && viaPipe.length > 0)
+    assert(viaPipe.sameElements(direct))
+
+    val freshSpec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $evPath}
+         |  steps:
+         |    - kind: freshness
+         |      key_col: event_type
+         |      stale_sec: 60
+         |""".stripMargin)
+    assert(freshSpec.steps == Seq(StepSpec.Freshness("event_type", "ts", 60L)))
+    def renderFresh(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("last_seen").cast("string"), col("n"),
+        col("lag_sec"), col("stale"))
+      .orderBy("key").collect()
+    val fresh = renderFresh(Pipeline.run(spark, freshSpec))
+    val directFresh = renderFresh(graft.operators.Profiler.freshness(
+      GraftSession.table(spark, Sf0001, "events"),
+      col("event_type"), col("ts"), 60L))
+    assert(fresh.length > 0 && fresh.sameElements(directFresh))
+    assert(fresh.exists(r => !r.getBoolean(4)), "freshest key must not be stale")
+    // bad stale_sec fails fast at parse
+    val msg = intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $evPath}
+         |  steps:
+         |    - kind: freshness
+         |      stale_sec: 0
+         |""".stripMargin)).getMessage
+    assert(msg.contains("stale_sec"))
+  }
 }

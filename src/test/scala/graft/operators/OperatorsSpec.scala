@@ -680,6 +680,27 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.bpeEncode(tricky, Seq(("x", "y"))).head().getLong(2) == 2L)
   }
 
+  test("bpe encode: a 256-deep merge chain compiles under CODEGEN_ONLY; over the cap fails loudly") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // max-depth chain of no-op merges: must execute with codegen
+    // FORCED (fallback disabled) — a Janino failure surfaces as an
+    // error here instead of a silent interpreted fallback
+    withSQLConf(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val deep = (1 to TextAnalysis.BpeEncodeMaxMerges).map(i => (s"x$i", s"y$i"))
+      val r = TextAnalysis.bpeEncode(d, deep).head()
+      assert(r.getLong(1) == 5L && r.getLong(2) == 5L)
+    }
+    // one past the cap: loud, named error — never a StackOverflowError
+    val over = (1 to TextAnalysis.BpeEncodeMaxMerges + 1).map(i => (s"x$i", s"y$i"))
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(d, over)
+    }
+    assert(err.getMessage.contains("cap is"))
+  }
+
   test("sliding span dedup: off-grid duplicates caught, islands merged, short docs zero") {
     import spark.implicits._
     val passage = (1 to 10).map(i => s"p$i").mkString(" ") // 10 tokens

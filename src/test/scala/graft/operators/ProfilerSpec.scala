@@ -399,4 +399,23 @@ class ProfilerSpec extends SparkSpec {
     assert(r("b") == ((1L, 3600L, true))) // null ts row not counted in n
     assert(r("c") == ((1L, 1L, false)))
   }
+
+  test("freshness scans its input exactly once (corpus max never re-reads the raw table)") {
+    import org.apache.spark.sql.functions.col
+    // a real file source: a crossJoin'd re-aggregation reads the scan
+    // twice and this count catches it
+    val ev = graft.GraftSession.table(spark, Sf0001, "events")
+    val out = Profiler.freshness(ev, col("event_type"), col("ts"))
+    out.collect()
+    // AQE's toString prints the final AND initial plans — count scans
+    // in the final section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"expected ONE input scan, plan has $scans:\n${plan.take(2000)}")
+    // and the corpus max rides a window over the key-grain frame, not
+    // a join: no join node anywhere in this plan
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }
