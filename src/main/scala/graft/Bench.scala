@@ -30,6 +30,11 @@ import org.apache.spark.sql.SparkSession
   *     `BENCH_TOTALS.filtered.json` / `BENCH_DETAIL.filtered.json`:
   *     a narrowed dev or scale-rehearsal run must never overwrite the
   *     committed full-surface totals (the r7/r9 artifact-drift mode).
+  *   - A full-surface run whose OWN canaries disqualify the window
+  *     (canary_max > 3× canary_med) routes to `BENCH_*.noisy.json`
+  *     and restores the pre-run committed artifacts — a degraded host
+  *     window must never replace clean-window numbers (the r13 drift
+  *     mode). The gate is a ratchet: once noisy, the whole run is.
   *
   * Artifact-delivery constraints (learned the hard way in r5, where a
   * timeout left the round with NO parsed bench at all):
@@ -125,6 +130,27 @@ object Bench {
         s"'${committedSf.get}' — routing artifacts to BENCH_*$suffix.json")
     val totalsFile = s"BENCH_TOTALS$suffix.json"
     val detailFile = s"BENCH_DETAIL$suffix.json"
+    // CANARY GATE on the committed artifacts: a full-surface on-sf run
+    // whose own canaries show a degraded window (canary_max > 3x
+    // canary_med) routes to BENCH_*.noisy.json instead of clobbering
+    // the committed clean-window numbers (the r13 drift mode: a noisy
+    // driver re-run replaced a clean artifact with uniformly-inflated
+    // totals). The gate is a RATCHET — once a run turns noisy it stays
+    // noisy — and on the clean->noisy transition the pre-run committed
+    // artifacts are RESTORED (the per-query cumulative writes up to
+    // that point were partials of a now-disqualified window).
+    val CanaryNoisyFactor = 3.0
+    val canaryGated = suffix.isEmpty // only the committed full-surface files
+    def snapshot(f: String): Option[String] =
+      try {
+        val pth = java.nio.file.Paths.get(f)
+        if (java.nio.file.Files.exists(pth))
+          Some(java.nio.file.Files.readString(pth))
+        else None
+      } catch { case _: Throwable => None }
+    val preRunTotals = if (canaryGated) snapshot(totalsFile) else None
+    val preRunDetail = if (canaryGated) snapshot(detailFile) else None
+    var noisyRatchet = false
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -247,6 +273,25 @@ object Bench {
       val allCanaries = canaryDetail.values.flatten.toSeq
       val canaryMed = if (allCanaries.isEmpty) -1.0 else median(allCanaries)
       val canaryMax = if (allCanaries.isEmpty) -1.0 else allCanaries.max
+      if (canaryGated && !noisyRatchet && canaryMed > 0 &&
+          canaryMax > CanaryNoisyFactor * canaryMed) {
+        noisyRatchet = true
+        System.err.println(f"[bench] canary_max $canaryMax%.3f > " +
+          f"${CanaryNoisyFactor}x canary_med $canaryMed%.4f — noisy window, " +
+          s"routing artifacts to BENCH_*.noisy.json and restoring committed files")
+        def restore(f: String, snap: Option[String]): Unit =
+          try snap match {
+            case Some(t) => java.nio.file.Files.writeString(java.nio.file.Paths.get(f), t)
+            case None => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] WARN: could not restore $f: $e") }
+        restore(totalsFile, preRunTotals)
+        restore(detailFile, preRunDetail)
+      }
+      val effTotalsFile =
+        if (noisyRatchet) "BENCH_TOTALS.noisy.json" else totalsFile
+      val effDetailFile =
+        if (noisyRatchet) "BENCH_DETAIL.noisy.json" else detailFile
       println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"canary_med":${f"$canaryMed%.4f"},"canary_max":${f"$canaryMax%.4f"},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
       // Totals-only line AFTER the cumulative one: at 134+ queries the
       // full line outgrows the ~2 KB stdout tail the driver retains and
@@ -259,9 +304,9 @@ object Bench {
       // again (logger prefixes, tail truncation), the driver/tooling can
       // read a guaranteed-bare JSON artifact from disk.
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(totalsFile), totalsLine)
+        java.nio.file.Paths.get(effTotalsFile), totalsLine)
       catch { case e: Throwable => // never fail the run, never hide it
-        System.err.println(s"[bench] WARN: could not write $totalsFile: $e") }
+        System.err.println(s"[bench] WARN: could not write $effTotalsFile: $e") }
       val qmin = repDetail.map { case (k, ts) =>
         "\"" + k + "\":" + (if (ts.isEmpty) "-1" else ts.min) }
         .mkString("{", ",", "}")
@@ -275,9 +320,9 @@ object Bench {
       val detail =
         s"""{"reps":$reps,"total_min":$total,"total_median":$medTotal,"canary_median":$canaryMed,"canary_max":$canaryMax,"queries_min":$qmin,"queries_median":$qmed,"reps_detail":$rd,"canary_detail":$cd,"errors":$es,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(detailFile), detail)
+        java.nio.file.Paths.get(effDetailFile), detail)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] WARN: could not write $detailFile: $e") }
+        System.err.println(s"[bench] WARN: could not write $effDetailFile: $e") }
     }
 
     val benchStart = System.nanoTime()
