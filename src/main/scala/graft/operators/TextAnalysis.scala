@@ -598,7 +598,7 @@ object TextAnalysis {
     * a silent depth would die with an opaque StackOverflowError at
     * plan time. [[bpeTrain]] caps at 100 merges, so every table this
     * library trains fits; production-size vocabularies (30k+ merges)
-    * need a dictionary-join encoder, not a literal replace chain.
+    * use [[bpeEncodeNative]], the uncapped native-kernel twin.
     */
   val BpeEncodeMaxMerges = 256
 
@@ -607,8 +607,8 @@ object TextAnalysis {
     require(merges.size <= BpeEncodeMaxMerges,
       s"bpeEncode: merge table has ${merges.size} rows, cap is " +
         s"$BpeEncodeMaxMerges — a literal replace chain this deep overflows " +
-        "Catalyst's recursive plan walks; segment the table or use a " +
-        "dictionary-join encoder for production-size vocabularies")
+        "Catalyst's recursive plan walks; use bpeEncodeNative (the " +
+        "uncapped native-kernel twin) for production-size vocabularies")
     val rep0 = bpeRep(textCol)
     val repN = merges.foldLeft(rep0) { case (c, (l, r)) =>
       replace(c, lit(s"|$l||$r|"), lit(s"|$l$BpeUS$r|"))
@@ -617,6 +617,21 @@ object TextAnalysis {
       size(bpeTokens(rep0)).cast("long").as("n_tokens"),
       size(bpeTokens(repN)).cast("long").as("n_pieces"))
   }
+
+  /** Native-kernel twin of [[bpeEncode]]: same output shape and
+    * bit-identical counts, but the merge table rides as ONE plan
+    * reference object inside [[graft.functions.BpeEncodePieces]]
+    * instead of a nested replace chain — no [[BpeEncodeMaxMerges]]
+    * cap, production-size (30k+) vocabularies welcome; per-row cost
+    * is O(merges) hash skips + O(applied·pieces), and the expression
+    * stays inside whole-stage codegen.
+    */
+  def bpeEncodeNative(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      size(bpeTokens(bpeRep(textCol))).cast("long").as("n_tokens"),
+      size(graft.functions.BpeEncodePieces(col(textCol), merges))
+        .cast("long").as("n_pieces"))
 
   /** Per-document content NOVELTY against ingestion order — for each
     * doc, the fraction of its distinct word-3-gram shingles whose
@@ -821,6 +836,13 @@ object TextAnalysis {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeEncode(table(s, dir, "documents"), m).orderBy("doc_id")
     }),
+    // the native-kernel encoder on the same trained table — the
+    // uncapped production path, gated against the SAME DuckDB replay
+    "ta_bpe_encode_native" -> ((s, dir) => {
+      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncodeNative(table(s, dir, "documents"), m).orderBy("doc_id")
+    }),
     "ta_tfidf" -> ((s, dir) =>
       tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
     "ta_chunk" -> ((s, dir) =>
@@ -886,6 +908,14 @@ object TextAnalysis {
           s"w2 AS right_tok, CAST(n AS BIGINT) AS n FROM m$r")
         .mkString("\nUNION ALL\n") + "\nORDER BY rank"),
     "ta_bpe_encode" -> (bpeCtes(5) +
+      """
+        |SELECT dk.doc_id,
+        | CAST(len(string_split(trim(d0.rep, '|'), '||')) AS BIGINT) AS n_tokens,
+        | CAST(len(string_split(trim(dk.rep, '|'), '||')) AS BIGINT) AS n_pieces
+        |FROM d5 dk JOIN d0 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // identical replay: the native kernel must reproduce the replace
+    // chain bit-for-bit
+    "ta_bpe_encode_native" -> (bpeCtes(5) +
       """
         |SELECT dk.doc_id,
         | CAST(len(string_split(trim(d0.rep, '|'), '||')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class BpeEncodePiecesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val us = "\u001f"
+
+  test("kernel reproduces the replace chain on greedy runs, delimiters, chained merges") {
+    val d = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b c a b c"),
+      (3L, "a a a a a"),     // greedy left-to-right: [aa][aa][a]
+      (4L, s"x| y$us z"),    // delimiter chars stripped, not boundaries
+      (5L, ""),              // empty text = one empty piece
+      (6L, "q")              // single token, nothing to merge
+    ).toDF("doc_id", "text")
+    // chained merges: rank 2 consumes rank 1's merged token
+    val merges = Seq(("a", "b"), (s"a${us}b", "c"), ("a", "a"), ("x", "y"))
+    val native = TextAnalysis.bpeEncodeNative(d, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chain = TextAnalysis.bpeEncode(d, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native == chain)
+    assert(native(3L) == ((5L, 3L)))
+    assert(native(5L) == ((1L, 1L)))
+    // and the PIECES are right, not just the counts
+    val pieces = d.where(col("doc_id") === 2L)
+      .select(BpeEncodePieces(col("text"), merges).as("p"))
+      .head().getSeq[String](0)
+    assert(pieces == Seq(s"a${us}b${us}c", s"a${us}b${us}c"))
+  }
+
+  test("rank-order pass semantics, NOT min-rank-first re-check") {
+    // merges 1:(ab,c), 2:(a,b) over [a b c]: pass 1 finds no "ab"
+    // token, pass 2 yields [ab, c] — a classic BPE encode loop would
+    // re-check after the (a,b) merge and collapse to [abc]
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val merges = Seq((s"a${us}b", "c"), ("a", "b"))
+    val native = TextAnalysis.bpeEncodeNative(d, merges).head()
+    val chain = TextAnalysis.bpeEncode(d, merges).head()
+    assert(native.getLong(2) == 2L && chain.getLong(2) == 2L)
+  }
+
+  test("uncapped: a 5000-merge vocabulary runs under forced codegen; null stays null") {
+    withSQLConf(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      // mostly-absent vocabulary: the multiset skip must make this
+      // cheap; a handful of applicable merges scattered through it
+      val vocab = (1 to 5000).map { i =>
+        if (i == 1000) ("w1", "w2")
+        else if (i == 4000) (s"w1${us}w2", "w3")
+        else (s"v${i}a", s"v${i}b")
+      }
+      val d = Seq(Some("w1 w2 w3 tail"), Option.empty[String]).toDF("text")
+        .select(lit(1L).as("doc_id"), col("text"))
+      val out = d.select(
+        BpeEncodePieces(col("text"), vocab).as("p")).collect()
+      assert(out(0).getSeq[String](0) == Seq(s"w1${us}w2${us}w3", "tail"))
+      assert(out(1).isNullAt(0))
+    }
+    // far over the replace-chain cap, well within the kernel's reach
+    assert(5000 > TextAnalysis.BpeEncodeMaxMerges)
+  }
+
+  test("matches the chain on trained merges over real documents") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val m = TextAnalysis.bpeTrain(docs, 5).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val native = TextAnalysis.bpeEncodeNative(docs, m)
+      .orderBy("doc_id").collect().map(_.toString)
+    val chain = TextAnalysis.bpeEncode(docs, m)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(native.length > 0 && native.sameElements(chain))
+  }
+}
