@@ -31,10 +31,14 @@ import org.apache.spark.sql.SparkSession
   *     a narrowed dev or scale-rehearsal run must never overwrite the
   *     committed full-surface totals (the r7/r9 artifact-drift mode).
   *   - A full-surface run whose OWN canaries disqualify the window
-  *     (canary_max > 3× canary_med) routes to `BENCH_*.noisy.json`
-  *     and restores the pre-run committed artifacts — a degraded host
-  *     window must never replace clean-window numbers (the r13 drift
-  *     mode). The gate is a ratchet: once noisy, the whole run is.
+  *     routes to `BENCH_*.noisy.json` and restores the pre-run
+  *     committed artifacts — a degraded host window must never
+  *     replace clean-window numbers (the r13 drift mode). Disqualify
+  *     = noise score (canary_max/canary_med) above the 3× floor AND
+  *     no better than the committed artifact's own score (the max
+  *     over ~570 canaries is an extreme statistic — an absolute rule
+  *     alone would block runs cleaner than what they replace). The
+  *     gate is a ratchet: once noisy, the whole run is.
   *
   * Artifact-delivery constraints (learned the hard way in r5, where a
   * timeout left the round with NO parsed bench at all):
@@ -131,12 +135,19 @@ object Bench {
     val totalsFile = s"BENCH_TOTALS$suffix.json"
     val detailFile = s"BENCH_DETAIL$suffix.json"
     // CANARY GATE on the committed artifacts: a full-surface on-sf run
-    // whose own canaries show a degraded window (canary_max > 3x
-    // canary_med) routes to BENCH_*.noisy.json instead of clobbering
-    // the committed clean-window numbers (the r13 drift mode: a noisy
-    // driver re-run replaced a clean artifact with uniformly-inflated
-    // totals). The gate is a RATCHET — once a run turns noisy it stays
-    // noisy — and on the clean->noisy transition the pre-run committed
+    // whose own canaries show a degraded window routes to
+    // BENCH_*.noisy.json instead of clobbering the committed
+    // clean-window numbers (the r13 drift mode: a noisy driver re-run
+    // replaced a clean artifact with uniformly-inflated totals).
+    // "Degraded" is RELATIVE: the run's noise score (canary_max /
+    // canary_med) must exceed the absolute floor (3x) AND be no
+    // better than the committed artifact's own score — over ~570
+    // canaries per full run the max is an extreme statistic, so a
+    // fixed 3x alone rejects nearly every run including ones strictly
+    // cleaner than what they would replace (measured in r14: a
+    // 3.2x-score run was blocked protecting a 16.1x-score artifact).
+    // The gate is a RATCHET — once a run turns noisy it stays noisy —
+    // and on the clean->noisy transition the pre-run committed
     // artifacts are RESTORED (the per-query cumulative writes up to
     // that point were partials of a now-disqualified window).
     val CanaryNoisyFactor = 3.0
@@ -150,6 +161,16 @@ object Bench {
       } catch { case _: Throwable => None }
     val preRunTotals = if (canaryGated) snapshot(totalsFile) else None
     val preRunDetail = if (canaryGated) snapshot(detailFile) else None
+    // the committed artifact's own noise score — the bar a new run
+    // must stay under (Infinity when absent or unparseable: any run
+    // beats no artifact)
+    val committedNoiseScore: Double = preRunTotals.flatMap { t =>
+      def num(k: String): Option[Double] =
+        ("\"" + k + "\"\\s*:\\s*(-?[0-9.]+)").r
+          .findFirstMatchIn(t).map(_.group(1).toDouble)
+      for (med <- num("canary_med"); mx <- num("canary_max"); if med > 0)
+        yield mx / med
+    }.getOrElse(Double.PositiveInfinity)
     var noisyRatchet = false
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -273,8 +294,10 @@ object Bench {
       val allCanaries = canaryDetail.values.flatten.toSeq
       val canaryMed = if (allCanaries.isEmpty) -1.0 else median(allCanaries)
       val canaryMax = if (allCanaries.isEmpty) -1.0 else allCanaries.max
+      val noiseScore = if (canaryMed > 0) canaryMax / canaryMed else 0.0
       if (canaryGated && !noisyRatchet && canaryMed > 0 &&
-          canaryMax > CanaryNoisyFactor * canaryMed) {
+          noiseScore > CanaryNoisyFactor &&
+          noiseScore >= committedNoiseScore) {
         noisyRatchet = true
         System.err.println(f"[bench] canary_max $canaryMax%.3f > " +
           f"${CanaryNoisyFactor}x canary_med $canaryMed%.4f — noisy window, " +

@@ -711,11 +711,26 @@ object Profiler {
     * evidence.
     */
   def freshness(df: DataFrame, key: Column, ts: Column,
-      staleSec: Long = 3600L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perKey = df.where(ts.isNotNull)
+      staleSec: Long = 3600L): DataFrame =
+    freshnessFinish(freshnessPerKey(df, key, ts), staleSec)
+
+  /** The key-grain aggregate freshness reduces to — ALSO the exact
+    * shape a streaming twin maintains in state (one (last_seen, n)
+    * row per key, updated per micro-batch; see
+    * [[graft.streaming.Streaming.freshnessStream]]), so batch and
+    * stream share [[freshnessFinish]] verbatim.
+    */
+  def freshnessPerKey(df: DataFrame, key: Column, ts: Column): DataFrame =
+    df.where(ts.isNotNull)
       .groupBy(key.as("key"))
       .agg(max(ts).as("last_seen"), count(lit(1)).as("n"))
+
+  /** Stateless finish over the key-grain frame: corpus max as a
+    * global window over the #keys rows (the Zipf-head bounded-k
+    * shape), lag in whole seconds, stale flag.
+    */
+  def freshnessFinish(perKey: DataFrame, staleSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     perKey
       .withColumn("corpus_max",
         max(col("last_seen")).over(Window.partitionBy()))

@@ -450,6 +450,25 @@ object Streaming {
       }
   }
 
+  /** Streaming freshness — the twin of the batch `dq_freshness`
+    * report ([[graft.operators.Profiler.freshness]]): a continuously
+    * maintained (last_seen, n) aggregate per key, complete-mode. The
+    * streaming state is exactly [[graft.operators.Profiler.freshnessPerKey]]'s
+    * output grain — ONE small row per key, bounded by the key set
+    * (sources/topics), never stream length — and each micro-batch's
+    * snapshot finishes through the SAME stateless
+    * [[graft.operators.Profiler.freshnessFinish]] the batch report
+    * uses (batch equality asserted in StreamingSpec). This is the
+    * live ingestion-health dashboard: a silently-dead upstream's lag
+    * grows micro-batch by micro-batch while every healthy key tracks
+    * the corpus max.
+    */
+  def freshnessStream(events: DataFrame, key: org.apache.spark.sql.Column,
+      ts: org.apache.spark.sql.Column): DataFrame =
+    events.where(ts.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(max(ts).as("last_seen"), count(lit(1)).as("n"))
+
   /** Streaming Markov transitions — the twin of the batch
     * `q38_transitions` sequence stage: per user, every arriving event
     * emits one (from, to) transition against the chronologically

@@ -37,6 +37,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("freshness stream: per-key state snapshot + shared finish equals the batch report") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val agg = Streaming.freshnessStream(mem.toDF(), col("event_type"), col("ts"))
+    val q = agg.writeStream.format("memory").queryName("fresh")
+      .outputMode("complete").start()
+    try {
+      // three micro-batches: the per-key (last_seen, n) state must
+      // carry across batch lines
+      val parts = typedEvents.grouped(math.max(1, typedEvents.size / 3)).toSeq
+      parts.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    } finally q.stop()
+    val snapshot = spark.table("fresh")
+    val streamed = graft.operators.Profiler.freshnessFinish(snapshot, 60L)
+      .collect().map(_.toString).sorted
+    val batch = graft.operators.Profiler.freshness(
+        eventsDf, col("event_type"), col("ts"), 60L)
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("sliding-window counts: each event lands in 4 windows; stream equals batch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
