@@ -86,6 +86,7 @@ object Pipeline {
     case _: StepSpec.EpochOrder      => "epoch_order"
     case _: StepSpec.Pack            => "pack"
     case _: StepSpec.KAnonSuppress   => "k_anon_suppress"
+    case _: StepSpec.Chunk           => "chunk"
     case _: StepSpec.Scd2            => "scd2"
     case _: StepSpec.Freshness       => "freshness"
   }
@@ -213,6 +214,9 @@ object Pipeline {
               .partitionBy(quasiCols.map(col): _*)))
         .where(col("__qn") >= k)
         .drop("__qn")
+
+    case StepSpec.Chunk(chunkSize, stride) =>
+      TextAnalysis.chunk(df, chunkSize, stride)
 
     case StepSpec.Scd2(entityCol, tsCol, tieCol, stateCol) =>
       graft.queries.Relational.scd2History(df, entityCol, tsCol, tieCol, stateCol)

@@ -184,6 +184,14 @@ object StepSpec {
   final case class Scd2(entityCol: String, tsCol: String, tieCol: String,
       stateCol: String) extends StepSpec
 
+  /** Chunking ([[graft.operators.TextAnalysis.chunk]]): REPLACES the
+    * frame with overlapping token-window chunk rows (doc_id,
+    * chunk_idx, start_tok, n_chunk_toks, chunk_md5) — the
+    * retrieval/embedding preparation step, stride-windowed so chunk
+    * boundaries never lose context.
+    */
+  final case class Chunk(chunkSize: Int, stride: Int) extends StepSpec
+
   /** Freshness report ([[graft.operators.Profiler.freshness]]):
     * REPLACES the frame with the per-key ingestion-health report —
     * last_seen, row count, lag in seconds behind the freshest key,
@@ -380,6 +388,13 @@ object PipelineLoader {
           opt(n, "ts_col").map(_.asText).getOrElse("ts"),
           opt(n, "tie_col").map(_.asText).getOrElse("event_id"),
           opt(n, "state_col").map(_.asText).getOrElse("event_type"))
+      case "chunk" =>
+        val size = opt(n, "chunk_size").map(_.asInt).getOrElse(32)
+        val stride = opt(n, "stride").map(_.asInt).getOrElse(24)
+        if (stride <= 0 || size < stride)
+          throw new IllegalArgumentException(
+            s"$where: need chunk_size >= stride > 0")
+        StepSpec.Chunk(size, stride)
       case "freshness" =>
         val staleSec = opt(n, "stale_sec").map(_.asLong).getOrElse(3600L)
         if (staleSec <= 0)
@@ -394,7 +409,7 @@ object PipelineLoader {
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
             "split, forget, lm_filter, temperature, stratified, kfold, " +
             "quality_normalize, mixture, quality_weighted, fixed_k, " +
-            "epoch_order, pack, k_anon_suppress, scd2, freshness)")
+            "epoch_order, pack, k_anon_suppress, scd2, freshness, chunk)")
     }
   }
 }

@@ -435,6 +435,35 @@ class PipelineRunSpec extends SparkSpec {
     assert(mx <= 3)
   }
 
+  test("chunk step parses and matches the operator; bad sizes fail fast") {
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: chunk
+         |      chunk_size: 16
+         |      stride: 8
+         |""".stripMargin)
+    assert(spec.steps == Seq(StepSpec.Chunk(16, 8)))
+    val viaPipe = Pipeline.run(spark, spec)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toString)
+    val direct = graft.operators.TextAnalysis.chunk(
+        spark.read.parquet(docsPath), 16, 8)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toString)
+    assert(viaPipe.length > 0 && viaPipe.sameElements(direct))
+    val msg = intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: chunk
+         |      chunk_size: 4
+         |      stride: 8
+         |""".stripMargin)).getMessage
+    assert(msg.contains("chunk_size >= stride"))
+  }
+
   test("scd2 and freshness report steps parse and match their operator twins") {
     val evPath = s"$Sf0001/events.parquet"
     val scd2Spec = PipelineLoader.fromYaml(
