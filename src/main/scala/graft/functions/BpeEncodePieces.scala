@@ -159,4 +159,46 @@ object BpeEncodePieces {
   def apply(c: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(
       BpeEncodePieces(ColumnBridge.expression(c), BpeMergeTable(merges)))
+
+  /** SQL merge-table literal: `l||r` pairs joined by `|,|` — tokens
+    * cannot contain `|` (stripped on corpus entry), so both
+    * separators are unambiguous even for merged tokens carrying
+    * U+001F. Produced from a trained table with [[tableToSql]].
+    */
+  def parseTable(lit: String): Seq[(String, String)] = {
+    if (lit.isEmpty) return Nil
+    lit.split("\\|,\\|", -1).toSeq.map { pair =>
+      val lr = pair.split("\\|\\|", -1)
+      require(lr.length == 2,
+        s"bpe_encode_pieces: malformed merge pair '$pair' (want l||r)")
+      (lr(0), lr(1))
+    }
+  }
+
+  /** Render a merge table as the SQL literal [[parseTable]] reads. */
+  def tableToSql(merges: Seq[(String, String)]): String =
+    merges.map { case (l, r) => s"$l||$r" }.mkString("|,|")
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** Registration triple for SparkSessionExtensions.injectFunction:
+    * `bpe_encode_pieces(text, '<table literal>')` — the table must be
+    * a string literal (resolved at plan time, one reference object).
+    */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("bpe_encode_pieces"),
+    new ExpressionInfo(classOf[BpeEncodePieces].getName, "bpe_encode_pieces"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "bpe_encode_pieces(text, table) takes exactly 2 arguments")
+      val tableLit = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, _: StringType) =>
+          v.toString
+        case other =>
+          throw new IllegalArgumentException(
+            s"bpe_encode_pieces: table must be a string literal, got $other")
+      }
+      BpeEncodePieces(children(0), BpeMergeTable(parseTable(tableLit)))
+    })
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotLong, TopKAgg, UnicodeNormalize}
+import graft.functions.{BpeEncodePieces, DotLong, TopKAgg, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension registration — the idiomatic injection point for
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotLong.descriptor)
     ext.injectFunction(UnicodeNormalize.descriptor)
     ext.injectFunction(TopKAgg.descriptor)
+    ext.injectFunction(BpeEncodePieces.descriptor)
   }
 }
 
@@ -30,5 +31,9 @@ object GraftExtensions {
       UnicodeNormalize.descriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       TopKAgg.descriptor._1, TopKAgg.descriptor._2, TopKAgg.descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      BpeEncodePieces.descriptor._1,
+      BpeEncodePieces.descriptor._2,
+      BpeEncodePieces.descriptor._3)
   }
 }

@@ -68,6 +68,25 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(5000 > TextAnalysis.BpeEncodeMaxMerges)
   }
 
+  test("SQL registration: literal-table form equals the Column API; non-literal rejected") {
+    graft.plans.GraftExtensions.register(spark)
+    val merges = Seq(("a", "b"), (s"a${us}b", "c"))
+    val litStr = BpeEncodePieces.tableToSql(merges)
+    assert(BpeEncodePieces.parseTable(litStr) == merges)
+    assert(BpeEncodePieces.parseTable("") == Nil)
+    Seq((1L, "a b c d"), (2L, "c a b")).toDF("doc_id", "text")
+      .createOrReplaceTempView("bpe_sql_test")
+    val viaSql = spark.sql(
+      s"SELECT doc_id, bpe_encode_pieces(text, '$litStr') AS p FROM bpe_sql_test")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql(1L) == Seq(s"a${us}b${us}c", "d"))
+    assert(viaSql(2L) == Seq("c", s"a${us}b"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT bpe_encode_pieces(text, text) FROM bpe_sql_test").collect()
+    }
+    assert(err.getMessage.contains("string literal"))
+  }
+
   test("matches the chain on trained merges over real documents") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val m = TextAnalysis.bpeTrain(docs, 5).orderBy("rank")

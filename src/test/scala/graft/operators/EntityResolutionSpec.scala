@@ -189,6 +189,13 @@ class EntityResolutionSpec extends SparkSpec {
     val plan = EntityResolution.sortedNeighborhoodMultiPlan(d, col("id"),
       Seq(col("name"), reverse(col("name"))), window = 2)
     assert(plan.df.count() == multi.size)
+    // plan shape: both passes' windows stay range-partitioned (__pid),
+    // no global single-partition window, no cartesian anywhere
+    val phys = plan.df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val winLines = phys.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")), phys.take(1200))
+    assert(!phys.contains("Cartesian"), phys.take(1200))
     plan.release()
   }
 }
