@@ -89,6 +89,37 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   @volatile private var canarySink: Long = 0L // DCE defeat for the canary
 
+  /** Noise score of a run window: canary_max / canary_med (0 when no
+    * canaries ran). The max over hundreds of canaries is an extreme
+    * statistic — compare scores, never raw maxima, across runs.
+    */
+  private[graft] def noiseScore(canaryMed: Double, canaryMax: Double): Double =
+    if (canaryMed > 0) canaryMax / canaryMed else 0.0
+
+  /** The artifact-routing decision (pure, spec-tested): a run is
+    * NOISY — must not replace the committed clean-window artifacts —
+    * iff its noise score exceeds the absolute floor AND is no better
+    * than the committed artifact's own score. `committedScore` is
+    * +Infinity when no committed artifact exists (any run beats
+    * nothing).
+    */
+  private[graft] def isNoisy(canaryMed: Double, canaryMax: Double,
+      committedScore: Double, floor: Double = 3.0): Boolean = {
+    val score = noiseScore(canaryMed, canaryMax)
+    canaryMed > 0 && score > floor && score >= committedScore
+  }
+
+  /** Extract the committed artifact's noise score from its totals
+    * JSON line; None when unparseable.
+    */
+  private[graft] def committedNoiseScoreOf(totalsJson: String): Option[Double] = {
+    def num(k: String): Option[Double] =
+      ("\"" + k + "\"\\s*:\\s*(-?[0-9.]+)").r
+        .findFirstMatchIn(totalsJson).map(_.group(1).toDouble)
+    for (med <- num("canary_med"); mx <- num("canary_max"); if med > 0)
+      yield mx / med
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -164,13 +195,9 @@ object Bench {
     // the committed artifact's own noise score — the bar a new run
     // must stay under (Infinity when absent or unparseable: any run
     // beats no artifact)
-    val committedNoiseScore: Double = preRunTotals.flatMap { t =>
-      def num(k: String): Option[Double] =
-        ("\"" + k + "\"\\s*:\\s*(-?[0-9.]+)").r
-          .findFirstMatchIn(t).map(_.group(1).toDouble)
-      for (med <- num("canary_med"); mx <- num("canary_max"); if med > 0)
-        yield mx / med
-    }.getOrElse(Double.PositiveInfinity)
+    val committedNoiseScore: Double = preRunTotals
+      .flatMap(committedNoiseScoreOf)
+      .getOrElse(Double.PositiveInfinity)
     var noisyRatchet = false
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -294,10 +321,8 @@ object Bench {
       val allCanaries = canaryDetail.values.flatten.toSeq
       val canaryMed = if (allCanaries.isEmpty) -1.0 else median(allCanaries)
       val canaryMax = if (allCanaries.isEmpty) -1.0 else allCanaries.max
-      val noiseScore = if (canaryMed > 0) canaryMax / canaryMed else 0.0
-      if (canaryGated && !noisyRatchet && canaryMed > 0 &&
-          noiseScore > CanaryNoisyFactor &&
-          noiseScore >= committedNoiseScore) {
+      if (canaryGated && !noisyRatchet &&
+          isNoisy(canaryMed, canaryMax, committedNoiseScore, CanaryNoisyFactor)) {
         noisyRatchet = true
         System.err.println(f"[bench] canary_max $canaryMax%.3f > " +
           f"${CanaryNoisyFactor}x canary_med $canaryMed%.4f — noisy window, " +

@@ -10,23 +10,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The learned merge table, resolved ONCE at plan time and shipped to
-  * executors as a single reference object: parallel arrays of
-  * (left, right, merged) piece strings in RANK order, plus nothing
-  * else — ~vocab-sized driver state, broadcast with the task closure.
+  * executors as a single reference object: (left, right) piece pairs
+  * in RANK order, plus nothing else — ~vocab-sized driver state,
+  * broadcast with the task closure.
   */
-final case class BpeMergeTable(
-    left: Array[String], right: Array[String], merged: Array[String])
+final case class BpeMergeTable(pairs: Seq[(String, String)])
     extends Serializable {
-  require(left.length == right.length && left.length == merged.length)
-  def size: Int = left.length
-}
-
-object BpeMergeTable {
-  def apply(merges: Seq[(String, String)]): BpeMergeTable =
-    BpeMergeTable(
-      merges.map(_._1).toArray,
-      merges.map(_._2).toArray,
-      merges.map { case (l, r) => l + "\u001f" + r }.toArray)
+  // value semantics on `pairs` keep Catalyst expression equality /
+  // canonicalization working (Array fields compare by REFERENCE in a
+  // case class — two plans with identical tables would never be
+  // semantically equal); the kernel's hot loop reads these transient
+  // array views, rebuilt after deserialization on first use
+  @transient lazy val left: Array[String] = pairs.map(_._1).toArray
+  @transient lazy val right: Array[String] = pairs.map(_._2).toArray
+  @transient lazy val merged: Array[String] =
+    pairs.map { case (l, r) => l + "\u001f" + r }.toArray
+  def size: Int = pairs.size
 }
 
 /** Native BPE encode: `bpe_encode_pieces(text)` with a plan-time merge

@@ -68,6 +68,17 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(5000 > TextAnalysis.BpeEncodeMaxMerges)
   }
 
+  test("expressions with equal merge tables are value-equal (canonicalization works)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val m1 = Seq(("a", "b"), (s"a${us}b", "c"))
+    val m2 = Seq(("a", "b"), (s"a${us}b", "c")) // distinct Seq instance
+    val child = Literal.create("a b c", org.apache.spark.sql.types.StringType)
+    val e1 = BpeEncodePieces(child, BpeMergeTable(m1))
+    val e2 = BpeEncodePieces(child, BpeMergeTable(m2))
+    assert(e1 == e2 && e1.semanticEquals(e2))
+    assert(e1 != e1.copy(table = BpeMergeTable(m1.reverse)))
+  }
+
   test("SQL registration: literal-table form equals the Column API; non-literal rejected") {
     graft.plans.GraftExtensions.register(spark)
     val merges = Seq(("a", "b"), (s"a${us}b", "c"))
