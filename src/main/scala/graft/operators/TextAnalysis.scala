@@ -633,6 +633,32 @@ object TextAnalysis {
       size(graft.functions.BpeEncodePieces(col(textCol), merges))
         .cast("long").as("n_pieces"))
 
+  /** Tokenizer coverage report — the vocab-quality metric a tokenizer
+    * build is judged by NEXT TO compression ([[bpeEncode]]'s ratio):
+    * per document, how many encoded pieces are MERGED tokens (the
+    * learned vocabulary firing) vs untouched singletons. A corpus
+    * slice whose merged_frac stays near zero is out-of-domain for the
+    * trained table (the OOV signal at the BPE-word grain); the
+    * per-source rollup of this frame is the "does my tokenizer cover
+    * my mixture" report.
+    *
+    * Scale shape: ONE projection over the corpus — the
+    * [[graft.functions.BpeEncodePieces]] kernel emits the pieces and
+    * two codegen'd array ops count them; no shuffle at all until the
+    * caller aggregates. Exact integer counts + one division.
+    */
+  def bpeCoverage(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val pieces = graft.functions.BpeEncodePieces(col(textCol), merges)
+    docs.select(col("doc_id"), pieces.as("p"))
+      .select(col("doc_id"),
+        size(col("p")).cast("long").as("n_pieces"),
+        size(filter(col("p"), x => x.contains(BpeUS))).cast("long")
+          .as("n_merged_pieces"))
+      .withColumn("merged_frac",
+        col("n_merged_pieces").cast("double") / col("n_pieces"))
+  }
+
   /** Per-document content NOVELTY against ingestion order — for each
     * doc, the fraction of its distinct word-3-gram shingles whose
     * FIRST corpus occurrence (min doc_id) is this document. The
@@ -843,6 +869,13 @@ object TextAnalysis {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeEncodeNative(table(s, dir, "documents"), m).orderBy("doc_id")
     }),
+    // vocab coverage on the same trained table: merged-piece fraction
+    // per doc — the OOV/coverage report beside the compression ratio
+    "ta_bpe_coverage" -> ((s, dir) => {
+      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeCoverage(table(s, dir, "documents"), m).orderBy("doc_id")
+    }),
     "ta_tfidf" -> ((s, dir) =>
       tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
     "ta_chunk" -> ((s, dir) =>
@@ -913,6 +946,19 @@ object TextAnalysis {
         | CAST(len(string_split(trim(d0.rep, '|'), '||')) AS BIGINT) AS n_tokens,
         | CAST(len(string_split(trim(dk.rep, '|'), '||')) AS BIGINT) AS n_pieces
         |FROM d5 dk JOIN d0 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // coverage replay: pieces from the k-round rep, merged = contains
+    // chr(31)
+    "ta_bpe_coverage" -> (bpeCtes(5) +
+      """,
+        |pc AS (SELECT doc_id,
+        |  string_split(trim(rep, '|'), '||') AS ps FROM d5)
+        |SELECT doc_id,
+        | CAST(len(ps) AS BIGINT) AS n_pieces,
+        | CAST(len(list_filter(ps, x -> contains(x, chr(31)))) AS BIGINT)
+        |   AS n_merged_pieces,
+        | CAST(len(list_filter(ps, x -> contains(x, chr(31)))) AS DOUBLE)
+        |   / len(ps) AS merged_frac
+        |FROM pc ORDER BY doc_id""".stripMargin),
     // identical replay: the native kernel must reproduce the replace
     // chain bit-for-bit
     "ta_bpe_encode_native" -> (bpeCtes(5) +

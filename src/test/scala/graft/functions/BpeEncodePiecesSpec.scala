@@ -98,6 +98,19 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(err.getMessage.contains("string literal"))
   }
 
+  test("coverage report: merged-piece fraction, zero for out-of-vocab docs") {
+    val d = Seq(
+      (1L, "a b a b x"),   // merges fire twice: [ab][ab][x] -> 2/3 merged
+      (2L, "p q r"),       // out-of-vocab: 0/3
+      (3L, "a b")          // fully merged: 1/1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeCoverage(d, Seq(("a", "b"))).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 2L, 2.0 / 3)))
+    assert(r(2L) == ((3L, 0L, 0.0)))
+    assert(r(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("matches the chain on trained merges over real documents") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val m = TextAnalysis.bpeTrain(docs, 5).orderBy("rank")
