@@ -45,8 +45,9 @@ object Sinks {
     * doubles to the driver). Without this the interleave degenerates:
     * a 26-bit id column against an 8-bit category column puts every
     * high significant z-bit on the id side and the curve collapses to
-    * a plain sort on it. Rank (quantile) normalization is the
-    * skew-robust refinement; equi-width is the right default and is
+    * a plain sort on it. [[writeZOrderedRankN]] is the skew-robust
+    * quantile-normalized refinement for heavy-tailed layout columns;
+    * equi-width is the right default for roughly-uniform ones and is
     * what the locality test asserts. Then one range-exchange (with
     * Spark's bounds-sampling pass) — the same cost as any
     * globally-sorted write; the curve column never lands in the
@@ -86,6 +87,55 @@ object Sinks {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+    write(laid, path, spec)
+  }
+
+  /** Rank-normalized z-ordered write — the skew-robust refinement the
+    * equi-width form documents: each layout column is bucketed by its
+    * QUANTILE cuts (`approxQuantile`, Greenwald–Khanna — one pass,
+    * bounded sketch state, `buckets` doubles per column to the
+    * driver) before the Morton interleave, so a heavy-tailed column
+    * (lognormal sizes, zipfian counts) spreads its BULK across the
+    * curve instead of collapsing into the lowest equi-width cell —
+    * under equi-width, a predicate over the bulk range intersects
+    * every file and pruning dies exactly where most predicates land.
+    * The bucket index is computed by a codegen'd fold over the tiny
+    * cuts literal (O(buckets) per row, no join, no global window —
+    * rank via `percent_rank()` would funnel the corpus through one
+    * unpartitioned sort). NULLs land in bucket 0, same contract as
+    * the equi-width form's lo-coalesce.
+    */
+  def writeZOrderedRankN(df: DataFrame, path: String, cols: Seq[Column],
+      numFiles: Int, spec: SinkSpec = SinkSpec(), buckets: Int = 256,
+      relErr: Double = 0.001): Unit = {
+    require(numFiles > 0, "need numFiles > 0")
+    require(cols.size >= 2 && cols.size <= 4, "writeZOrderedRankN takes 2..4 columns")
+    require(buckets >= 2 && buckets <= 65536, "need 2 <= buckets <= 65536")
+    import org.apache.spark.sql.functions.{aggregate, array, coalesce, lit, when}
+    val qNames = cols.indices.map(i => s"__q$i")
+    val named = cols.zip(qNames).foldLeft(df) { case (d, (c, nm)) =>
+      d.withColumn(nm, c.cast("double"))
+    }
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts: Array[Array[Double]] =
+      named.stat.approxQuantile(qNames.toArray, probs, relErr)
+    def bucketed(nm: String, cs: Array[Double]): Column = {
+      // distinct ascending cuts (a skewed column repeats quantiles);
+      // index = #cuts <= value, a codegen'd fold over the literal array
+      val distinctCuts = cs.distinct.sorted
+      if (distinctCuts.isEmpty) lit(0L)
+      else aggregate(
+        array(distinctCuts.map(lit(_)): _*), lit(0L),
+        (acc, c) => acc + when(coalesce(col(nm), lit(Double.NegativeInfinity)) >= c, 1L)
+          .otherwise(0L))
+    }
+    val z = graft.functions.ZOrder.zorderN(
+      qNames.zip(cuts).map { case (nm, cs) => bucketed(nm, cs) })
+    val laid = named.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .drop(qNames: _*)
     write(laid, path, spec)
   }
 }

@@ -121,6 +121,42 @@ class SinksSpec extends SparkSpec {
     assert(meanSpan(s"$base/z", "l_orderkey") < 0.7 * okFull)
   }
 
+  test("rank z-order: heavy-tailed bulk prunes where equi-width collapses") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zrank").toString
+    // a = uniform key; b = heavy-tailed (exp of uniform): 90% of rows
+    // live in the lowest ~0.5% of b's RANGE, so equi-width puts the
+    // whole bulk in one cell and a bulk-range predicate touches every
+    // file; rank buckets spread the bulk across the curve
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 20000).map { i =>
+      (i.toLong, math.exp(rng.nextDouble() * 12.0)) // 1 .. ~160k, log-uniform
+    }
+    val df = rows.toDF("a", "b")
+    Sinks.writeZOrdered(df, s"$base/eq", col("a"), col("b"), numFiles = 16)
+    Sinks.writeZOrderedRankN(df, s"$base/rank", Seq(col("a"), col("b")),
+      numFiles = 16)
+    // both layouts hold the same bag
+    assert(spark.read.parquet(s"$base/rank").count() == 20000)
+    assert(spark.read.parquet(s"$base/rank").agg(sum(col("a"))).head().getLong(0)
+      == df.agg(sum(col("a"))).head().getLong(0))
+    // bulk-range predicate: the middle quintiles of the DISTRIBUTION
+    val cuts = df.stat.approxQuantile("b", Array(0.4, 0.6), 0.001)
+    def filesHit(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val mm = spark.read.parquet(f.toString)
+            .agg(min(col("b")), max(col("b"))).head()
+          mm.getDouble(0) <= cuts(1) && mm.getDouble(1) >= cuts(0)
+        }
+    val eqHit = filesHit(s"$base/eq")
+    val rankHit = filesHit(s"$base/rank")
+    // equi-width: the bulk shares one b-cell, every file carries bulk
+    // rows, nothing prunes; rank: strictly fewer files intersect
+    assert(rankHit < eqHit, s"rank=$rankHit eq=$eqHit")
+    assert(rankHit <= 8, s"rank layout should prune at least half, hit $rankHit/16")
+  }
+
   test("zorderN: n=2 bit-identical to zorder2; 3-bit hand Morton; bounds") {
     import spark.implicits._
     val r = Seq((10L, 6L, 5L)).toDF("a", "b", "c").select(
