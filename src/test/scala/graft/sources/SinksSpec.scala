@@ -153,8 +153,12 @@ class SinksSpec extends SparkSpec {
     val rankHit = filesHit(s"$base/rank")
     // equi-width: the bulk shares one b-cell, every file carries bulk
     // rows, nothing prunes; rank: strictly fewer files intersect
+    // the load-bearing claim is RELATIVE (equi-width cannot prune the
+    // bulk at all); the absolute bound is a sanity backstop with slack
+    // for approxQuantile's merge-order wiggle across suite runs
     assert(rankHit < eqHit, s"rank=$rankHit eq=$eqHit")
-    assert(rankHit <= 8, s"rank layout should prune at least half, hit $rankHit/16")
+    assert(eqHit >= 15, s"fixture broken: equi-width should hit ~all files, hit $eqHit/16")
+    assert(rankHit <= 11, s"rank layout should prune several files, hit $rankHit/16")
   }
 
   test("zorderN: n=2 bit-identical to zorder2; 3-bit hand Morton; bounds") {
