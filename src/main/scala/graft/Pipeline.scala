@@ -86,6 +86,7 @@ object Pipeline {
     case _: StepSpec.EpochOrder      => "epoch_order"
     case _: StepSpec.Pack            => "pack"
     case _: StepSpec.KAnonSuppress   => "k_anon_suppress"
+    case _: StepSpec.BpeAnnotate     => "bpe_annotate"
     case _: StepSpec.Chunk           => "chunk"
     case _: StepSpec.Scd2            => "scd2"
     case _: StepSpec.Freshness       => "freshness"
@@ -214,6 +215,13 @@ object Pipeline {
               .partitionBy(quasiCols.map(col): _*)))
         .where(col("__qn") >= k)
         .drop("__qn")
+
+    case StepSpec.BpeAnnotate(tableSide, textCol) =>
+      val merges = Sources.resolve(spark, tableSide)
+        .orderBy(col("rank"))
+        .select(col("left_tok"), col("right_tok"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeAnnotate(df, merges, textCol)
 
     case StepSpec.Chunk(chunkSize, stride) =>
       TextAnalysis.chunk(df, chunkSize, stride)

@@ -184,6 +184,17 @@ object StepSpec {
   final case class Scd2(entityCol: String, tsCol: String, tieCol: String,
       stateCol: String) extends StepSpec
 
+  /** Tokenizer annotation ([[graft.operators.TextAnalysis.bpeAnnotate]]):
+    * reads a TRAINED merge table ([[graft.operators.TextAnalysis.bpeTrain]]'s
+    * output shape — rank, left_tok, right_tok) from a side source and
+    * annotates every document with n_tokens, n_pieces and merged_frac
+    * — compression ratio and vocab coverage riding along the frame
+    * for downstream filters/mixture decisions. The table is
+    * driver-side by construction (k rows) and applies through the
+    * uncapped native kernel.
+    */
+  final case class BpeAnnotate(table: SideSpec, textCol: String) extends StepSpec
+
   /** Chunking ([[graft.operators.TextAnalysis.chunk]]): REPLACES the
     * frame with overlapping token-window chunk rows (doc_id,
     * chunk_idx, start_tok, n_chunk_toks, chunk_md5) — the
@@ -388,6 +399,10 @@ object PipelineLoader {
           opt(n, "ts_col").map(_.asText).getOrElse("ts"),
           opt(n, "tie_col").map(_.asText).getOrElse("event_id"),
           opt(n, "state_col").map(_.asText).getOrElse("event_type"))
+      case "bpe_annotate" =>
+        StepSpec.BpeAnnotate(
+          side(require(n, "table", where), s"$where.table"),
+          opt(n, "text_col").map(_.asText).getOrElse("text"))
       case "chunk" =>
         val size = opt(n, "chunk_size").map(_.asInt).getOrElse(32)
         val stride = opt(n, "stride").map(_.asInt).getOrElse(24)
@@ -409,7 +424,7 @@ object PipelineLoader {
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
             "split, forget, lm_filter, temperature, stratified, kfold, " +
             "quality_normalize, mixture, quality_weighted, fixed_k, " +
-            "epoch_order, pack, k_anon_suppress, scd2, freshness, chunk)")
+            "epoch_order, pack, k_anon_suppress, scd2, freshness, chunk, bpe_annotate)")
     }
   }
 }

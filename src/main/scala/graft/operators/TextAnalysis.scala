@@ -633,6 +633,25 @@ object TextAnalysis {
       size(graft.functions.BpeEncodePieces(col(textCol), merges))
         .cast("long").as("n_pieces"))
 
+  /** Annotation form of [[bpeEncodeNative]] + [[bpeCoverage]]: keeps
+    * the incoming frame's columns and ADDS n_tokens / n_pieces /
+    * merged_frac — the shape a pipeline step needs (schema-stable
+    * plus metrics), one shuffle-free projection through the native
+    * kernel with the pieces computed once.
+    */
+  def bpeAnnotate(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val pieces = graft.functions.BpeEncodePieces(col(textCol), merges)
+    docs
+      .withColumn("n_tokens", size(bpeTokens(bpeRep(textCol))).cast("long"))
+      .withColumn("__p", pieces)
+      .withColumn("n_pieces", size(col("__p")).cast("long"))
+      .withColumn("merged_frac",
+        size(filter(col("__p"), x => x.contains(BpeUS))).cast("double")
+          / col("n_pieces"))
+      .drop("__p")
+  }
+
   /** Tokenizer coverage report — the vocab-quality metric a tokenizer
     * build is judged by NEXT TO compression ([[bpeEncode]]'s ratio):
     * per document, how many encoded pieces are MERGED tokens (the

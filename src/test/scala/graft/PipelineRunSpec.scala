@@ -435,6 +435,39 @@ class PipelineRunSpec extends SparkSpec {
     assert(mx <= 3)
   }
 
+  test("bpe_annotate step: trained side table applied, metrics match the operator pair") {
+    val docs = spark.read.parquet(docsPath)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/t"
+    graft.operators.TextAnalysis.bpeTrain(docs, 3).write.parquet(tableDir)
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: bpe_annotate
+         |      table:
+         |        db: {type: parquet, path: $tableDir}
+         |""".stripMargin)
+    assert(spec.steps.size == 1 && spec.steps.head.isInstanceOf[StepSpec.BpeAnnotate])
+    val got = Pipeline.run(spark, spec)
+    // schema-stable: original columns survive, metrics ride along
+    assert(docs.columns.toSet.subsetOf(got.columns.toSet))
+    assert(Set("n_tokens", "n_pieces", "merged_frac").subsetOf(got.columns.toSet))
+    val m = graft.operators.TextAnalysis.bpeTrain(docs, 3).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val expect = graft.operators.TextAnalysis.bpeEncodeNative(docs, m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gotMap = got.select(col("doc_id"), col("n_tokens"), col("n_pieces"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotMap == expect && gotMap.nonEmpty)
+    // coverage column agrees with the report operator
+    val cov = graft.operators.TextAnalysis.bpeCoverage(docs, m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val gotCov = got.select(col("doc_id"), col("merged_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotCov == cov)
+  }
+
   test("chunk step parses and matches the operator; bad sizes fail fast") {
     val spec = PipelineLoader.fromYaml(
       s"""pipeline:

@@ -35,6 +35,29 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(pieces == Seq(s"a${us}b${us}c", s"a${us}b${us}c"))
   }
 
+  test("kernel matches the chain on non-ASCII tokens (combining marks, CJK, surrogate pairs)") {
+    val composed = "caf\u00e9"          // precomposed e-acute
+    val decomposed = "cafe\u0301"       // e + combining acute: DIFFERENT token
+    val d = Seq(
+      (1L, s"$composed au lait $composed au lait"),
+      (2L, s"$decomposed au $decomposed au"),
+      (3L, "\u65e5\u672c \u8a9e \u65e5\u672c \u8a9e"),  // CJK
+      (4L, "\ud83d\ude00 x \ud83d\ude00 x")               // emoji surrogate pair
+    ).toDF("doc_id", "text")
+    val merges = Seq(
+      (composed, "au"),
+      ("\u65e5\u672c", "\u8a9e"), ("\ud83d\ude00", "x"))
+    val native = TextAnalysis.bpeEncodeNative(d, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chain = TextAnalysis.bpeEncode(d, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native == chain)
+    assert(native(1L) == ((6L, 4L))) // composed-token merge fires twice
+    assert(native(2L) == ((4L, 4L))) // decomposed token: NO hidden normalization
+    assert(native(3L) == ((4L, 2L)))
+    assert(native(4L) == ((4L, 2L)))
+  }
+
   test("rank-order pass semantics, NOT min-rank-first re-check") {
     // merges 1:(ab,c), 2:(a,b) over [a b c]: pass 1 finds no "ab"
     // token, pass 2 yields [ab, c] — a classic BPE encode loop would
