@@ -134,6 +134,27 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(r(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("30k-merge production vocabulary: absent merges are exact no-ops, and the run is measured") {
+    // the scale claim in one test: a production-size table (100
+    // trained merges + 29,900 absent ones) must produce EXACTLY the
+    // trained-table result — absent merges skip via the occurrence
+    // multiset — and the wall cost of carrying them is measured, not
+    // asserted (host-dependent); the printed number feeds the survey
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val trained = TextAnalysis.bpeTrain(docs, 20).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = trained ++ (1 to 29980).map(i => (s"zzz${i}a", s"zzz${i}b"))
+    assert(vocab.size == 30000)
+    val small = TextAnalysis.bpeEncodeNative(docs, trained)
+      .collect().map(_.toString).sorted
+    val t0 = System.nanoTime()
+    val big = TextAnalysis.bpeEncodeNative(docs, vocab)
+      .collect().map(_.toString).sorted
+    val wall = (System.nanoTime() - t0) / 1e9
+    info(f"30k-merge encode over ${small.length} docs: $wall%.2f s")
+    assert(big.sameElements(small))
+  }
+
   test("matches the chain on trained merges over real documents") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val m = TextAnalysis.bpeTrain(docs, 5).orderBy("rank")
