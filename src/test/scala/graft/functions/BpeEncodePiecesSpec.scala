@@ -134,6 +134,17 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(r(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("bpeAnnotate evaluates the kernel ONCE (CollapseProject must not duplicate it)") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = TextAnalysis.bpeAnnotate(d, Seq(("a", "b")))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val occurrences = "bpe_encode_pieces".r.findAllIn(plan).length
+    assert(occurrences == 1,
+      s"kernel must run once per row, plan evaluates it $occurrences times: " +
+        plan.take(1200))
+  }
+
   test("30k-merge production vocabulary: absent merges are exact no-ops, and the run is measured") {
     // the scale claim in one test: a production-size table (100
     // trained merges + 29,900 absent ones) must produce EXACTLY the
