@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Upper bound on a bpe_annotate step's merge-table rows: far above
+    * any real vocabulary (production tokenizers are ~30-100k merges)
+    * and far below anything corpus-sized.
+    */
+  val MaxMergeTableRows: Int = 1 << 20
+
   def run(spark: SparkSession, spec: PipelineSpec): DataFrame =
     spec.steps.foldLeft(Sources.resolve(spark, spec.input))(
       (df, s) => applyStep(spark, df, s))
@@ -217,11 +223,23 @@ object Pipeline {
         .drop("__qn")
 
     case StepSpec.BpeAnnotate(tableSide, textCol) =>
-      val merges = Sources.resolve(spark, tableSide)
+      // the merge table is DRIVER-SIDE state by design (a trained
+      // vocabulary, k rows) — bound the collect so a table: source
+      // pointed at a corpus-sized frame is a loud config error, not a
+      // driver OOM. limit(cap+1) keeps the fetch driver-bounded by
+      // construction whatever the source size (the bpeEncode-cap
+      // pattern, TextAnalysis.BpeEncodeMaxMerges).
+      val rows = Sources.resolve(spark, tableSide)
         .orderBy(col("rank"))
         .select(col("left_tok"), col("right_tok"))
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      TextAnalysis.bpeAnnotate(df, merges, textCol)
+        .limit(MaxMergeTableRows + 1)
+        .collect()
+      require(rows.length <= MaxMergeTableRows,
+        s"bpe_annotate: merge table source has more than $MaxMergeTableRows " +
+          "rows — that is corpus-sized, not a trained vocabulary; point " +
+          "table: at a bpe_train output (rank, left_tok, right_tok)")
+      TextAnalysis.bpeAnnotate(df,
+        rows.map(r => (r.getString(0), r.getString(1))).toSeq, textCol)
 
     case StepSpec.Chunk(chunkSize, stride) =>
       TextAnalysis.chunk(df, chunkSize, stride)

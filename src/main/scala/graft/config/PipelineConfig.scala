@@ -394,11 +394,16 @@ object PipelineLoader {
         if (k < 2) throw new IllegalArgumentException(s"$where: k must be >= 2")
         StepSpec.KAnonSuppress(q.elements().asScala.map(_.asText).toSeq, k)
       case "scd2" =>
+        // entity_col/state_col are semantically required — a default
+        // silently binds the history build to columns the user's data
+        // likely doesn't have (or worse, same-named wrong ones) and
+        // fails late at execution instead of here at parse time.
+        // ts_col/tie_col keep genuine defaults (the CDC-feed idiom).
         StepSpec.Scd2(
-          opt(n, "entity_col").map(_.asText).getOrElse("user_id"),
+          require(n, "entity_col", where).asText,
           opt(n, "ts_col").map(_.asText).getOrElse("ts"),
           opt(n, "tie_col").map(_.asText).getOrElse("event_id"),
-          opt(n, "state_col").map(_.asText).getOrElse("event_type"))
+          require(n, "state_col", where).asText)
       case "bpe_annotate" =>
         StepSpec.BpeAnnotate(
           side(require(n, "table", where), s"$where.table"),
@@ -414,8 +419,10 @@ object PipelineLoader {
         val staleSec = opt(n, "stale_sec").map(_.asLong).getOrElse(3600L)
         if (staleSec <= 0)
           throw new IllegalArgumentException(s"$where: stale_sec must be positive")
+        // key_col is the report grain — required for the same
+        // fail-at-parse reason as scd2's entity_col
         StepSpec.Freshness(
-          opt(n, "key_col").map(_.asText).getOrElse("source"),
+          require(n, "key_col", where).asText,
           opt(n, "ts_col").map(_.asText).getOrElse("ts"),
           staleSec)
       case other =>

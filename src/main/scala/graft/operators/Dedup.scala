@@ -1318,26 +1318,38 @@ object Dedup {
         (max(col("pos")) + k).as("e"))
   }
 
+  /** Unmanaged form: NO caching — the gram table is re-derived by each
+    * of its two consumers (two corpus scans) so a long-lived session
+    * calling this repeatedly accumulates zero executor storage.
+    * Callers wanting the one-pass cached form use
+    * [[spanDedupSlidingPlan]] and release its handle.
+    */
   def spanDedupSliding(docs: DataFrame, gramTokens: Int = 8): DataFrame =
-    spanDedupSlidingPlan(docs, gramTokens).df
+    spanDedupSlidingBuild(docs, gramTokens, cacheGrams = false).df
 
   /** Managed form of [[spanDedupSliding]]: the gram table feeds both
     * the first-occurrence aggregation and the join back, so it is
     * persisted behind the release contract (one gram pass over the
     * corpus, not two).
     */
-  def spanDedupSlidingPlan(docs: DataFrame, gramTokens: Int = 8): DedupPlan = {
+  def spanDedupSlidingPlan(docs: DataFrame, gramTokens: Int = 8): DedupPlan =
+    spanDedupSlidingBuild(docs, gramTokens, cacheGrams = true)
+
+  private def spanDedupSlidingBuild(docs: DataFrame, gramTokens: Int,
+      cacheGrams: Boolean): DedupPlan = {
     import org.apache.spark.storage.StorageLevel
     require(gramTokens >= 2, s"spanDedupSliding: gramTokens must be >= 2, got $gramTokens")
     val ts = split(trim(col("text")), " +")
-    val grams = docs
+    val gramsBase = docs
       .select(col("doc_id"), ts.as("ts"))
       .where(size(col("ts")) >= gramTokens)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("ts")) - gramTokens),
           i => md5(concat_ws(" ", slice(col("ts"), i + 1, lit(gramTokens))))))
           .as(Seq("pos", "gram_hash")))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val grams =
+      if (cacheGrams) gramsBase.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      else gramsBase
     // first occurrence per gram = lexicographic min of (doc_id, pos):
     // a map-side-combinable aggregate, never a per-gram-hash window
     // (a row_number form ships a hot gram's every occurrence to ONE
@@ -1367,7 +1379,7 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_token_frac"))
-    DedupPlan(out, "span_sliding", Seq(grams))
+    DedupPlan(out, "span_sliding", if (cacheGrams) Seq(grams) else Nil)
   }
 
   /** Asymmetric shingle-containment join — Broder's containment

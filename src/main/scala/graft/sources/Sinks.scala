@@ -110,7 +110,15 @@ object Sinks {
       relErr: Double = 0.001): Unit = {
     require(numFiles > 0, "need numFiles > 0")
     require(cols.size >= 2 && cols.size <= 4, "writeZOrderedRankN takes 2..4 columns")
-    require(buckets >= 2 && buckets <= 65536, "need 2 <= buckets <= 65536")
+    // the bucket index must fit the per-column bit budget zorderN
+    // actually interleaves (bitsFor: 16 bits at 2-3 cols, 15 at 4) —
+    // a wider bucket count would silently truncate high buckets and
+    // fold the top of the distribution into the bottom of the curve,
+    // quietly destroying the file pruning this layout exists for
+    val maxBuckets = 1 << graft.functions.ZOrder.bitsFor(cols.size)
+    require(buckets >= 2 && buckets <= maxBuckets,
+      s"need 2 <= buckets <= $maxBuckets (the zorderN bit budget for " +
+        s"${cols.size} columns)")
     import org.apache.spark.sql.functions.{aggregate, array, coalesce, lit, when}
     val qNames = cols.indices.map(i => s"__q$i")
     val named = cols.zip(qNames).foldLeft(df) { case (d, (c, nm)) =>

@@ -468,6 +468,29 @@ class PipelineRunSpec extends SparkSpec {
     assert(gotCov == cov)
   }
 
+  test("bpe_annotate step: corpus-sized merge table is a loud config error, not an OOM") {
+    val bigDir = java.nio.file.Files.createTempDirectory("graft-bpe-big").toString + "/t"
+    // one row over the cap — the fetch is limit(cap+1) so the driver
+    // never holds more than cap+1 rows whatever the source size
+    spark.range(Pipeline.MaxMergeTableRows + 1L)
+      .select(col("id").as("rank"),
+        concat(lit("l"), col("id")).as("left_tok"),
+        concat(lit("r"), col("id")).as("right_tok"))
+      .write.parquet(bigDir)
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: bpe_annotate
+         |      table:
+         |        db: {type: parquet, path: $bigDir}
+         |""".stripMargin)
+    val msg = intercept[IllegalArgumentException](
+      Pipeline.run(spark, spec)).getMessage
+    assert(msg.contains("merge table") && msg.contains("bpe_train"))
+  }
+
   test("chunk step parses and matches the operator; bad sizes fail fast") {
     val spec = PipelineLoader.fromYaml(
       s"""pipeline:
@@ -552,8 +575,29 @@ class PipelineRunSpec extends SparkSpec {
          |    db: {type: parquet, path: $evPath}
          |  steps:
          |    - kind: freshness
+         |      key_col: event_type
          |      stale_sec: 0
          |""".stripMargin)).getMessage
     assert(msg.contains("stale_sec"))
+    // key_col is required — omitting the report grain fails at parse,
+    // not at execution against a column the data doesn't have
+    val msgKey = intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $evPath}
+         |  steps:
+         |    - kind: freshness
+         |      stale_sec: 60
+         |""".stripMargin)).getMessage
+    assert(msgKey.contains("key_col"))
+    val msgEntity = intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $evPath}
+         |  steps:
+         |    - kind: scd2
+         |      state_col: event_type
+         |""".stripMargin)).getMessage
+    assert(msgEntity.contains("entity_col"))
   }
 }

@@ -733,6 +733,29 @@ class OperatorsSpec extends SparkSpec {
     assert(grid(2L) == 0L)
   }
 
+  test("sliding span dedup: unmanaged form caches nothing; managed form releases") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, (1 to 12).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def cachedNow(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = cachedNow()
+    // unmanaged: a long-lived session calling this repeatedly must
+    // accumulate zero executor storage (no discarded persist handles)
+    Dedup.spanDedupSliding(d, 8).collect()
+    assert(cachedNow() == before, "unmanaged spanDedupSliding leaked a cache")
+    // managed: persists while live, empty again after release()
+    val plan = Dedup.spanDedupSlidingPlan(d, 8)
+    plan.df.collect()
+    assert((cachedNow() -- before).nonEmpty, "managed form should cache the gram table")
+    plan.release()
+    // unpersist is async; poll briefly
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while ((cachedNow() -- before).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(cachedNow() -- before == Set.empty[Int], "release() must drop the gram cache")
+  }
+
   test("sliding span dedup: agg first-seen == window first-seen; hot gram has no per-gram window funnel") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

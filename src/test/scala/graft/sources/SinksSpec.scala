@@ -161,6 +161,24 @@ class SinksSpec extends SparkSpec {
     assert(rankHit <= 11, s"rank layout should prune several files, hit $rankHit/16")
   }
 
+  test("rank z-order: bucket count above the interleave bit budget fails loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+    val cols4 = Seq(col("a"), col("b"), col("c"), col("d"))
+    // 4 layout columns → bitsFor(4) = 15 bits → max 32768 buckets;
+    // anything above would silently truncate the high buckets and fold
+    // the top of the distribution into the bottom of the curve
+    val msg = intercept[IllegalArgumentException](
+      Sinks.writeZOrderedRankN(df, "/tmp/never-written", cols4,
+        numFiles = 1, buckets = 32769)).getMessage
+    assert(msg.contains("32768"))
+    // 2 columns → 16 bits → 65536 is still the cap
+    val msg2 = intercept[IllegalArgumentException](
+      Sinks.writeZOrderedRankN(df, "/tmp/never-written",
+        Seq(col("a"), col("b")), numFiles = 1, buckets = 65537)).getMessage
+    assert(msg2.contains("65536"))
+  }
+
   test("zorderN: n=2 bit-identical to zorder2; 3-bit hand Morton; bounds") {
     import spark.implicits._
     val r = Seq((10L, 6L, 5L)).toDF("a", "b", "c").select(
