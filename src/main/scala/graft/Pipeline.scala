@@ -222,7 +222,7 @@ object Pipeline {
         .where(col("__qn") >= k)
         .drop("__qn")
 
-    case StepSpec.BpeAnnotate(tableSide, textCol) =>
+    case StepSpec.BpeAnnotate(tableSide, textCol, minRank) =>
       // the merge table is DRIVER-SIDE state by design (a trained
       // vocabulary, k rows) — bound the collect so a table: source
       // pointed at a corpus-sized frame is a loud config error, not a
@@ -238,8 +238,11 @@ object Pipeline {
         s"bpe_annotate: merge table source has more than $MaxMergeTableRows " +
           "rows — that is corpus-sized, not a trained vocabulary; point " +
           "table: at a bpe_train output (rank, left_tok, right_tok)")
-      TextAnalysis.bpeAnnotate(df,
-        rows.map(r => (r.getString(0), r.getString(1))).toSeq, textCol)
+      val merges = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+      // mode: min_rank = the classic encode loop external (HF-style)
+      // tables assume; default passes = bpeTrain's own replay
+      if (minRank) TextAnalysis.bpeAnnotateMinRank(df, merges, textCol)
+      else TextAnalysis.bpeAnnotate(df, merges, textCol)
 
     case StepSpec.Chunk(chunkSize, stride) =>
       TextAnalysis.chunk(df, chunkSize, stride)

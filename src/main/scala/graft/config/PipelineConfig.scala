@@ -190,10 +190,24 @@ object StepSpec {
     * annotates every document with n_tokens, n_pieces and merged_frac
     * — compression ratio and vocab coverage riding along the frame
     * for downstream filters/mixture decisions. The table is
-    * driver-side by construction (k rows) and applies through the
-    * uncapped native kernel.
+    * driver-side by construction (k rows, loudly bounded) and applies
+    * through the uncapped native kernel.
+    *
+    * WHICH ENCODE SEMANTICS APPLIES IS A CONFIG CHOICE (`mode:`):
+    * the default `passes` replays merges as rank-order passes — the
+    * loop [[graft.operators.TextAnalysis.bpeTrain]]'s own corpus
+    * rewrite runs, so tables THIS engine trained round-trip exactly.
+    * An EXTERNALLY-trained table (an HF-style `merges.txt`) assumes
+    * the classic min-rank-first loop instead — set `mode: min_rank`
+    * ([[graft.functions.BpeEncodeMinRank]]) or the annotation
+    * silently mis-tokenizes wherever a later merge re-enables an
+    * earlier one. In min_rank mode `merged_frac` is the
+    * merge-consumption rate (n_tokens − n_pieces)/n_tokens — merged
+    * pieces are plain concatenations carrying no marker, so the
+    * pass-mode merged-piece fraction is not observable there.
     */
-  final case class BpeAnnotate(table: SideSpec, textCol: String) extends StepSpec
+  final case class BpeAnnotate(table: SideSpec, textCol: String,
+      minRank: Boolean) extends StepSpec
 
   /** Chunking ([[graft.operators.TextAnalysis.chunk]]): REPLACES the
     * frame with overlapping token-window chunk rows (doc_id,
@@ -405,9 +419,15 @@ object PipelineLoader {
           opt(n, "tie_col").map(_.asText).getOrElse("event_id"),
           require(n, "state_col", where).asText)
       case "bpe_annotate" =>
+        val mode = opt(n, "mode").map(_.asText).getOrElse("passes")
+        if (!Set("passes", "min_rank")(mode))
+          throw new IllegalArgumentException(
+            s"$where: mode must be 'passes' (tables trained by bpe_train) " +
+              s"or 'min_rank' (externally-trained HF-style tables), got '$mode'")
         StepSpec.BpeAnnotate(
           side(require(n, "table", where), s"$where.table"),
-          opt(n, "text_col").map(_.asText).getOrElse("text"))
+          opt(n, "text_col").map(_.asText).getOrElse("text"),
+          mode == "min_rank")
       case "chunk" =>
         val size = opt(n, "chunk_size").map(_.asInt).getOrElse(32)
         val stride = opt(n, "stride").map(_.asInt).getOrElse(24)

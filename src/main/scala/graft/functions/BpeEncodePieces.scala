@@ -25,6 +25,22 @@ final case class BpeMergeTable(pairs: Seq[(String, String)])
   @transient lazy val right: Array[String] = pairs.map(_._2).toArray
   @transient lazy val merged: Array[String] =
     pairs.map { case (l, r) => l + "\u001f" + r }.toArray
+
+  /** Pair → 1-based rank, lowest rank winning duplicates — the probe
+    * table for [[BpeEncodeMinRank]]'s classic encode loop. Keyed
+    * `l + " " + r`: tokens come from a space split and min-rank merged
+    * pieces are space-free concatenations, so the space is
+    * unambiguous.
+    */
+  @transient lazy val minRankIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairs.size * 2)
+    var i = pairs.size - 1
+    while (i >= 0) {
+      m.put(pairs(i)._1 + " " + pairs(i)._2, Integer.valueOf(i + 1))
+      i -= 1
+    }
+    m
+  }
   def size: Int = pairs.size
 }
 

@@ -633,6 +633,59 @@ object TextAnalysis {
       size(graft.functions.BpeEncodePieces(col(textCol), merges))
         .cast("long").as("n_pieces"))
 
+  /** External-interop merge table behind the `ta_bpe_encode_minrank`
+    * gate: HF-style ranks over corpus-common tokens, deliberately
+    * exercising the two semantics the min-rank loop adds over the
+    * pass kernel — a CASCADE (rank 1's left token exists only after
+    * rank 2 merges it into being; ditto rank 6 ← rank 4) and a
+    * SELF-PAIR (rank 3). A rank-order pass encode over this table
+    * never fires ranks 1/6 at all.
+    */
+  val MinRankGateMerges: Seq[(String, String)] = Seq(
+    ("tablehash", "value"), ("table", "hash"), ("a", "a"),
+    ("value", "table"), ("fast", "table"), ("valuetable", "part"),
+    ("key", "agg"))
+
+  /** Classic (min-rank-first) BPE encode over an EXTERNALLY-trained
+    * merge table — the tokenizer-interop path: an HF-style
+    * `merges.txt` assumes this loop, not [[bpeEncode]]'s rank-order
+    * passes (which [[bpeTrain]]'s own tables replay; applying an
+    * external table through the pass kernel silently mis-tokenizes
+    * whenever a later merge re-enables an earlier one). Semantics and
+    * per-row cost live on [[graft.functions.BpeEncodeMinRank]]; this
+    * wrapper emits the per-doc report shape — token/piece counts plus
+    * the encoded piece string (space-joined: pieces are space-free by
+    * construction), one shuffle-free projection with the kernel
+    * evaluated once per row.
+    */
+  def bpeEncodeMinRank(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__p", graft.functions.BpeEncodeMinRank(col(textCol), merges))
+      .select(col("doc_id"),
+        size(bpeTokens(bpeRep(textCol))).cast("long").as("n_tokens"),
+        size(col("__p")).cast("long").as("n_pieces"),
+        array_join(col("__p"), " ").as("pieces_str"))
+
+  /** Annotation form of [[bpeEncodeMinRank]] — the `mode: min_rank`
+    * arm of the bpe_annotate pipeline step, for EXTERNALLY-trained
+    * merge tables. Same schema-stable shape as [[bpeAnnotate]]
+    * (adds n_tokens / n_pieces / merged_frac), but `merged_frac` here
+    * is the merge-consumption rate (n_tokens − n_pieces) / n_tokens:
+    * min-rank pieces are plain concatenations with no marker, so the
+    * pass kernel's merged-piece fraction is not observable — the
+    * consumption rate carries the same OOV signal (0 = the vocabulary
+    * never fired on this doc).
+    */
+  def bpeAnnotateMinRank(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", size(bpeTokens(bpeRep(textCol))).cast("long"))
+      .withColumn("n_pieces",
+        size(graft.functions.BpeEncodeMinRank(col(textCol), merges)).cast("long"))
+      .withColumn("merged_frac",
+        (col("n_tokens") - col("n_pieces")).cast("double") / col("n_tokens"))
+
   /** Annotation form of [[bpeEncodeNative]] + [[bpeCoverage]]: keeps
     * the incoming frame's columns and ADDS n_tokens / n_pieces /
     * merged_frac — the shape a pipeline step needs (schema-stable
@@ -895,6 +948,13 @@ object TextAnalysis {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeCoverage(table(s, dir, "documents"), m).orderBy("doc_id")
     }),
+    // the classic min-rank-first encode loop over the hand-built
+    // EXTERNAL-style table (cascades + self-pair) — the semantics an
+    // HF-style merges.txt assumes; oracle replays it one merge at a
+    // time via recursive string surgery
+    "ta_bpe_encode_minrank" -> ((s, dir) =>
+      bpeEncodeMinRank(table(s, dir, "documents"), MinRankGateMerges)
+        .orderBy("doc_id")),
     "ta_tfidf" -> ((s, dir) =>
       tfidfTop(table(s, dir, "documents"), k = 3).orderBy("doc_id", "rank")),
     "ta_chunk" -> ((s, dir) =>
@@ -945,7 +1005,47 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** The gate's external table as a VALUES list for the min-rank
+    * oracle.
+    */
+  private def minRankValues: String = MinRankGateMerges.zipWithIndex
+    .map { case ((l, r), i) => s"(${i + 1}, '$l', '$r')" }.mkString(", ")
+
   def oracles: Map[String, String] = Map(
+    // classic BPE replayed ONE MERGE AT A TIME: each recursion step
+    // finds the doc's min-rank applicable pair and splices its
+    // LEFTMOST occurrence via string surgery (substr around strpos —
+    // DuckDB's replace() hits all occurrences, which is the pass
+    // semantics, not this one). Reps shrink strictly, so recursion
+    // terminates; a doc's final row is the one no merge applies to.
+    "ta_bpe_encode_minrank" ->
+      s"""WITH RECURSIVE m(rank, l, r) AS (VALUES $minRankValues),
+         |d0 AS (SELECT doc_id, '|' || array_to_string(
+         |  string_split_regex(trim(translate(text, '|' || chr(31), '')), ' +'),
+         |  '||') || '|' AS rep FROM documents),
+         |enc AS (
+         |  SELECT doc_id, rep FROM d0
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    substr(rep, 1, p - 1) || '|' || l || r || '|' ||
+         |      substr(rep, p + 4 + len(l) + len(r))
+         |  FROM (
+         |    SELECT t.doc_id, t.rep, m.l, m.r,
+         |      strpos(t.rep, '|' || m.l || '||' || m.r || '|') AS p
+         |    FROM (
+         |      SELECT e.doc_id, e.rep,
+         |        (SELECT min(rank) FROM m
+         |          WHERE strpos(e.rep, '|' || m.l || '||' || m.r || '|') > 0) AS br
+         |      FROM enc e) t
+         |    JOIN m ON m.rank = t.br)),
+         |fin AS (SELECT doc_id, rep FROM enc e
+         |  WHERE NOT EXISTS (SELECT 1 FROM m
+         |    WHERE strpos(e.rep, '|' || m.l || '||' || m.r || '|') > 0))
+         |SELECT f.doc_id,
+         | CAST(len(string_split(trim(d0.rep, '|'), '||')) AS BIGINT) AS n_tokens,
+         | CAST(len(string_split(trim(f.rep, '|'), '||')) AS BIGINT) AS n_pieces,
+         | replace(trim(f.rep, '|'), '||', ' ') AS pieces_str
+         |FROM fin f JOIN d0 USING (doc_id) ORDER BY doc_id""".stripMargin,
     "ta_bpe_train" -> (bpeCtes(5) + "\n" +
       (1 to 5).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, w1 AS left_tok, " +

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BpeEncodePieces, DotLong, TopKAgg, UnicodeNormalize}
+import graft.functions.{BpeEncodeMinRank, BpeEncodePieces, DotLong, TopKAgg, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension registration — the idiomatic injection point for
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(UnicodeNormalize.descriptor)
     ext.injectFunction(TopKAgg.descriptor)
     ext.injectFunction(BpeEncodePieces.descriptor)
+    ext.injectFunction(BpeEncodeMinRank.descriptor)
   }
 }
 
@@ -35,5 +36,9 @@ object GraftExtensions {
       BpeEncodePieces.descriptor._1,
       BpeEncodePieces.descriptor._2,
       BpeEncodePieces.descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      BpeEncodeMinRank.descriptor._1,
+      BpeEncodeMinRank.descriptor._2,
+      BpeEncodeMinRank.descriptor._3)
   }
 }

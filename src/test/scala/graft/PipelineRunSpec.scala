@@ -468,6 +468,51 @@ class PipelineRunSpec extends SparkSpec {
     assert(gotCov == cov)
   }
 
+  test("bpe_annotate step: mode min_rank applies the classic loop; bad mode fails at parse") {
+    val docs = spark.read.parquet(docsPath)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-bpe-mr").toString + "/t"
+    // an external-style table with a cascade — the case the mode exists for
+    import spark.implicits._
+    Seq((1L, "tablehash", "value"), (2L, "table", "hash"))
+      .toDF("rank", "left_tok", "right_tok").write.parquet(tableDir)
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: bpe_annotate
+         |      table:
+         |        db: {type: parquet, path: $tableDir}
+         |      mode: min_rank
+         |""".stripMargin)
+    assert(spec.steps == Seq(StepSpec.BpeAnnotate(
+      spec.steps.head.asInstanceOf[StepSpec.BpeAnnotate].table, "text", true)))
+    val got = Pipeline.run(spark, spec)
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = graft.operators.TextAnalysis.bpeEncodeMinRank(docs,
+        Seq(("tablehash", "value"), ("table", "hash")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect && got.nonEmpty)
+    // the cascade actually fired somewhere (min_rank < passes pieces)
+    val passes = graft.operators.TextAnalysis.bpeEncodeNative(docs,
+        Seq(("tablehash", "value"), ("table", "hash")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists { case (id, (_, np)) => np < passes(id) },
+      "fixture drift: cascade never fired, modes indistinguishable")
+    val msg = intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: bpe_annotate
+         |      table:
+         |        db: {type: parquet, path: $tableDir}
+         |      mode: classic
+         |""".stripMargin)).getMessage
+    assert(msg.contains("min_rank"))
+  }
+
   test("bpe_annotate step: corpus-sized merge table is a loud config error, not an OOM") {
     val bigDir = java.nio.file.Files.createTempDirectory("graft-bpe-big").toString + "/t"
     // one row over the cap — the fetch is limit(cap+1) so the driver
