@@ -110,7 +110,52 @@ object Curation {
     * corpus streams through. Interval merge runs per (doc, bench_doc)
     * window, bounded by document length. Exact integers only.
     */
-  def decontaminateSpans(candidates: DataFrame, bench: DataFrame): DataFrame = {
+  def decontaminateSpans(candidates: DataFrame, bench: DataFrame): DataFrame =
+    spanAudit(candidates, bench, keptPairs = None)
+
+  /** Containment-prefiltered span audit — [[decontaminateSpans]] with
+    * the pair grain CUT BEFORE the positional machinery: only (train
+    * doc, bench doc) pairs sharing at least `minSharedShingles`
+    * DISTINCT benchmark shingles reach the positional join + interval
+    * merge. Single-shingle pair coincidences (a common phrase, a
+    * formulaic header) dominate the pair population at corpus scale —
+    * the floor drops that tail, which is exactly the population whose
+    * per-pair windows made the unpruned audit the steepest genuine
+    * scale curve on the surface. Floor ≤ 1 reproduces
+    * [[decontaminateSpans]] verbatim (spec-asserted): every pair in
+    * the positional join shares ≥ 1 shingle by construction.
+    *
+    * Scale shape: the pair floor is computed at the DISTINCT
+    * (doc, shingle) grain — [[graft.operators.Dedup.shingleDf]]'s
+    * posting-list shape, one map-side-combinable count at the pair
+    * grain, the `dd_containment` machinery — and applied as a
+    * left-semi join on the pair key before [[Dedup.gramIslands]]'s
+    * per-pair windows. Cost: one extra linear shingle pass over the
+    * candidate corpus buys a floor-tunable cut of the window volume,
+    * the supra-linear part. The benchmark side stays the small
+    * build side throughout.
+    */
+  def decontaminateSpansPruned(candidates: DataFrame, bench: DataFrame,
+      minSharedShingles: Long): DataFrame = {
+    require(minSharedShingles >= 0,
+      s"decontaminateSpansPruned: minSharedShingles must be >= 0, got $minSharedShingles")
+    val benchSh = Dedup.shingleDf(bench)
+      .select(col("doc_id").as("bench_doc"), col("shingle"))
+    val kept = Dedup.shingleDf(candidates)
+      .join(benchSh, Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minSharedShingles)
+      .select(col("doc_id"), col("bench_doc"))
+    spanAudit(candidates, bench, keptPairs = Some(kept))
+  }
+
+  /** Shared span-audit core: positional candidate 3-grams joined to
+    * the benchmark shingle set, optionally restricted to a kept-pair
+    * whitelist, islands merged per pair.
+    */
+  private def spanAudit(candidates: DataFrame, bench: DataFrame,
+      keptPairs: Option[DataFrame]): DataFrame = {
     val k = 3
     val ts = split(trim(col("text")), " +")
     val cand = candidates
@@ -122,8 +167,10 @@ object Curation {
           .as(Seq("pos", "shingle")))
     val benchSh = Dedup.shingleDf(bench)
       .select(col("doc_id").as("bench_doc"), col("shingle"))
-    Dedup.gramIslands(cand.join(benchSh, Seq("shingle")),
-        Seq("doc_id", "bench_doc"), k)
+    val matched = cand.join(benchSh, Seq("shingle"))
+    val restricted = keptPairs.fold(matched)(kp =>
+      matched.join(kp, Seq("doc_id", "bench_doc"), "left_semi"))
+    Dedup.gramIslands(restricted, Seq("doc_id", "bench_doc"), k)
       .groupBy(col("doc_id"), col("bench_doc"))
       .agg(sum(col("hits")).as("n_hits"),
         min(col("s")).cast("long").as("first_pos"),
@@ -322,6 +369,18 @@ object Curation {
         d.where(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy("doc_id", "bench_doc")
     }),
+    // the containment-prefiltered audit: floor 2 drops the
+    // single-shared-shingle coincidence tail (the dominant pair
+    // population at every sf — it provably changes rows here) before
+    // any per-pair window runs
+    "cur_decontam_spans_pruned" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      decontaminateSpansPruned(
+        d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(97)) === 0),
+        minSharedShingles = 2L)
+        .orderBy("doc_id", "bench_doc")
+    }),
     // the retention funnel over a declarative 3-step pipeline —
     // exact per-step in/out counts and drop ppm
     "pipe_funnel" -> ((s, dir) => {
@@ -518,6 +577,40 @@ object Curation {
          |      UNNEST(range(1, len(ts)-1)) AS u(i)),
          |m AS (SELECT cs.doc_id, bs.bench_doc, cs.pos
          |      FROM cs JOIN bs USING (shingle)),
+         |d AS (SELECT doc_id, bench_doc, pos,
+         |  MAX(pos + 3) OVER (PARTITION BY doc_id, bench_doc ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         | FROM m),
+         |i2 AS (SELECT doc_id, bench_doc, pos,
+         |  SUM(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id, bench_doc ORDER BY pos) AS island
+         | FROM d),
+         |c AS (SELECT doc_id, bench_doc, island, COUNT(*) AS hits,
+         |  MIN(pos) AS s, MAX(pos) + 3 AS e
+         | FROM i2 GROUP BY 1, 2, 3)
+         |SELECT doc_id, bench_doc, CAST(SUM(hits) AS BIGINT) AS n_hits,
+         | CAST(MIN(s) AS BIGINT) AS first_pos,
+         | CAST(MAX(e) - 3 AS BIGINT) AS last_pos,
+         | CAST(SUM(e - s) AS BIGINT) AS covered_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY doc_id, bench_doc""".stripMargin,
+    // the pruned twin: kp = pairs sharing >= 2 DISTINCT shingles (the
+    // containment posting-list count), applied before the island merge
+    "cur_decontam_spans_pruned" ->
+      s"""WITH bs AS (SELECT DISTINCT doc_id AS bench_doc, shingle
+         | FROM (${Dedup.shingleSql}) WHERE doc_id % 97 = 0),
+         |kp AS (SELECT cand.doc_id, bs.bench_doc
+         | FROM (SELECT doc_id, shingle FROM (${Dedup.shingleSql})
+         |       WHERE doc_id % 97 <> 0) cand
+         | JOIN bs USING (shingle)
+         | GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |cs AS (SELECT doc_id, i - 1 AS pos,
+         |   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         | FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
+         |       FROM documents WHERE doc_id % 97 <> 0),
+         |      UNNEST(range(1, len(ts)-1)) AS u(i)),
+         |m AS (SELECT cs.doc_id, bs.bench_doc, cs.pos
+         |      FROM cs JOIN bs USING (shingle)
+         |      JOIN kp USING (doc_id, bench_doc)),
          |d AS (SELECT doc_id, bench_doc, pos,
          |  MAX(pos + 3) OVER (PARTITION BY doc_id, bench_doc ORDER BY pos
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end

@@ -1186,6 +1186,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!r.keySet.exists(_._2 == 200L))
   }
 
+  test("pruned decontaminate spans: floor <= 1 reproduces the unpruned audit; the floor cuts the coincidence tail") {
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val full = Curation.decontaminateSpans(cand, bench)
+      .orderBy("doc_id", "bench_doc").collect().map(_.toString)
+    // every positional match shares >= 1 shingle by construction, so
+    // floors 0 and 1 must be byte-identical to the unpruned form
+    Seq(0L, 1L).foreach { f =>
+      val pruned = Curation.decontaminateSpansPruned(cand, bench, f)
+        .orderBy("doc_id", "bench_doc").collect().map(_.toString)
+      assert(pruned.sameElements(full), s"floor $f must be a no-op")
+    }
+    assert(full.length > 0)
+    // floor 2: exactly the pairs with >= 2 DISTINCT shared shingles
+    // survive, and the audit rows for survivors are unchanged
+    val sharedCounts = Curation.decontaminateSpansPruned(cand, bench, 2L)
+      .orderBy("doc_id", "bench_doc").collect().map(_.toString)
+    val fullSet = full.toSet
+    assert(sharedCounts.length < full.length,
+      "floor 2 must drop the single-shingle coincidence tail on the gate corpus")
+    assert(sharedCounts.forall(fullSet.contains),
+      "pruning must never alter a surviving pair's span rows")
+    // n_hits >= 2 is NOT the same predicate as >= 2 distinct shingles
+    // (positional hits repeat a shingle) — verify against a direct
+    // distinct-shingle pair count, not against n_hits
+    val kept = sharedCounts.length
+    val pairCounts = graft.operators.Dedup
+      .shingleDf(cand)
+      .join(graft.operators.Dedup.shingleDf(bench)
+        .select(col("doc_id").as("bench_doc"), col("shingle")), Seq("shingle"))
+      .groupBy("doc_id", "bench_doc").count()
+      .where(col("count") >= 2).count()
+    assert(kept.toLong == pairCounts)
+  }
+
   test("commonness: hand-computed df sums, hapax counts and ratio") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
