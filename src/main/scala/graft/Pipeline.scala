@@ -92,6 +92,7 @@ object Pipeline {
     case _: StepSpec.EpochOrder      => "epoch_order"
     case _: StepSpec.Pack            => "pack"
     case _: StepSpec.KAnonSuppress   => "k_anon_suppress"
+    case _: StepSpec.BpeTrain        => "bpe_train"
     case _: StepSpec.BpeAnnotate     => "bpe_annotate"
     case _: StepSpec.Chunk           => "chunk"
     case _: StepSpec.Scd2            => "scd2"
@@ -221,6 +222,18 @@ object Pipeline {
               .partitionBy(quasiCols.map(col): _*)))
         .where(col("__qn") >= k)
         .drop("__qn")
+
+    case StepSpec.BpeTrain(merges, textCol, path, sampleK) =>
+      // EAGER side-output boundary by design: the merge table must
+      // exist on disk before a later bpe_annotate step resolves its
+      // table: source (steps apply in order, and bpe_annotate's
+      // collect is itself eager). The main frame passes through
+      // untouched — training is a side effect, not a transform.
+      val trainInput = sampleK.fold(df)(k =>
+        Sampling.fixedK(df, col("doc_id"), k, "bpe"))
+      Sinks.write(TextAnalysis.bpeTrain(trainInput, merges, textCol), path,
+        Sinks.SinkSpec())
+      df
 
     case StepSpec.BpeAnnotate(tableSide, textCol, minRank) =>
       // the merge table is DRIVER-SIDE state by design (a trained

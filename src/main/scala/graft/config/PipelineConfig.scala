@@ -209,6 +209,24 @@ object StepSpec {
   final case class BpeAnnotate(table: SideSpec, textCol: String,
       minRank: Boolean) extends StepSpec
 
+  /** Tokenizer training side-output
+    * ([[graft.operators.TextAnalysis.bpeTrain]]): trains `merges` BPE
+    * merges on the incoming frame — or on a fixed-k deterministic
+    * sample of it when `sample_k` is set, the production scale path:
+    * pair statistics converge long before corpus scale, making every
+    * training round O(k) regardless of corpus size — and writes the
+    * learned merge table (rank, left_tok, right_tok, n) as parquet to
+    * `path`, then passes the frame through UNCHANGED. This is the
+    * config-first tokenizer story's missing first act: a downstream
+    * [[BpeAnnotate]] step points `table:` at the same path (steps
+    * execute in order, and the write is an EAGER side-output boundary
+    * by design), so train → annotate → filter runs end-to-end from
+    * one YAML. Tables this step trains apply under the annotate
+    * step's default `mode: passes`.
+    */
+  final case class BpeTrain(merges: Int, textCol: String, path: String,
+      sampleK: Option[Int]) extends StepSpec
+
   /** Chunking ([[graft.operators.TextAnalysis.chunk]]): REPLACES the
     * frame with overlapping token-window chunk rows (doc_id,
     * chunk_idx, start_tok, n_chunk_toks, chunk_md5) — the
@@ -418,6 +436,18 @@ object PipelineLoader {
           opt(n, "ts_col").map(_.asText).getOrElse("ts"),
           opt(n, "tie_col").map(_.asText).getOrElse("event_id"),
           require(n, "state_col", where).asText)
+      case "bpe_train" =>
+        val merges = opt(n, "merges").map(_.asInt).getOrElse(5)
+        if (merges < 1 || merges > 100)
+          throw new IllegalArgumentException(
+            s"$where: merges must be in [1, 100] (got $merges)")
+        val sampleK = opt(n, "sample_k").map(_.asInt)
+        if (sampleK.exists(_ <= 0))
+          throw new IllegalArgumentException(s"$where: sample_k must be positive")
+        StepSpec.BpeTrain(merges,
+          opt(n, "text_col").map(_.asText).getOrElse("text"),
+          require(n, "path", where).asText,
+          sampleK)
       case "bpe_annotate" =>
         val mode = opt(n, "mode").map(_.asText).getOrElse("passes")
         if (!Set("passes", "min_rank")(mode))
@@ -451,7 +481,8 @@ object PipelineLoader {
             "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
             "split, forget, lm_filter, temperature, stratified, kfold, " +
             "quality_normalize, mixture, quality_weighted, fixed_k, " +
-            "epoch_order, pack, k_anon_suppress, scd2, freshness, chunk, bpe_annotate)")
+            "epoch_order, pack, k_anon_suppress, scd2, freshness, chunk, " +
+            "bpe_train, bpe_annotate)")
     }
   }
 }

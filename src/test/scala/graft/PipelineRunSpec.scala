@@ -468,6 +468,93 @@ class PipelineRunSpec extends SparkSpec {
     assert(gotCov == cov)
   }
 
+  test("bpe_train step: side-output table, pass-through frame, train->annotate from one config") {
+    val docs = spark.read.parquet(docsPath)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-bpe-train").toString + "/t"
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: bpe_train
+         |      merges: 3
+         |      path: $tableDir
+         |    - kind: bpe_annotate
+         |      table:
+         |        db: {type: parquet, path: $tableDir}
+         |""".stripMargin)
+    assert(spec.steps.head == StepSpec.BpeTrain(3, "text", tableDir, None))
+    val got = Pipeline.run(spark, spec)
+    // pass-through + annotation: original columns survive, metrics ride
+    assert(docs.columns.toSet.subsetOf(got.columns.toSet))
+    assert(got.count() == docs.count())
+    // the side table on disk IS bpeTrain's output
+    val written = spark.read.parquet(tableDir).orderBy("rank")
+      .collect().map(_.toString)
+    val direct = graft.operators.TextAnalysis.bpeTrain(docs, 3).orderBy("rank")
+      .collect().map(_.toString)
+    assert(written.length == 3 && written.sameElements(direct))
+    // and the annotation used exactly that table
+    val trained = graft.operators.TextAnalysis.bpeTrain(docs, 3).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val expect = graft.operators.TextAnalysis.bpeEncodeNative(docs, trained)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gotMap = got.select(col("doc_id"), col("n_tokens"), col("n_pieces"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotMap == expect)
+
+    // sampled variant: trains on the fixed-k hash sample
+    val tableDir2 = java.nio.file.Files.createTempDirectory("graft-bpe-train2").toString + "/t"
+    val spec2 = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: bpe_train
+         |      merges: 2
+         |      sample_k: 200
+         |      path: $tableDir2
+         |""".stripMargin)
+    assert(spec2.steps == Seq(StepSpec.BpeTrain(2, "text", tableDir2, Some(200))))
+    Pipeline.run(spark, spec2).count()
+    val sampled = spark.read.parquet(tableDir2).orderBy("rank")
+      .collect().map(_.toString)
+    val directSampled = graft.operators.TextAnalysis.bpeTrain(
+        graft.operators.Sampling.fixedK(docs, col("doc_id"), 200, "bpe"), 2)
+      .orderBy("rank").collect().map(_.toString)
+    assert(sampled.sameElements(directSampled))
+
+    // parse validation fails fast
+    def bad(yaml: String, needle: String): Unit = {
+      val msg = intercept[IllegalArgumentException](
+        PipelineLoader.fromYaml(yaml)).getMessage
+      assert(msg.contains(needle), s"'$msg' should mention '$needle'")
+    }
+    bad(s"""pipeline:
+           |  input:
+           |    db: {type: parquet, path: $docsPath}
+           |  steps:
+           |    - kind: bpe_train
+           |      merges: 3
+           |""".stripMargin, "path")
+    bad(s"""pipeline:
+           |  input:
+           |    db: {type: parquet, path: $docsPath}
+           |  steps:
+           |    - kind: bpe_train
+           |      merges: 101
+           |      path: /tmp/x
+           |""".stripMargin, "[1, 100]")
+    bad(s"""pipeline:
+           |  input:
+           |    db: {type: parquet, path: $docsPath}
+           |  steps:
+           |    - kind: bpe_train
+           |      sample_k: 0
+           |      path: /tmp/x
+           |""".stripMargin, "sample_k")
+  }
+
   test("bpe_annotate step: mode min_rank applies the classic loop; bad mode fails at parse") {
     val docs = spark.read.parquet(docsPath)
     val tableDir = java.nio.file.Files.createTempDirectory("graft-bpe-mr").toString + "/t"
