@@ -34,10 +34,13 @@ final case class BpeMergeTable(pairs: Seq[(String, String)])
     */
   @transient lazy val minRankIndex: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](pairs.size * 2)
-    var i = pairs.size - 1
-    while (i >= 0) {
-      m.put(pairs(i)._1 + " " + pairs(i)._2, Integer.valueOf(i + 1))
-      i -= 1
+    var rank = 1
+    // forward traversal (pairs is a Seq — indexed access would be
+    // O(n²) on a List at vocabulary size); putIfAbsent keeps the
+    // LOWEST rank on duplicate pairs
+    pairs.foreach { case (l, r) =>
+      m.putIfAbsent(l + " " + r, Integer.valueOf(rank))
+      rank += 1
     }
     m
   }

@@ -166,6 +166,25 @@ class BpeEncodeMinRankSpec extends SparkSpec {
         plan.take(1200))
   }
 
+  test("30k-merge vocabulary: result identical to the 100-merge prefix that can fire; cost is probe-bound, not table-bound") {
+    // the min-rank kernel's per-row cost is O(adjacent-pair probes +
+    // merges_applied · log pieces) — INDEPENDENT of table size (the
+    // pass kernel pays O(merges) skips per row): 29,900 absent merges
+    // must change nothing but the hash map build
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val live = TextAnalysis.MinRankGateMerges
+    val vocab = live ++ (1 to (30000 - live.size)).map(i => (s"zzz${i}a", s"zzz${i}b"))
+    assert(vocab.size == 30000)
+    val small = TextAnalysis.bpeEncodeMinRank(docs, live)
+      .collect().map(_.toString).sorted
+    val t0 = System.nanoTime()
+    val big = TextAnalysis.bpeEncodeMinRank(docs, vocab)
+      .collect().map(_.toString).sorted
+    val wall = (System.nanoTime() - t0) / 1e9
+    info(f"30k-merge min-rank encode over ${small.length} docs: $wall%.2f s")
+    assert(big.sameElements(small))
+  }
+
   test("SQL registration: literal-table form equals the Column API; non-literal rejected") {
     graft.plans.GraftExtensions.register(spark)
     val merges = Seq(("ab", "c"), ("a", "b"))
