@@ -111,51 +111,58 @@ object Curation {
     * window, bounded by document length. Exact integers only.
     */
   def decontaminateSpans(candidates: DataFrame, bench: DataFrame): DataFrame =
-    spanAudit(candidates, bench, keptPairs = None)
+    spanAuditBuild(candidates, bench, minSharedShingles = None,
+      cacheMatches = false).df
 
   /** Containment-prefiltered span audit — [[decontaminateSpans]] with
-    * the pair grain CUT BEFORE the positional machinery: only (train
-    * doc, bench doc) pairs sharing at least `minSharedShingles`
-    * DISTINCT benchmark shingles reach the positional join + interval
-    * merge. Single-shingle pair coincidences (a common phrase, a
-    * formulaic header) dominate the pair population at corpus scale —
-    * the floor drops that tail, which is exactly the population whose
-    * per-pair windows made the unpruned audit the steepest genuine
-    * scale curve on the surface. Floor ≤ 1 reproduces
-    * [[decontaminateSpans]] verbatim (spec-asserted): every pair in
-    * the positional join shares ≥ 1 shingle by construction.
+    * the pair grain CUT BEFORE the per-pair windows: only (train doc,
+    * bench doc) pairs sharing at least `minSharedShingles` DISTINCT
+    * benchmark shingles reach the interval merge. Single-shingle pair
+    * coincidences (a common phrase, a formulaic header) dominate the
+    * pair population at corpus scale — the floor drops that tail,
+    * which is exactly the population whose per-pair windows made the
+    * unpruned audit the steepest genuine scale curve on the surface.
+    * Floor ≤ 1 reproduces [[decontaminateSpans]] verbatim
+    * (spec-asserted): every positional match shares ≥ 1 shingle by
+    * construction.
     *
-    * Scale shape: the pair floor is computed at the DISTINCT
-    * (doc, shingle) grain — [[graft.operators.Dedup.shingleDf]]'s
-    * posting-list shape, one map-side-combinable count at the pair
-    * grain, the `dd_containment` machinery — and applied as a
-    * left-semi join on the pair key before [[Dedup.gramIslands]]'s
-    * per-pair windows. Cost: one extra linear shingle pass over the
-    * candidate corpus buys a floor-tunable cut of the window volume,
-    * the supra-linear part. The benchmark side stays the small
-    * build side throughout.
+    * Scale shape: the pair floor is derived from the SAME positional
+    * match set the windows consume — `countDistinct(shingle)` at the
+    * pair grain (planned as a partial-distinct two-phase aggregate:
+    * map-side dedup to (pair, shingle) triples, never a corpus-wide
+    * `distinct()` — a first cut that prefiltered via a second
+    * distinct-grain shingle pass MEASURED SLOWER than the unpruned
+    * audit at 100× data, the extra corpus shuffle eating the window
+    * savings) — then applied as a left-semi join on the pair key
+    * before [[Dedup.gramIslands]]. Unmanaged form: no caching, the
+    * match join computes twice (two linear scans, zero cache
+    * residue); [[decontaminateSpansPrunedPlan]] persists the match
+    * set once behind the release contract.
     */
   def decontaminateSpansPruned(candidates: DataFrame, bench: DataFrame,
-      minSharedShingles: Long): DataFrame = {
-    require(minSharedShingles >= 0,
-      s"decontaminateSpansPruned: minSharedShingles must be >= 0, got $minSharedShingles")
-    val benchSh = Dedup.shingleDf(bench)
-      .select(col("doc_id").as("bench_doc"), col("shingle"))
-    val kept = Dedup.shingleDf(candidates)
-      .join(benchSh, Seq("shingle"))
-      .groupBy(col("doc_id"), col("bench_doc"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minSharedShingles)
-      .select(col("doc_id"), col("bench_doc"))
-    spanAudit(candidates, bench, keptPairs = Some(kept))
-  }
+      minSharedShingles: Long): DataFrame =
+    spanAuditBuild(candidates, bench, Some(minSharedShingles),
+      cacheMatches = false).df
+
+  /** Managed form of [[decontaminateSpansPruned]]: the positional
+    * match set feeds both the pair-floor aggregate and the island
+    * merge, so it is persisted behind the release contract (one
+    * match join, not two).
+    */
+  def decontaminateSpansPrunedPlan(candidates: DataFrame, bench: DataFrame,
+      minSharedShingles: Long): DedupPlan =
+    spanAuditBuild(candidates, bench, Some(minSharedShingles),
+      cacheMatches = true)
 
   /** Shared span-audit core: positional candidate 3-grams joined to
-    * the benchmark shingle set, optionally restricted to a kept-pair
-    * whitelist, islands merged per pair.
+    * the benchmark shingle set, optionally pair-floor-pruned, islands
+    * merged per pair.
     */
-  private def spanAudit(candidates: DataFrame, bench: DataFrame,
-      keptPairs: Option[DataFrame]): DataFrame = {
+  private def spanAuditBuild(candidates: DataFrame, bench: DataFrame,
+      minSharedShingles: Option[Long], cacheMatches: Boolean): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    minSharedShingles.foreach(f => require(f >= 0,
+      s"decontaminateSpansPruned: minSharedShingles must be >= 0, got $f"))
     val k = 3
     val ts = split(trim(col("text")), " +")
     val cand = candidates
@@ -167,15 +174,26 @@ object Curation {
           .as(Seq("pos", "shingle")))
     val benchSh = Dedup.shingleDf(bench)
       .select(col("doc_id").as("bench_doc"), col("shingle"))
-    val matched = cand.join(benchSh, Seq("shingle"))
-    val restricted = keptPairs.fold(matched)(kp =>
-      matched.join(kp, Seq("doc_id", "bench_doc"), "left_semi"))
-    Dedup.gramIslands(restricted, Seq("doc_id", "bench_doc"), k)
+    val matchedBase = cand.join(benchSh, Seq("shingle"))
+    val matched =
+      if (cacheMatches) matchedBase.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      else matchedBase
+    val restricted = minSharedShingles.fold(matched) { floor =>
+      val kept = matched
+        .groupBy(col("doc_id"), col("bench_doc"))
+        .agg(countDistinct(col("shingle")).as("n_shared"))
+        .where(col("n_shared") >= floor)
+        .select(col("doc_id"), col("bench_doc"))
+      matched.join(kept, Seq("doc_id", "bench_doc"), "left_semi")
+    }
+    val out = Dedup.gramIslands(restricted, Seq("doc_id", "bench_doc"), k)
       .groupBy(col("doc_id"), col("bench_doc"))
       .agg(sum(col("hits")).as("n_hits"),
         min(col("s")).cast("long").as("first_pos"),
         (max(col("e")) - k).cast("long").as("last_pos"),
         sum(col("e") - col("s")).as("covered_tokens"))
+    DedupPlan(out, "decontam_spans_pruned",
+      if (cacheMatches) Seq(matched) else Nil)
   }
 
   /** Bloom-filter decontamination — the variant for benchmark suites
@@ -375,11 +393,13 @@ object Curation {
     // any per-pair window runs
     "cur_decontam_spans_pruned" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      decontaminateSpansPruned(
+      // managed form: the match set feeds the floor aggregate AND the
+      // island merge — one join, persisted (the noveltyStats pattern)
+      decontaminateSpansPrunedPlan(
         d.where(pmod(col("doc_id"), lit(97)) =!= 0),
         d.where(pmod(col("doc_id"), lit(97)) === 0),
         minSharedShingles = 2L)
-        .orderBy("doc_id", "bench_doc")
+        .df.orderBy("doc_id", "bench_doc")
     }),
     // the retention funnel over a declarative 3-step pipeline —
     // exact per-step in/out counts and drop ppm

@@ -1795,9 +1795,12 @@ object Dedup {
 
     // Sliding-window (stride-1, 8-token) substring dedup with merged
     // duplicated-span token coverage — catches duplicates at ANY
-    // offset, not just the 20-token block grid.
+    // offset, not just the 20-token block grid. Managed plan form:
+    // the gram table feeds two consumers, so the gate takes the
+    // one-pass cached shape (the unmanaged form is deliberately
+    // cache-free for long-lived sessions and pays a second gram pass)
     "dd_span_sliding" -> ((s, dir) =>
-      spanDedupSliding(table(s, dir, "documents"), 8).orderBy("doc_id")),
+      spanDedupSlidingPlan(table(s, dir, "documents"), 8).df.orderBy("doc_id")),
 
     // LSH candidates → exact-jaccard verification: the two-stage
     // near-dup pipeline (exactness over O(candidates), never corpus²).
