@@ -223,14 +223,17 @@ object Pipeline {
         .where(col("__qn") >= k)
         .drop("__qn")
 
-    case StepSpec.BpeTrain(merges, textCol, path, sampleK) =>
+    case StepSpec.BpeTrain(merges, textCol, keyCol, path, sampleK) =>
       // EAGER side-output boundary by design: the merge table must
       // exist on disk before a later bpe_annotate step resolves its
       // table: source (steps apply in order, and bpe_annotate's
       // collect is itself eager). The main frame passes through
       // untouched — training is a side effect, not a transform.
+      // Upstream steps therefore compute once here and again at final
+      // materialization (documented on the StepSpec) — place this
+      // step early, or use funnel() for single-execution stages.
       val trainInput = sampleK.fold(df)(k =>
-        Sampling.fixedK(df, col("doc_id"), k, "bpe"))
+        Sampling.fixedK(df, col(keyCol), k, "bpe"))
       Sinks.write(TextAnalysis.bpeTrain(trainInput, merges, textCol), path,
         Sinks.SinkSpec())
       df

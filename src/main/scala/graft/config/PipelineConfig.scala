@@ -222,10 +222,21 @@ object StepSpec {
     * execute in order, and the write is an EAGER side-output boundary
     * by design), so train → annotate → filter runs end-to-end from
     * one YAML. Tables this step trains apply under the annotate
-    * step's default `mode: passes`.
+    * step's default `mode: passes`. `key_col` is the sample_k hash
+    * key (default doc_id — the corpus-standard key every sampler
+    * step defaults to, unlike scd2/freshness whose defaults were
+    * fixture-specific and are therefore required).
+    *
+    * COST NOTE: the boundary is eager inside [[graft.Pipeline.run]]'s
+    * otherwise one-lazy-plan model, so upstream steps compute once
+    * for the training write and AGAIN when the pipeline's final
+    * frame materializes. Place bpe_train before expensive transform
+    * steps (its natural position — train on the raw corpus), or run
+    * via [[graft.Pipeline.funnel]], whose per-stage caching makes
+    * every step single-execution.
     */
-  final case class BpeTrain(merges: Int, textCol: String, path: String,
-      sampleK: Option[Int]) extends StepSpec
+  final case class BpeTrain(merges: Int, textCol: String, keyCol: String,
+      path: String, sampleK: Option[Int]) extends StepSpec
 
   /** Chunking ([[graft.operators.TextAnalysis.chunk]]): REPLACES the
     * frame with overlapping token-window chunk rows (doc_id,
@@ -446,6 +457,7 @@ object PipelineLoader {
           throw new IllegalArgumentException(s"$where: sample_k must be positive")
         StepSpec.BpeTrain(merges,
           opt(n, "text_col").map(_.asText).getOrElse("text"),
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
           require(n, "path", where).asText,
           sampleK)
       case "bpe_annotate" =>

@@ -483,7 +483,7 @@ class PipelineRunSpec extends SparkSpec {
          |      table:
          |        db: {type: parquet, path: $tableDir}
          |""".stripMargin)
-    assert(spec.steps.head == StepSpec.BpeTrain(3, "text", tableDir, None))
+    assert(spec.steps.head == StepSpec.BpeTrain(3, "text", "doc_id", tableDir, None))
     val got = Pipeline.run(spark, spec)
     // pass-through + annotation: original columns survive, metrics ride
     assert(docs.columns.toSet.subsetOf(got.columns.toSet))
@@ -513,9 +513,10 @@ class PipelineRunSpec extends SparkSpec {
          |    - kind: bpe_train
          |      merges: 2
          |      sample_k: 200
+         |      key_col: doc_id
          |      path: $tableDir2
          |""".stripMargin)
-    assert(spec2.steps == Seq(StepSpec.BpeTrain(2, "text", tableDir2, Some(200))))
+    assert(spec2.steps == Seq(StepSpec.BpeTrain(2, "text", "doc_id", tableDir2, Some(200))))
     Pipeline.run(spark, spec2).count()
     val sampled = spark.read.parquet(tableDir2).orderBy("rank")
       .collect().map(_.toString)
