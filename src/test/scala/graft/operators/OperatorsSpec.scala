@@ -1221,6 +1221,42 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.toLong == pairCounts)
   }
 
+  test("pruned span audit managed plan: cached match set, broadcast semi floor, no second corpus shingle pass") {
+    // regression guard for the measured design decision
+    // (SCALE_r15_legs.json): a first cut that computed the pair floor
+    // from a SECOND distinct-grain shingle pass over the candidate
+    // corpus was slower at 100x than the unpruned audit — the floor
+    // must derive from the same cached match set the windows consume
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val plan = Curation.decontaminateSpansPrunedPlan(cand, bench, 2L)
+    try {
+      plan.df.collect()
+      val phys = plan.df.queryExecution.executedPlan.toString
+      // the match set is cached and feeds both consumers
+      assert(phys.contains("InMemoryTableScan"), "match set must be cached")
+      // the pair floor applies as a broadcast semi join (kept pairs
+      // are tiny), never a shuffle of the match set on the pair key
+      assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(phys).isDefined,
+        "pair floor must be a broadcast left-semi join")
+      // BOTH consumers (floor aggregate and island windows) read the
+      // cached match set — AQE renders nested sub-plans repeatedly so
+      // explode-counting is unreliable; the cache reads are the
+      // load-bearing fact
+      assert("InMemoryTableScan".r.findAllIn(phys).length >= 2,
+        "floor aggregate and window input must both read the cached match set")
+      // and the floor is the two-phase DISTINCT over that match set
+      // (keys doc_id, bench_doc, shingle) — not a separate
+      // distinct-grain shingle pass keyed (doc_id, shingle) only
+      assert("HashAggregate\\(keys=\\[doc_id#\\d+L, bench_doc#\\d+L, shingle"
+        .r.findFirstIn(phys).isDefined,
+        "pair floor must be the partial-distinct aggregate over the match set")
+      // island windows keyed by the pair, never corpus-global
+      assert(phys.contains("windowspecdefinition(doc_id") &&
+        !phys.contains("windowspecdefinition(shingle"))
+    } finally plan.release()
+  }
+
   test("commonness: hand-computed df sums, hapax counts and ratio") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
