@@ -144,6 +144,34 @@ object Sampling {
         floor(coalesce(sum(tokens).over(w), lit(0L)) / capacity).cast("long"))
   }
 
+  /** Packing-efficiency report over [[packSequences]]' layout — the
+    * one-row audit a batch-packing decision is judged by: bin count,
+    * docs, tokens, overall fill in exact ppm of bin capacity, the
+    * fattest bin, and the overflow-bin count (a document longer than
+    * `capacity` overflows its bin rather than splitting — the
+    * documented packing semantic — so overflow bins are long-document
+    * telemetry, not a bug flag). A fill_ppm far below 10⁶ means the
+    * capacity/corpus pairing wastes training batch slots; re-pack
+    * with a different capacity or pre-chunk the long tail.
+    *
+    * Scale shape: [[packSequences]]' shard-local layout, one
+    * map-side-combinable (shard, bin) rollup, one single-row global
+    * aggregate. Exact integer arithmetic only.
+    */
+  def packStats(df: DataFrame, key: Column, tokens: Column,
+      capacity: Long, shards: Int, salt: String = "pack"): DataFrame =
+    packSequences(df, key, tokens, capacity, shards, salt)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("bin_tokens"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("n_tokens"),
+        expr(s"sum(bin_tokens) * 1000000 DIV (count(1) * $capacity)")
+          .as("fill_ppm"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        sum(when(col("bin_tokens") > capacity, 1L).otherwise(0L))
+          .as("n_overflow_bins"))
+
   /** Domain-mixture sampling — downsample groups so the kept corpus
     * matches target mixture weights, keeping as many rows as feasible:
     * the binding group (smallest n_g/w_g) is kept whole and every other
@@ -479,6 +507,11 @@ object Sampling {
           sum(size(split(trim(col("text")), " +")).cast("long")).as("n_tokens"))
         .orderBy("shard", "bin")),
 
+    // the one-row packing-efficiency audit over the same layout
+    "sa_pack_stats" -> ((s, dir) =>
+      packStats(table(s, dir, "documents"), col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long"), 2048L, 8)),
+
     // mixture resampling to 4:2:1:1 over four sources (all others
     // dropped); gate checks the exact surviving rows, not just counts
     "sa_mixture" -> ((s, dir) =>
@@ -588,6 +621,27 @@ object Sampling {
          | FROM t)
          |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
          |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+    },
+    "sa_pack_stats" -> {
+      val frac = s"CAST(${hex8ToLong("md5('pack|' || doc_id)")} AS DOUBLE) / 4294967296.0"
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tok,
+         |  CAST(FLOOR($frac * 8) AS INT) AS shard
+         | FROM documents),
+         |b AS (SELECT shard, tok,
+         |  CAST(FLOOR(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+         | FROM t),
+         |bins AS (SELECT shard, bin, COUNT(*) AS n_docs, SUM(tok) AS bin_tokens
+         | FROM b GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+         | CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         | CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
+         | CAST(SUM(bin_tokens) * 1000000 // (COUNT(*) * 2048) AS BIGINT) AS fill_ppm,
+         | CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+         | CAST(SUM(CASE WHEN bin_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_overflow_bins
+         |FROM bins""".stripMargin
     },
     "sa_quality_weighted" ->
       s"""SELECT doc_id FROM documents

@@ -731,6 +731,38 @@ object TextAnalysis {
         col("n_merged_pieces").cast("double") / col("n_pieces"))
   }
 
+  /** Tokenizer VOCABULARY export — the artifact that ships beside the
+    * merge table: the top-k pieces of the ENCODED corpus with stable
+    * ids (rank by count desc, piece asc), occurrence counts, and the
+    * merged/base flag. Together with [[bpeTrain]] (merges) and
+    * [[bpeCoverage]] (OOV), this completes the tokenizer-build
+    * artifact set: merges.txt + vocab.
+    *
+    * Scale shape: one shuffle-free projection through the
+    * [[graft.functions.BpeEncodePieces]] kernel, one explode, one
+    * map-side-combinable count at the piece grain, TakeOrdered top-k
+    * — then ids via a window over the ALREADY-LIMITED k rows (the
+    * [[zipfProfile]] pattern: the single-partition window sees k rows
+    * by construction, never the vocabulary).
+    */
+  def bpeVocab(docs: DataFrame, merges: Seq[(String, String)],
+      k: Int = 50, textCol: String = "text"): DataFrame = {
+    require(k > 0, "need k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(graft.functions.BpeEncodePieces(col(textCol), merges))
+        .as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(k)
+    top
+      .withColumn("vocab_id",
+        (row_number().over(Window.orderBy(col("n").desc, col("piece"))) - 1)
+          .cast("long"))
+      .select(col("vocab_id"), col("piece"), col("n"),
+        col("piece").contains(BpeUS).as("is_merged"))
+  }
+
   /** Per-document content NOVELTY against ingestion order — for each
     * doc, the fraction of its distinct word-3-gram shingles whose
     * FIRST corpus occurrence (min doc_id) is this document. The
@@ -941,6 +973,13 @@ object TextAnalysis {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeEncodeNative(table(s, dir, "documents"), m).orderBy("doc_id")
     }),
+    // the vocabulary export on the same trained table: top-50 pieces
+    // of the encoded corpus with stable ids — merges.txt's sibling
+    "ta_bpe_vocab" -> ((s, dir) => {
+      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeVocab(table(s, dir, "documents"), m).orderBy("vocab_id")
+    }),
     // vocab coverage on the same trained table: merged-piece fraction
     // per doc — the OOV/coverage report beside the compression ratio
     "ta_bpe_coverage" -> ((s, dir) => {
@@ -1065,6 +1104,18 @@ object TextAnalysis {
         | CAST(len(string_split(trim(d0.rep, '|'), '||')) AS BIGINT) AS n_tokens,
         | CAST(len(string_split(trim(dk.rep, '|'), '||')) AS BIGINT) AS n_pieces
         |FROM d5 dk JOIN d0 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // vocab replay: pieces from the k-round rep, top-50 by (n desc,
+    // piece), ids = rank over the limited set
+    "ta_bpe_vocab" -> (bpeCtes(5) +
+      """,
+        |pc AS (SELECT unnest(string_split(trim(rep, '|'), '||')) AS piece
+        |  FROM d5),
+        |vc AS (SELECT piece, COUNT(*) AS n FROM pc GROUP BY 1
+        |  ORDER BY n DESC, piece LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) - 1 AS BIGINT)
+        |   AS vocab_id,
+        | piece, CAST(n AS BIGINT) AS n, contains(piece, chr(31)) AS is_merged
+        |FROM vc ORDER BY vocab_id""".stripMargin),
     // coverage replay: pieces from the k-round rep, merged = contains
     // chr(31)
     "ta_bpe_coverage" -> (bpeCtes(5) +

@@ -134,6 +134,22 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(r(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("bpeVocab: top-k encoded pieces with stable ids, merged flag, hand-computed") {
+    val d = Seq(
+      (1L, "a b a b x"), // encodes to [a•b][a•b][x]
+      (2L, "x y a b")    // [x][y][a•b]
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeVocab(d, Seq(("a", "b")), k = 3).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getBoolean(3)))
+    // counts: a•b -> 3, x -> 2, y -> 1; ids by (n desc, piece asc)
+    assert(r.toSeq == Seq(
+      (0L, s"a${us}b", 3L, true),
+      (1L, "x", 2L, false),
+      (2L, "y", 1L, false)))
+    // k truncates below the tail
+    assert(TextAnalysis.bpeVocab(d, Seq(("a", "b")), k = 2).count() == 2)
+  }
+
   test("bpeAnnotate evaluates the kernel ONCE (CollapseProject must not duplicate it)") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val out = TextAnalysis.bpeAnnotate(d, Seq(("a", "b")))

@@ -128,6 +128,35 @@ class SamplingSpec extends SparkSpec {
     assert(p(4L) == 6L) // prev_cum 600
   }
 
+  test("packStats: hand-computed fill/overflow audit over a fixed layout") {
+    import spark.implicits._
+    // one shard: bins are fully determined by key order and capacity
+    // docs (tok): 1:50, 2:500 (overflows bin 0), 3:50, 4:50 — bins
+    // 0:{1,2}=550, 5:{3}=50 (prev_cum 550), 6:{4}=50 (prev_cum 600)
+    val d = Seq((1L, 50L), (2L, 500L), (3L, 50L), (4L, 50L))
+      .toDF("doc_id", "tok")
+    val r = Sampling.packStats(d, col("doc_id"), col("tok"), 100L, 1).head()
+    assert(r.getLong(0) == 3L)   // n_bins
+    assert(r.getLong(1) == 4L)   // n_docs
+    assert(r.getLong(2) == 650L) // n_tokens
+    // fill = 650e6 div (3 * 100)
+    assert(r.getLong(3) == 650L * 1000000L / 300L)
+    assert(r.getLong(4) == 550L) // max_bin_tokens
+    assert(r.getLong(5) == 1L)   // the overflowed bin 0
+    // and it agrees with an independent rollup of packSequences
+    val bins = Sampling.packSequences(docs,
+        col("doc_id"), size(split(trim(col("text")), " +")).cast("long"), 200L, 4)
+      .groupBy("shard", "bin")
+      .agg(sum(size(split(trim(col("text")), " +")).cast("long")).as("bt"))
+      .collect().map(_.getLong(2))
+    val stats = Sampling.packStats(docs, col("doc_id"),
+      size(split(trim(col("text")), " +")).cast("long"), 200L, 4).head()
+    assert(stats.getLong(0) == bins.length)
+    assert(stats.getLong(2) == bins.sum)
+    assert(stats.getLong(4) == bins.max)
+    assert(stats.getLong(5) == bins.count(_ > 200L))
+  }
+
   test("quality-weighted sampling: keep rate tracks the score, deterministic, shuffle-free") {
     import spark.implicits._
     // score 0 → never kept; score 1 → always kept; 0.5 → about half
