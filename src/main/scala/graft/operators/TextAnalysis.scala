@@ -763,6 +763,27 @@ object TextAnalysis {
         col("piece").contains(BpeUS).as("is_merged"))
   }
 
+  /** Token-ID encoding report — the training-input artifact closing
+    * the tokenizer chain (train → vocab → ids): per document, the
+    * piece count, the OOV count (pieces outside the vocabulary,
+    * encoded −1), and the id sequence itself (space-joined — exact,
+    * order-preserving, engine-comparable). Rides
+    * [[graft.functions.BpeEncodeIds]]: ONE shuffle-free codegen'd
+    * projection with both the merge table and the vocabulary as plan
+    * reference objects — id-encoding the corpus is a map-only pass,
+    * where a broadcast-join + positional reassembly would pay a
+    * token-grain shuffle for the same result.
+    */
+  def bpeEncodeIdsReport(docs: DataFrame, merges: Seq[(String, String)],
+      vocabPieces: Seq[String], textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__ids",
+        graft.functions.BpeEncodeIds(col(textCol), merges, vocabPieces))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_pieces"),
+        size(filter(col("__ids"), x => x === -1L)).cast("long").as("n_oov"),
+        array_join(col("__ids"), " ").as("ids_str"))
+
   /** Per-document content NOVELTY against ingestion order — for each
     * doc, the fraction of its distinct word-3-gram shingles whose
     * FIRST corpus occurrence (min doc_id) is this document. The
@@ -973,6 +994,17 @@ object TextAnalysis {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeEncodeNative(table(s, dir, "documents"), m).orderBy("doc_id")
     }),
+    // the training-input artifact: encode every doc to vocabulary ids
+    // through the trained table + its top-50 vocab (OOV = -1) — the
+    // exact id sequence is part of the gate
+    "ta_bpe_encode_ids" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = bpeTrain(docs, 5).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = bpeVocab(docs, m).orderBy("vocab_id")
+        .collect().map(_.getString(1)).toSeq
+      bpeEncodeIdsReport(docs, m, vocab).orderBy("doc_id")
+    }),
     // the vocabulary export on the same trained table: top-50 pieces
     // of the encoded corpus with stable ids — merges.txt's sibling
     "ta_bpe_vocab" -> ((s, dir) => {
@@ -1104,6 +1136,27 @@ object TextAnalysis {
         | CAST(len(string_split(trim(d0.rep, '|'), '||')) AS BIGINT) AS n_tokens,
         | CAST(len(string_split(trim(dk.rep, '|'), '||')) AS BIGINT) AS n_pieces
         |FROM d5 dk JOIN d0 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // id-encoding replay: the k-round rep's pieces with position,
+    // mapped through the top-50 vocab (left join, OOV -> -1), the id
+    // sequence reassembled in piece order
+    "ta_bpe_encode_ids" -> (bpeCtes(5) +
+      """,
+        |pc AS (SELECT unnest(string_split(trim(rep, '|'), '||')) AS piece
+        |  FROM d5),
+        |vc AS (SELECT piece, COUNT(*) AS n FROM pc GROUP BY 1
+        |  ORDER BY n DESC, piece LIMIT 50),
+        |vid AS (SELECT piece,
+        |  row_number() OVER (ORDER BY n DESC, piece) - 1 AS vocab_id FROM vc),
+        |dp AS (SELECT doc_id, ps[i] AS piece, i AS pos
+        |  FROM (SELECT doc_id, string_split(trim(rep, '|'), '||') AS ps FROM d5),
+        |       UNNEST(range(1, len(ps) + 1)) AS u(i)),
+        |mapped AS (SELECT dp.doc_id, dp.pos, COALESCE(vid.vocab_id, -1) AS id
+        |  FROM dp LEFT JOIN vid USING (piece))
+        |SELECT doc_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_pieces,
+        | CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | array_to_string(list(id ORDER BY pos), ' ') AS ids_str
+        |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // vocab replay: pieces from the k-round rep, top-50 by (n desc,
     // piece), ids = rank over the limited set
     "ta_bpe_vocab" -> (bpeCtes(5) +

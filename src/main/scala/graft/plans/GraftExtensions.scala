@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BpeEncodeMinRank, BpeEncodePieces, DotLong, TopKAgg, UnicodeNormalize}
+import graft.functions.{BpeEncodeIds, BpeEncodeMinRank, BpeEncodePieces, DotLong, TopKAgg, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension registration — the idiomatic injection point for
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TopKAgg.descriptor)
     ext.injectFunction(BpeEncodePieces.descriptor)
     ext.injectFunction(BpeEncodeMinRank.descriptor)
+    ext.injectFunction(BpeEncodeIds.descriptor)
   }
 }
 
@@ -40,5 +41,9 @@ object GraftExtensions {
       BpeEncodeMinRank.descriptor._1,
       BpeEncodeMinRank.descriptor._2,
       BpeEncodeMinRank.descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      BpeEncodeIds.descriptor._1,
+      BpeEncodeIds.descriptor._2,
+      BpeEncodeIds.descriptor._3)
   }
 }

@@ -150,6 +150,56 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(TextAnalysis.bpeVocab(d, Seq(("a", "b")), k = 2).count() == 2)
   }
 
+  test("bpeEncodeIds: hand-computed ids, OOV sentinel, SQL form, one kernel eval") {
+    val d = Seq(
+      (1L, "a b a b x"), // pieces [a•b][a•b][x]
+      (2L, "z z"),       // fully OOV
+      (3L, "")           // one empty piece — OOV
+    ).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val vocab = Seq(s"a${us}b", "x") // ids 0, 1
+    val r = TextAnalysis.bpeEncodeIdsReport(d, merges, vocab).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((3L, 0L, "0 0 1")))
+    assert(r(2L) == ((2L, 2L, "-1 -1")))
+    assert(r(3L) == ((1L, 1L, "-1")))
+    // ids agree with mapping bpeVocab's own pieces through itself:
+    // every vocab piece round-trips to its id
+    val vdf = TextAnalysis.bpeVocab(d, merges, k = 10).collect()
+    val pieces = vdf.map(_.getString(1)).toSeq
+    val direct = d.select(BpeEncodeIds(col("text"), merges, pieces).as("ids"),
+        BpeEncodePieces(col("text"), merges).as("ps"))
+      .collect()
+    direct.foreach { row =>
+      val ids = row.getSeq[Long](0); val ps = row.getSeq[String](1)
+      ids.zip(ps).foreach { case (id, p) =>
+        if (id >= 0) assert(pieces(id.toInt) == p) else assert(!pieces.contains(p))
+      }
+    }
+    // SQL registration: literal merges + vocab
+    graft.plans.GraftExtensions.register(spark)
+    d.createOrReplaceTempView("bpe_ids_sql_test")
+    val litM = BpeEncodePieces.tableToSql(merges)
+    val litV = vocab.mkString("|,|")
+    val viaSql = spark.sql(
+      s"SELECT doc_id, bpe_encode_ids(text, '$litM', '$litV') AS ids " +
+        "FROM bpe_ids_sql_test")
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    assert(viaSql(1L) == Seq(0L, 0L, 1L))
+    assert(viaSql(2L) == Seq(-1L, -1L))
+    // kernel evaluated once per row in the report wrapper — over a
+    // real scan (a LocalRelation input would be constant-folded away
+    // by ConvertToLocalRelation and show zero kernel occurrences)
+    val scan = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = TextAnalysis.bpeEncodeIdsReport(scan, merges, vocab)
+    out.collect()
+    val occurrences = "bpe_encode_ids".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length
+    assert(occurrences == 1)
+    // duplicate vocab piece: first (lowest id) wins
+    assert(BpeVocabTable(Seq("p", "p")).idIndex.get("p") == java.lang.Long.valueOf(0L))
+  }
+
   test("bpeAnnotate evaluates the kernel ONCE (CollapseProject must not duplicate it)") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val out = TextAnalysis.bpeAnnotate(d, Seq(("a", "b")))
