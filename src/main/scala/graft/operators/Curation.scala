@@ -114,6 +114,60 @@ object Curation {
     spanAuditBuild(candidates, bench, minSharedShingles = None,
       cacheMatches = false).df
 
+  /** The REWRITE form of [[decontaminateSpans]] — surgical
+    * decontamination: instead of dropping a whole contaminated
+    * document (the decontaminate pipeline step's action) or only
+    * reporting the leak (the span audit), REMOVE the leaked spans and
+    * keep the rest. Per document: the union of benchmark-matching
+    * 3-gram intervals across ALL benchmark items, merged to islands
+    * ([pos, pos+3), the shared [[graft.operators.Dedup.gramIslands]]
+    * machinery at DOC grain), every token inside an island dropped,
+    * survivors reassembled in order (space-joined, the
+    * [[graft.operators.Dedup.spanDedupRewrite]] convention). Output
+    * keeps every candidate doc: text_clean ("" when fully leaked —
+    * the caller decides whether to drop empties), n_tokens,
+    * cut_tokens.
+    *
+    * Scale shape: the positional-gram pass and shingle join stream
+    * the corpus against the broadcast benchmark side exactly like
+    * the audit; islands are a per-doc window bounded by document
+    * length; the rebuild is ONE doc-keyed join of the doc-grain span
+    * lists (each bounded by doc length) plus a codegen'd
+    * filter-with-index over the token array — no token-grain shuffle
+    * anywhere (the tokens never leave their scan).
+    */
+  def decontaminateRewrite(candidates: DataFrame, bench: DataFrame): DataFrame = {
+    val k = 3
+    val ts = split(trim(col("text")), " +")
+    val cand = candidates
+      .select(col("doc_id"), ts.as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - k),
+          i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))
+          .as(Seq("pos", "shingle")))
+    // doc grain: ANY benchmark item — one row per matched position
+    // (cand is unique per (doc, pos); the bench side is distinct)
+    val benchSh = Dedup.shingleDf(bench).select(col("shingle")).distinct()
+    val hits = cand.join(benchSh, Seq("shingle"))
+      .select(col("doc_id"), col("pos"))
+    val spans = Dedup.gramIslands(hits, Seq("doc_id"), k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+        sum(col("e") - col("s")).as("cut_tokens"))
+    candidates.select(col("doc_id"), ts.as("ts"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, array_join(col("ts"), " "))
+          .otherwise(array_join(
+            filter(col("ts"), (_, i) =>
+              !exists(col("spans"),
+                sp => i >= sp.getField("s") && i < sp.getField("e"))),
+            " ")).as("text_clean"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+  }
+
   /** Containment-prefiltered span audit — [[decontaminateSpans]] with
     * the pair grain CUT BEFORE the per-pair windows: only (train doc,
     * bench doc) pairs sharing at least `minSharedShingles` DISTINCT
@@ -387,6 +441,15 @@ object Curation {
         d.where(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy("doc_id", "bench_doc")
     }),
+    // the rewrite: leaked spans REMOVED, the rest of the doc kept —
+    // exact reassembled text is part of the gate
+    "cur_decontam_rewrite" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      decontaminateRewrite(
+        d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy("doc_id")
+    }),
     // the containment-prefiltered audit: floor 2 drops the
     // single-shared-shingle coincidence tail (the dominant pair
     // population at every sf — it provably changes rows here) before
@@ -613,6 +676,46 @@ object Curation {
          | CAST(MAX(e) - 3 AS BIGINT) AS last_pos,
          | CAST(SUM(e - s) AS BIGINT) AS covered_tokens
          |FROM c GROUP BY 1, 2 ORDER BY doc_id, bench_doc""".stripMargin,
+    // the rewrite replay: islands at DOC grain (any bench item),
+    // tokens outside every island reassembled in position order
+    "cur_decontam_rewrite" ->
+      s"""WITH bs AS (SELECT DISTINCT shingle
+         | FROM (${Dedup.shingleSql}) WHERE doc_id % 97 = 0),
+         |cs AS (SELECT doc_id, i - 1 AS pos,
+         |   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         | FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
+         |       FROM documents WHERE doc_id % 97 <> 0),
+         |      UNNEST(range(1, len(ts)-1)) AS u(i)),
+         |m AS (SELECT cs.doc_id, cs.pos FROM cs JOIN bs USING (shingle)),
+         |d AS (SELECT doc_id, pos,
+         |  MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         | FROM m),
+         |i2 AS (SELECT doc_id, pos,
+         |  SUM(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         | FROM d),
+         |c AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 3 AS e
+         | FROM i2 GROUP BY 1, 2),
+         |tok AS (SELECT doc_id, ts[i] AS tok, i - 1 AS tpos
+         | FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
+         |       FROM documents WHERE doc_id % 97 <> 0),
+         |      UNNEST(range(1, len(ts) + 1)) AS u(i)),
+         |keptt AS (SELECT t.doc_id, t.tok, t.tpos FROM tok t
+         | WHERE NOT EXISTS (SELECT 1 FROM c
+         |   WHERE c.doc_id = t.doc_id AND t.tpos >= c.s AND t.tpos < c.e)),
+         |res AS (SELECT doc_id,
+         |  array_to_string(list(tok ORDER BY tpos), ' ') AS text_clean
+         | FROM keptt GROUP BY doc_id),
+         |cutagg AS (SELECT doc_id, SUM(e - s) AS cut_tokens FROM c GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |  len(string_split_regex(trim(text), ' +')) AS n_tokens
+         | FROM documents WHERE doc_id % 97 <> 0)
+         |SELECT b.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+         | CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         | CAST(COALESCE(cu.cut_tokens, 0) AS BIGINT) AS cut_tokens
+         |FROM base b LEFT JOIN res r USING (doc_id)
+         |LEFT JOIN cutagg cu USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the pruned twin: kp = pairs sharing >= 2 DISTINCT shingles (the
     // containment posting-list count), applied before the island merge
     "cur_decontam_spans_pruned" ->

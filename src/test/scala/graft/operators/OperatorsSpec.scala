@@ -1186,6 +1186,34 @@ class OperatorsSpec extends SparkSpec {
     assert(!r.keySet.exists(_._2 == 200L))
   }
 
+  test("decontaminate rewrite: leaked spans removed, islands merged across bench items, empties survive") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "secret eval question about turtles"),
+      (200L, "question about turtles and frogs")).toDF("doc_id", "text")
+    val cands = Seq(
+      // full 5-token passage at offset 4 (grams 4,5,6) PLUS bench 200's
+      // continuation (grams 6,7 from 'about turtles and frogs') — one
+      // merged island [4, 11) across BOTH bench items
+      (1L, "w0 w1 w2 w3 secret eval question about turtles and frogs w11"),
+      // two separate 3-token leaks: islands [0,3) and [7,10)
+      (2L, "secret eval question x1 x2 x3 x4 question about turtles"),
+      (3L, "completely clean training document here"),
+      (4L, "secret eval question about turtles")). // fully leaked
+      toDF("doc_id", "text")
+    val r = Curation.decontaminateRewrite(cands, bench).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == (("w0 w1 w2 w3 w11", 12L, 7L)))
+    assert(r(2L) == (("x1 x2 x3 x4", 10L, 6L)))
+    assert(r(3L) == (("completely clean training document here", 5L, 0L)))
+    assert(r(4L) == (("", 5L, 5L))) // fully leaked -> empty, caller decides
+    // conservation: kept tokens + cut tokens == n_tokens
+    r.values.foreach { case (txt, n, cut) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept + cut == n)
+    }
+  }
+
   test("pruned decontaminate spans: floor <= 1 reproduces the unpruned audit; the floor cuts the coincidence tail") {
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
