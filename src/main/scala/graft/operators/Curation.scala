@@ -397,6 +397,60 @@ object Curation {
         coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("n_rows_at_risk"),
         min(col("n")).as("achieved_k"))
 
+  /** l-DIVERSITY audit — the attack k-anonymity misses: a
+    * quasi-identifier group can be large (k-anonymous) yet carry only
+    * ONE sensitive value, so linkage still discloses the attribute
+    * ("everyone in that group bought X"). A group is l-diverse when
+    * its rows span at least `l` DISTINCT sensitive values. Returns
+    * the violating groups: quasi values, row count, and the distinct
+    * sensitive-value count that fell short — the suppression /
+    * generalization worklist complementing [[kAnonymityViolations]].
+    *
+    * Scale shape: exact distinct via TWO stacked map-side-combinable
+    * aggregations — first at the (quasi, sensitive) grain, then at
+    * the quasi grain (count of sub-rows = distinct sensitive values,
+    * sum of their counts = rows) — never a COUNT(DISTINCT) expand and
+    * never a per-group set. Output is bounded by violating groups.
+    */
+  def lDiversityViolations(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column, l: Long): DataFrame = {
+    require(quasi.nonEmpty && l >= 2, "need quasi columns and l >= 2")
+    val bySens = sensitiveGrain(df, quasi, sensitive)
+    bySens.groupBy(bySens.columns.dropRight(1).map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+  }
+
+  /** The (quasi..., distinct-sensitive-count) grain both l-diversity
+    * forms stack on: a projection (so alias names become real column
+    * names) + one count at the (quasi, sensitive) grain. Columns:
+    * quasi... , __n; the sensitive column is consumed by the grouping.
+    */
+  private def sensitiveGrain(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column): DataFrame = {
+    val proj = df.select((quasi :+ sensitive.as("__sens")): _*)
+    proj.groupBy(proj.columns.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .drop("__sens")
+  }
+
+  /** Corpus-level l-diversity summary — the dataset-card row beside
+    * [[lDiversityViolations]]: group count, violating-group count,
+    * rows in violating groups, and the diversity the release actually
+    * achieves (the minimum distinct-sensitive count over groups).
+    */
+  def lDiversitySummary(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column, l: Long): DataFrame = {
+    val bySens = sensitiveGrain(df, quasi, sensitive)
+    bySens.groupBy(bySens.columns.dropRight(1).map(col): _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("ns"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("ns") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+        coalesce(sum(when(col("ns") < l, col("n"))), lit(0L)).as("n_rows_at_risk"),
+        min(col("ns")).as("achieved_l"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pseudonymized per-user activity: the id column is hashed but the
     // per-entity grouping (and any join on it) is preserved
@@ -423,6 +477,18 @@ object Curation {
         .select(col("event_type"), col("hr"), col("val_bucket"), col("n_rows"))
       v.crossJoin(broadcast(kAnonymitySummary(ev, quasi, k = 5)))
         .orderBy("event_type", "hr", "val_bucket")
+    }),
+    // l-diversity over (event_type, hour) with the value-centile as
+    // the sensitive attribute: groups whose rows span < 5 distinct
+    // sensitive values, plus the dataset-card summary — the
+    // attribute-disclosure audit k-anonymity alone misses
+    "cur_ldiversity" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val quasi = Seq(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      val sens = floor(col("value") / 100.0).cast("long")
+      val v = lDiversityViolations(ev, quasi, sens, l = 5)
+      v.crossJoin(broadcast(lDiversitySummary(ev, quasi, sens, l = 5)))
+        .orderBy("event_type", "hr")
     }),
     // benchmark = every 97th doc; candidates = the rest; a candidate is
     // contaminated iff it shares a word 3-gram with any benchmark doc
@@ -615,6 +681,28 @@ object Curation {
         | s.n_groups, s.n_violating_groups, s.n_rows_at_risk, s.achieved_k
         |FROM g, s WHERE g.n_rows < 5
         |ORDER BY g.event_type, g.hr, g.val_bucket""".stripMargin,
+    // the two-level distinct replay: (quasi, sensitive)-grain counts,
+    // then per-quasi row sums + distinct-sensitive counts; summary
+    // columns cross-joined onto every violating row
+    "cur_ldiversity" ->
+      """WITH s0 AS (SELECT event_type,
+        |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+        |  CAST(FLOOR(value / 100.0) AS BIGINT) AS sens,
+        |  COUNT(*) AS n
+        | FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type, hr, SUM(n) AS n_rows, COUNT(*) AS n_sensitive
+        | FROM s0 GROUP BY 1, 2),
+        |s AS (SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_sensitive < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(COALESCE(SUM(CASE WHEN n_sensitive < 5 THEN n_rows END), 0)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  MIN(n_sensitive) AS achieved_l FROM g)
+        |SELECT g.event_type, g.hr, CAST(g.n_rows AS BIGINT) AS n_rows,
+        | g.n_sensitive, s.n_groups, s.n_violating_groups, s.n_rows_at_risk,
+        | s.achieved_l
+        |FROM g, s WHERE g.n_sensitive < 5
+        |ORDER BY g.event_type, g.hr""".stripMargin,
     "cur_pseudonymize" ->
       """SELECT md5('graft-salt|' || CAST(user_id AS VARCHAR)) AS pseudo_user,
         | COUNT(*) AS n_events

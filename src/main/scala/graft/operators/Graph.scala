@@ -419,6 +419,85 @@ object Graph {
       finalizers = ckpts.map(d => () => CheckpointBridge.release(d)))
   }
 
+  /** Fixed-round k-CORE PEELING over an undirected (u, v) pair list —
+    * the density filter a web/co-occurrence graph gets before
+    * community or spam analysis: repeatedly discard nodes with fewer
+    * than `k` neighbors INSIDE the surviving subgraph. After `rounds`
+    * synchronous peels, returns the survivors with the in-subgraph
+    * degree that justified their survival: (id, deg), deg >= k.
+    * Fixed-round (not run-to-fixpoint) for the same reason as
+    * [[labelPropagation]]: the result is engine-exact and replayable —
+    * callers pick `rounds`; on a converged graph extra rounds are
+    * no-ops (the alive set is monotone non-increasing).
+    *
+    * This is the fourth iterative-graph shape in the module, distinct
+    * from score propagation (pagerank), frontier expansion (BFS) and
+    * label convergence (LPA/CC): a MONOTONE SHRINKING vertex set.
+    * Each round's work is bounded by the CURRENT subgraph, so cost
+    * falls as peeling progresses — the property that makes k-core
+    * tractable on a 100 TB edge list where a fixpoint re-scan of the
+    * full graph per round would not be.
+    *
+    * Eager convenience form; see [[kCorePlan]].
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 0): DataFrame =
+    eagerReleased(kCorePlan(pairs, k, rounds, checkpointEvery))
+
+  /** Managed form of [[kCore]]. Scale shape: the symmetrized edge
+    * list is cached PRE-PARTITIONED on src (the [[pageRankPlan]]
+    * layout — the per-round src-side semi-join never re-exchanges
+    * it); each round is two semi-joins against the O(|V|)-and-
+    * shrinking alive set (src side exchange-free by layout, dst side
+    * exchanges only the current — already peeled — edge subset) plus
+    * one map-side-combinable degree count. Per-round alive sets are
+    * node-grain, consumed twice (both semi-joins), and cached behind
+    * the release contract exactly as [[labelPropagationPlan]] caches
+    * its label frames; `checkpointEvery` bounds plan depth for deep
+    * peels with the shared round-checkpoint machinery.
+    */
+  def kCorePlan(pairs: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 0): DedupPlan = {
+    require(k >= 1, "need k >= 1")
+    require(rounds >= 1, "need rounds >= 1")
+    import org.apache.spark.sql.graftshim.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
+    val e = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var alive = e.select(col("src").as("id")).distinct()
+    // survivors WITH the degree that justified survival — the output
+    var core = alive.select(col("id"), lit(-1L).as("deg")) // pre-round placeholder
+    var cached = List.empty[DataFrame]
+    var ckpts = List.empty[DataFrame]
+    (1 to rounds).foreach { i =>
+      val d = e
+        .join(alive.select(col("id").as("sid")),
+          col("src") === col("sid"), "left_semi")
+        .join(alive.select(col("id").as("did")),
+          col("dst") === col("did"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      core = d.where(col("deg") >= k)
+        .select(col("src").as("id"), col("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      cached ::= core
+      alive = core.select(col("id"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds) {
+        val ck = roundCkpt(core)
+        alive = ck.select(col("id"))
+        core = ck
+        val live = ck :: ckpts
+        live.drop(2).foreach(CheckpointBridge.release)
+        ckpts = live.take(2)
+        cached.drop(1).foreach(_.unpersist(blocking = false))
+        cached = cached.take(1)
+      }
+    }
+    DedupPlan(core, "kcore", Seq(e) ++ cached,
+      finalizers = ckpts.map(d => () => CheckpointBridge.release(d)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 unrolled rounds; top-25 hub nodes (suppliers dominate: a
     // supplier touches ~20x more edges than any part)
@@ -445,6 +524,13 @@ object Graph {
       bfsLevels(partSupplierEdges(li), seed, maxHops = 4)
         .orderBy("lvl", "id")
     }),
+
+    // 3 peeling rounds of the 2-core over the co-purchase graph: the
+    // dense backbone after pendant/chain products are stripped, with
+    // the in-subgraph degree that justified each survival
+    "q47_kcore" -> ((s, dir) =>
+      kCore(copurchaseEdges(table(s, dir, "lineitem")), k = 2, rounds = 3)
+        .orderBy("id")),
 
     // 3 synchronous label-propagation rounds over the symmetrized
     // co-purchase graph: deterministic community labels per product
@@ -531,6 +617,28 @@ object Graph {
         |      FROM e e1 JOIN e e2 ON e1.v = e2.u
         |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
         |SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin,
+
+    // 3 peeling rounds replayed: per round, degrees within the
+    // surviving subgraph, survivors = deg >= 2; output carries the
+    // final round's justifying degree
+    "q47_kcore" -> {
+      val rounds = (1 to 3).map { r =>
+        s""",
+           |d$r AS (SELECT e.src, COUNT(*) AS deg FROM e
+           |  JOIN n${r - 1} a ON e.src = a.id
+           |  JOIN n${r - 1} b ON e.dst = b.id GROUP BY e.src),
+           |n$r AS (SELECT src AS id FROM d$r WHERE deg >= 2)""".stripMargin
+      }.mkString
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |p0 AS (SELECT a.p AS u, b.p AS v FROM li a
+         |      JOIN li b ON a.o = b.o AND a.p < b.p
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT u AS src, v AS dst FROM p0
+         |      UNION ALL SELECT v, u FROM p0),
+         |n0 AS (SELECT DISTINCT src AS id FROM e)$rounds
+         |SELECT src AS id, CAST(deg AS BIGINT) AS deg
+         |FROM d3 WHERE deg >= 2 ORDER BY id""".stripMargin
+    },
 
     // 3 LPA rounds replayed: per round, in-neighbor label votes, the
     // (count DESC, label ASC) winner, keep-own for vote-less nodes

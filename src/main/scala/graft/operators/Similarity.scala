@@ -357,6 +357,91 @@ object Similarity {
     }.reduce(_.join(_, Seq("vec_id")))
   }
 
+  /** Per-dimension (min, max) of the quantized corpus, collected to
+    * the driver — 2·Dim longs of bounded state (the k-means centroid
+    * pattern): ONE map-side-combinable aggregation however large the
+    * corpus, and the range table rides back into the plan as literals.
+    */
+  private def sqRange(q: DataFrame): (Seq[Long], Seq[Long]) = {
+    val row = q.agg(
+      array((0 until Dim).map(j => min(element_at(col("v"), j + 1))): _*).as("mn"),
+      array((0 until Dim).map(j => max(element_at(col("v"), j + 1))): _*).as("mx"))
+      .head()
+    (row.getSeq[Long](0), row.getSeq[Long](1))
+  }
+
+  /** Scalar-quantization codes (SQ8) — the third compression member of
+    * the ANN family next to [[pqCodes]] and the LSH tables: each
+    * dimension maps affinely onto [0, 255] against its own corpus-wide
+    * (min, max) range, so a vector stores as Dim bytes with NO
+    * codebook fit at all. The standard first rung of the memory
+    * ladder (float32 → SQ8 → PQ): 4× smaller than floats, cheaper to
+    * build than PQ (one range aggregation vs per-block k-means), and
+    * decoded by two integer ops per dimension. All arithmetic is
+    * exact 64-bit integer (scaled inputs, integer division), so codes
+    * are engine-identical.
+    *
+    * Scale shape: one range aggregation (driver-bounded, 2·Dim longs)
+    * + one shuffle-free codegen'd projection; a constant dimension
+    * (max = min) codes to 0 everywhere and decodes to that constant.
+    *
+    * Output: (vec_id, codes_str) — the space-joined byte sequence,
+    * order-preserving and engine-comparable.
+    */
+  def sqCodes(emb: DataFrame): DataFrame = {
+    val q = quantized(emb).select(col("vec_id"), col("v"))
+    val (mn, mx) = sqRange(q)
+    q.select(col("vec_id"),
+      array_join(sqCodeArray(col("v"), mn, mx), " ").as("codes_str"))
+  }
+
+  /** The per-vector code array for [[sqCodes]]/[[sqTopK]]: ranges ride
+    * as array literals, element i reads its own (lo, hi) by index —
+    * pure codegen'd array expressions, shuffle-free.
+    */
+  private def sqCodeArray(v: Column, mn: Seq[Long], mx: Seq[Long]): Column = {
+    val mnL = typedLit(mn)
+    val mxL = typedLit(mx)
+    transform(v, (x, i) => {
+      val lo = element_at(mnL, (i + 1).cast("int"))
+      val hi = element_at(mxL, (i + 1).cast("int"))
+      // exact: operands stay far inside the 2^53 double-exact window
+      when(hi > lo, ((x - lo) * 255 / (hi - lo)).cast("long")).otherwise(lit(0L))
+    })
+  }
+
+  /** SQ asymmetric-distance top-k — the search side of [[sqCodes]],
+    * the same ADC trade [[pqTopK]] makes: corpus vectors are replaced
+    * by their SQ reconstructions (lo + code·(hi−lo)/255, integer),
+    * queries keep exact vectors, ranking runs on cosine against the
+    * reconstruction. Plan shape matches [[bruteForceTopK]]: queries
+    * broadcast, corpus streams through one codegen'd
+    * encode-decode-score projection, per-query window top-k.
+    */
+  def sqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = quantized(emb).select(col("vec_id"), col("v"))
+    val (mn, mx) = sqRange(q)
+    val mnL = typedLit(mn)
+    val mxL = typedLit(mx)
+    val recon = transform(sqCodeArray(col("v"), mn, mx), (c, i) => {
+      val lo = element_at(mnL, (i + 1).cast("int"))
+      val hi = element_at(mxL, (i + 1).cast("int"))
+      lo + (c * (hi - lo) / 255).cast("long")
+    })
+    val queries = broadcast(q.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.select(col("vec_id").as("neighbor_id"), recon.as("rv"))
+      .crossJoin(queries)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("rv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Cluster-balanced (diversity) sampling: k-means the embeddings,
     * then keep `perCluster` hash-chosen vectors per cluster — the
     * standard "cover the semantic space, don't let one mode dominate"
@@ -608,6 +693,19 @@ object Similarity {
         bruteForceTopK(emb, numQueries = 5, k = 10), k = 10)
         .orderBy("query_id")
     }),
+    // scalar-quantization codes: every dimension affinely mapped onto
+    // [0,255] against its corpus range — Dim bytes/vector, no codebook
+    "ss_sq_codes" -> ((s, dir) =>
+      sqCodes(table(s, dir, "embeddings")).orderBy("vec_id")),
+    // SQ asymmetric-distance recall vs the exact top-10 — quantifies
+    // the 4x-compression rung below PQ on the memory ladder
+    "ss_sq_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      annRecall(
+        sqTopK(emb, numQueries = 5, k = 10),
+        bruteForceTopK(emb, numQueries = 5, k = 10), k = 10)
+        .orderBy("query_id")
+    }),
     // 25 hash-chosen vectors from each of 4 k-means clusters
     "ss_diverse_sample" -> ((s, dir) =>
       clusterBalancedSample(table(s, dir, "embeddings"),
@@ -779,7 +877,51 @@ object Similarity {
        |  FROM qb$b qb CROSS JOIN c1_$b c) WHERE r = 1)""".stripMargin
   }
 
+  /** Shared oracle CTEs for the SQ gates: per-dim corpus ranges, then
+    * per-(vector, dim) codes — integer floor division matching the
+    * Spark projection exactly (all operands non-negative).
+    */
+  private def sqSqlCtes: String =
+    s"""q AS ($quantSql),
+       |qj AS (SELECT vec_id, j, v[j] AS x
+       |  FROM q, UNNEST(range(1, ${Dim + 1})) r(j)),
+       |ds AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM qj GROUP BY j),
+       |codes AS (SELECT vec_id, j, mn, mx,
+       |  CASE WHEN mx > mn THEN ((x - mn) * 255) // (mx - mn)
+       |       ELSE 0 END AS c
+       | FROM qj JOIN ds USING (j))""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "ss_sq_codes" ->
+      s"""WITH $sqSqlCtes
+         |SELECT vec_id, array_to_string(list(c ORDER BY j), ' ') AS codes_str
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "ss_sq_recall" ->
+      s"""WITH $sqSqlCtes,
+         |rec AS (SELECT vec_id, list(mn + (c * (mx - mn)) // 255 ORDER BY j) AS rv
+         | FROM codes GROUP BY vec_id),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 5),
+         |ascored AS (SELECT query_id, rec.vec_id AS neighbor_id,
+         |  ${cosSql("qv", "rv")} AS cos
+         | FROM rec CROSS JOIN qs WHERE rec.vec_id <> query_id),
+         |aranked AS (SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         | FROM ascored),
+         |ann AS (SELECT query_id, neighbor_id FROM aranked WHERE rk <= 10),
+         |bscored AS (SELECT query_id, q.vec_id AS neighbor_id,
+         |  ${cosSql("qv", "v")} AS cos
+         | FROM q CROSS JOIN qs WHERE q.vec_id <> query_id),
+         |branked AS (SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         | FROM bscored),
+         |ex AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= 10),
+         |h AS (SELECT ex.query_id, COUNT(*) AS n_hit
+         |      FROM ex JOIN ann USING (query_id, neighbor_id) GROUP BY ex.query_id)
+         |SELECT e.query_id, COALESCE(n_hit, 0) AS n_hit,
+         | CAST(COALESCE(n_hit, 0) AS DOUBLE) / 10 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) e
+         | LEFT JOIN h ON e.query_id = h.query_id
+         |ORDER BY e.query_id""".stripMargin,
     "ss_pq_codes" ->
       s"""WITH q AS ($quantSql),
          |${(0 until 4).map(b => pqBlockSqlCtes(b, 16, 4)).mkString(",\n")}

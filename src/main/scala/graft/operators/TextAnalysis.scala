@@ -784,6 +784,54 @@ object TextAnalysis {
         size(filter(col("__ids"), x => x === -1L)).cast("long").as("n_oov"),
         array_join(col("__ids"), " ").as("ids_str"))
 
+  /** Decode a vocabulary-id sequence back to surface text — the
+    * inverse of [[graft.functions.BpeEncodeIds]] and the final link of
+    * the tokenizer artifact chain (train → vocab → ids → DECODE): each
+    * id looks up its piece in the vocabulary, merged pieces unfold
+    * their [[BpeUS]] separators back to spaces, OOV ids (−1) render as
+    * `<unk>`, and pieces re-join in order. Decoding is what a training
+    * loop's sample inspector and a detokenizing eval harness run, and
+    * the round-trip equality it enables is the tokenizer build's
+    * end-to-end self-check.
+    *
+    * Pure codegen'd array expressions over a BOUNDED vocabulary
+    * literal (top-k by construction — the same plan-literal transport
+    * the id kernel uses): shuffle-free, linear in ids.
+    */
+  def bpeDecodeIds(ids: Column, vocabPieces: Seq[String]): Column = {
+    require(vocabPieces.nonEmpty, "need a non-empty vocabulary")
+    val vocabLit = typedlit(vocabPieces)
+    array_join(
+      transform(ids, id =>
+        when(id >= 0,
+          translate(element_at(vocabLit, (id + 1).cast("int")), BpeUS, " "))
+          .otherwise(lit("<unk>"))), " ")
+  }
+
+  /** Round-trip report — encode every document to vocabulary ids and
+    * decode straight back: (doc_id, text_decoded, n_unk, lossless)
+    * where `lossless` compares the decode against the space-normalized
+    * source text. Documents with zero OOV pieces MUST round-trip
+    * exactly (the spec property); the `lossless` rate over a corpus
+    * slice is the "can I reconstruct my training text from ids" audit
+    * that catches vocabulary/merge-table mismatches before a training
+    * run bakes them in.
+    *
+    * One shuffle-free projection: the id kernel and the decode
+    * expressions compose in a single whole-stage-codegen pass.
+    */
+  def bpeRoundTrip(docs: DataFrame, merges: Seq[(String, String)],
+      vocabPieces: Seq[String], textCol: String = "text"): DataFrame = {
+    val decoded = bpeDecodeIds(col("__ids"), vocabPieces)
+    docs
+      .withColumn("__ids",
+        graft.functions.BpeEncodeIds(col(textCol), merges, vocabPieces))
+      .select(col("doc_id"), decoded.as("text_decoded"),
+        size(filter(col("__ids"), x => x === -1L)).cast("long").as("n_unk"),
+        (decoded === regexp_replace(trim(col(textCol)), " +", " "))
+          .as("lossless"))
+  }
+
   /** Per-document content NOVELTY against ingestion order — for each
     * doc, the fraction of its distinct word-3-gram shingles whose
     * FIRST corpus occurrence (min doc_id) is this document. The
@@ -1005,6 +1053,17 @@ object TextAnalysis {
         .collect().map(_.getString(1)).toSeq
       bpeEncodeIdsReport(docs, m, vocab).orderBy("doc_id")
     }),
+    // the decode round-trip closing the chain: ids back to text, OOV
+    // as <unk>, losslessness against the normalized source asserted
+    // per document — the exact decoded text is part of the gate
+    "ta_bpe_decode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = bpeTrain(docs, 5).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = bpeVocab(docs, m).orderBy("vocab_id")
+        .collect().map(_.getString(1)).toSeq
+      bpeRoundTrip(docs, m, vocab).orderBy("doc_id")
+    }),
     // the vocabulary export on the same trained table: top-50 pieces
     // of the encoded corpus with stable ids — merges.txt's sibling
     "ta_bpe_vocab" -> ((s, dir) => {
@@ -1157,6 +1216,34 @@ object TextAnalysis {
         | CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         | array_to_string(list(id ORDER BY pos), ' ') AS ids_str
         |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // decode replay: the id-mapped pieces rendered back to text —
+    // in-vocab pieces unfold chr(31) to spaces, OOV renders <unk>,
+    // order by position; lossless = equality vs the normalized source
+    "ta_bpe_decode" -> (bpeCtes(5) +
+      """,
+        |pc AS (SELECT unnest(string_split(trim(rep, '|'), '||')) AS piece
+        |  FROM d5),
+        |vc AS (SELECT piece, COUNT(*) AS n FROM pc GROUP BY 1
+        |  ORDER BY n DESC, piece LIMIT 50),
+        |vid AS (SELECT piece,
+        |  row_number() OVER (ORDER BY n DESC, piece) - 1 AS vocab_id FROM vc),
+        |dp AS (SELECT doc_id, ps[i] AS piece, i AS pos
+        |  FROM (SELECT doc_id, string_split(trim(rep, '|'), '||') AS ps FROM d5),
+        |       UNNEST(range(1, len(ps) + 1)) AS u(i)),
+        |px AS (SELECT dp.doc_id, dp.pos,
+        |  CASE WHEN vid.vocab_id IS NULL THEN '<unk>'
+        |       ELSE replace(dp.piece, chr(31), ' ') END AS piece_out,
+        |  CASE WHEN vid.vocab_id IS NULL THEN 1 ELSE 0 END AS unk
+        |  FROM dp LEFT JOIN vid USING (piece)),
+        |dec AS (SELECT doc_id,
+        |  array_to_string(list(piece_out ORDER BY pos), ' ') AS text_decoded,
+        |  CAST(SUM(unk) AS BIGINT) AS n_unk
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, d.text_decoded, d.n_unk,
+        | d.text_decoded = regexp_replace(trim(doc.text), ' +', ' ', 'g')
+        |   AS lossless
+        |FROM dec d JOIN documents doc ON d.doc_id = doc.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // vocab replay: pieces from the k-round rep, top-50 by (n desc,
     // piece), ids = rank over the limited set
     "ta_bpe_vocab" -> (bpeCtes(5) +

@@ -200,6 +200,32 @@ class BpeEncodePiecesSpec extends SparkSpec {
     assert(BpeVocabTable(Seq("p", "p")).idIndex.get("p") == java.lang.Long.valueOf(0L))
   }
 
+  test("bpeDecodeIds round-trips: merged pieces unfold, OOV renders <unk>, lossless flag exact") {
+    val d = Seq(
+      (1L, "a b a b x"),   // fully in-vocab -> lossless
+      (2L, "z z"),         // fully OOV -> '<unk> <unk>', not lossless
+      (3L, "  a   b  x ")  // messy spacing: decode equals the NORMALIZED source
+    ).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val vocab = Seq(s"a${us}b", "x")
+    val r = TextAnalysis.bpeRoundTrip(d, merges, vocab).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getBoolean(3)))
+      .toMap
+    assert(r(1L) == (("a b a b x", 0L, true)))
+    assert(r(2L) == (("<unk> <unk>", 2L, false)))
+    assert(r(3L) == (("a b x", 0L, true)))
+    // the structural property: ZERO-OOV docs always round-trip over a
+    // real corpus + its own trained table and vocabulary
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val m = TextAnalysis.bpeTrain(docs, 5).orderBy("rank")
+      .collect().map(x => (x.getString(1), x.getString(2))).toSeq
+    val fullVocab = docs
+      .select(explode(BpeEncodePieces(col("text"), m)).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val rt = TextAnalysis.bpeRoundTrip(docs, m, fullVocab)
+    assert(rt.where(!col("lossless") || col("n_unk") =!= 0).count() == 0)
+  }
+
   test("bpeAnnotate evaluates the kernel ONCE (CollapseProject must not duplicate it)") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val out = TextAnalysis.bpeAnnotate(d, Seq(("a", "b")))

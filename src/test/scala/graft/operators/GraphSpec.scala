@@ -229,4 +229,40 @@ class GraphSpec extends SparkSpec {
     val e = Graph.partSupplierEdges(li).as[(String, String)].collect().toSet
     assert(e == Set(("p1", "s10"), ("s10", "p1"), ("p2", "s10"), ("s10", "p2")))
   }
+
+  test("k-core: pendant peels off the triangle; hub degree drops with it") {
+    import spark.implicits._
+    // triangle a-b-c plus pendant d hanging off a
+    val p = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")).toDF("u", "v")
+    val r = Graph.kCore(p, k = 2, rounds = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // d (deg 1) peels in round 1; a's in-subgraph degree falls 3 -> 2
+    assert(r == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("k-core: chain peeling is genuinely multi-round; set is monotone to empty") {
+    import spark.implicits._
+    // path a-b-c-d-e: 2-core is empty, but only after 3 peel rounds
+    val p = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("u", "v")
+    def ids(rounds: Int): Set[String] =
+      Graph.kCore(p, k = 2, rounds = rounds).collect().map(_.getString(0)).toSet
+    assert(ids(1) == Set("b", "c", "d")) // endpoints peel first
+    assert(ids(2) == Set("c"))           // b, d lose their outer neighbor
+    assert(ids(3) == Set.empty)          // c has no live neighbors left
+  }
+
+  test("k-core: checkpointed run is bit-identical and cuts lineage") {
+    import spark.implicits._
+    val p = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"))
+      .toDF("u", "v")
+    val plain = Graph.kCorePlan(p, k = 2, rounds = 6)
+    val ck = Graph.kCorePlan(p, k = 2, rounds = 6, checkpointEvery = 2)
+    val expect = plain.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(ck.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap == expect)
+    val ckDepth = ck.df.queryExecution.analyzed.toString.linesIterator.size
+    val plainDepth = plain.df.queryExecution.analyzed.toString.linesIterator.size
+    assert(ckDepth < plainDepth / 2, s"ckpt=$ckDepth plain=$plainDepth")
+    plain.release()
+    ck.release()
+  }
 }

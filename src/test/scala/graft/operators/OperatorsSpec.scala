@@ -99,6 +99,34 @@ class OperatorsSpec extends SparkSpec {
       ((3L, 2L, 2L, 1L)))
   }
 
+  test("l-diversity: homogeneous large group violates even though k-anonymous") {
+    import spark.implicits._
+    // group (a): 4 rows but ONE sensitive value -> l-violation, never
+    // a k=3 violation; group (b): 2 rows, 2 distinct values -> diverse
+    val d = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "y"), ("b", "z")).toDF("q1", "sens")
+    val quasi = Seq(col("q1"))
+    assert(Curation.kAnonymityViolations(d, quasi, k = 3).collect()
+      .map(_.getString(0)).toSet == Set("b"))
+    val v = Curation.lDiversityViolations(d, quasi, col("sens"), l = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v == Set(("a", 4L, 1L)))
+    val s = Curation.lDiversitySummary(d, quasi, col("sens"), l = 2).head()
+    // 2 groups, 1 violating, 4 rows at risk, achieved l = 1
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+      ((2L, 1L, 4L, 1L)))
+  }
+
+  test("l-diversity: aliased expression quasi-columns keep their names") {
+    import spark.implicits._
+    val d = Seq((10L, "x"), (10L, "x"), (25L, "y")).toDF("v", "sens")
+    val v = Curation.lDiversityViolations(d,
+      Seq((col("v") / 10).cast("long").as("bucket")), col("sens"), l = 2)
+    assert(v.columns.toSeq == Seq("bucket", "n_rows", "n_sensitive"))
+    assert(v.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   test("cluster-size histogram: hand graph yields the expected duplication profile") {
     import spark.implicits._
     // components: {1,2,3} (chain), {4,5}, singletons 6 and 7
@@ -948,6 +976,41 @@ class OperatorsSpec extends SparkSpec {
     // deterministic: a second fit reproduces the same lists
     val again = Similarity.pqTopK(emb, blocks = 4, kCodebook = 4, iters = 1,
       numQueries = 3, k = 5).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("sq codes: range endpoints hit 0/255, constant dims code 0, hand-computed midpoint") {
+    import spark.implicits._
+    // dim 0 ranges over {0, 0.5, 1}; dims 1..63 constant 0.25
+    def mk(x0: Float): Seq[Float] = x0 +: Seq.fill(63)(0.25f)
+    val df = Seq((0L, mk(0.0f), 0), (1L, mk(0.5f), 0), (2L, mk(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.sqCodes(df).collect()
+      .map(x => x.getLong(0) -> x.getString(1).split(" ").map(_.toLong).toSeq)
+      .toMap
+    // dim 0: (0-0)*255/10000=0; (5000*255)/10000=127; (10000*255)/10000=255
+    assert(r(0L).head == 0L && r(1L).head == 127L && r(2L).head == 255L)
+    // constant dims: max == min -> code 0 for every vector
+    assert(r.values.forall(_.tail.forall(_ == 0L)))
+  }
+
+  test("sq search: valid ranked lists, deterministic, recall better than random") {
+    val ann = Similarity.sqTopK(emb, numQueries = 3, k = 5)
+    val rows = ann.collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length).toSeq)
+      assert(g.sortBy(_.getLong(1)).map(_.getDouble(3)).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    val rec = Similarity.annRecall(ann,
+      Similarity.bruteForceTopK(emb, numQueries = 3, k = 5), k = 5).collect()
+    assert(rec.length == 3)
+    // SQ8 at 64 dims loses little: recall should dominate chance easily
+    assert(rec.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0),
+      rec.map(_.getDouble(2)).toSeq.toString)
+    val again = Similarity.sqTopK(emb, numQueries = 3, k = 5).collect()
     assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
