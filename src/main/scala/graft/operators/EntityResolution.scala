@@ -245,6 +245,43 @@ object EntityResolution {
         ((lit(maxDist) - col("name_dist")) * nameWeightPerEdit + agree).as("score"))
   }
 
+  /** Threshold CALIBRATION sweep over scored pairs — the report that
+    * turns [[matchScores]]' raw evidence into a defensible link
+    * threshold: for each candidate threshold, how many pairs survive
+    * and how many distinct records they touch. Read before committing
+    * a threshold to [[clusters]]: the pair-count curve's elbow is
+    * where coincidental evidence stops, and a records curve that
+    * keeps climbing while pairs flatten means surviving links are
+    * spreading (chains), not densifying (real entities) — the same
+    * role [[graft.operators.Dedup]]'s calibration gate plays for
+    * content dedup, at the entity grain.
+    *
+    * Scale shape: thresholds are a config constant list, so the
+    * exploded pair stream is ≤ |thresholds| × pairs — linear; pair
+    * counts are map-side-combinable, the record count is one distinct
+    * at the (threshold, id) grain. Thresholds with no surviving pairs
+    * still report (0, 0) rows via the threshold-list frame.
+    */
+  def thresholdSweep(scored: DataFrame, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val thLit = typedlit(thresholds)
+    val passed = scored.select(col("id_a"), col("id_b"),
+      explode(filter(thLit, t => t <= col("score"))).as("threshold"))
+    val pairCounts = passed.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val recCounts = passed
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_records"))
+    scored.sparkSession.range(1)
+      .select(explode(thLit).as("threshold"))
+      .join(pairCounts, Seq("threshold"), "left")
+      .join(recCounts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_records"), lit(0L)).as("n_records"))
+  }
+
   /** Verified pairs → entity clusters (connected components +
     * min-id canonical record election).
     */
@@ -344,6 +381,14 @@ object EntityResolution {
     "er_clusters" -> ((s, dir) =>
       clusters(table(s, dir, "part"), col("p_partkey"), partPairs(s, dir))
         .orderBy("rec_id")),
+    // the calibration curve over the scored pairs: surviving pairs
+    // and touched records at every candidate threshold 0..80
+    "er_threshold_sweep" -> ((s, dir) =>
+      thresholdSweep(
+        matchScores(table(s, dir, "part"), col("p_partkey"), partPairs(s, dir),
+          Seq("p_brand" -> 30L, "p_type" -> 20L)),
+        (0L to 80L by 10L).toSeq)
+        .orderBy("threshold")),
     "er_golden" -> ((s, dir) => {
       val p = table(s, dir, "part")
       goldenRecords(p, col("p_partkey"),
@@ -412,6 +457,34 @@ object EntityResolution {
          | JOIN part a ON a.p_partkey = vp.id_a
          | JOIN part b ON b.p_partkey = vp.id_b
          |ORDER BY vp.id_a, vp.id_b""".stripMargin,
+    // the scored CTE swept over the 0..80 threshold grid: per
+    // threshold, surviving pair count + distinct touched records
+    "er_threshold_sweep" ->
+      s"""WITH $pairsCte,
+         |sc AS (SELECT vp.id_a, vp.id_b,
+         |  (3 - vp.name_dist) * 10
+         |   + (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN 30 ELSE 0 END)
+         |   + (CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type THEN 20 ELSE 0 END)
+         |    AS score
+         | FROM vp
+         |  JOIN part a ON a.p_partkey = vp.id_a
+         |  JOIN part b ON b.p_partkey = vp.id_b),
+         |th AS (SELECT CAST(t AS BIGINT) AS threshold
+         |       FROM range(0, 81, 10) r(t)),
+         |pc AS (SELECT threshold, COUNT(*) AS n_pairs
+         | FROM th JOIN sc ON sc.score >= th.threshold GROUP BY 1),
+         |rc AS (SELECT threshold, COUNT(*) AS n_records FROM (
+         |  SELECT DISTINCT threshold, id FROM (
+         |   SELECT th.threshold, sc.id_a AS id FROM th
+         |    JOIN sc ON sc.score >= th.threshold
+         |   UNION ALL
+         |   SELECT th.threshold, sc.id_b FROM th
+         |    JOIN sc ON sc.score >= th.threshold)) GROUP BY 1)
+         |SELECT th.threshold,
+         | CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+         | CAST(COALESCE(rc.n_records, 0) AS BIGINT) AS n_records
+         |FROM th LEFT JOIN pc USING (threshold) LEFT JOIN rc USING (threshold)
+         |ORDER BY th.threshold""".stripMargin,
     "er_clusters" ->
       s"""WITH RECURSIVE $pairsCte,
          |edges AS (SELECT id_a AS u, id_b AS v FROM vp

@@ -556,6 +556,45 @@ object Profiler {
       .limit(topK)
   }
 
+  /** Value-CONCENTRATION profile — per categorical column, how
+    * dominated it is by few values: distinct count, the top value's
+    * exact share (ppm), and the GINI IMPURITY 1 − Σ(cᵢ/n)² — the
+    * single-number concentration measure that needs no logarithm, so
+    * unlike an entropy profile it is exact rational arithmetic both
+    * engines reproduce bit-for-bit (counts and their squares are
+    * integers; the one double division is correctly rounded the same
+    * everywhere). Gini 0 = one value everywhere (a constant column
+    * posing as categorical); near 1 − 1/k = uniform over k values.
+    * The report a mixture designer reads next to [[keySkew]]: skew
+    * ranks hot keys, this scores whole columns.
+    *
+    * Scale shape: ONE scan — the profiled columns unpivot in a single
+    * codegen'd explode — then two stacked map-side-combinable
+    * aggregations ((column, value) grain, then column grain). Squares
+    * ride as DECIMAL(38,0) (a 10¹⁰-row hot value squares past BIGINT,
+    * the [[keySkew]] precedent); the output is `cols.size` rows.
+    */
+  def concentration(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = df.select(explode(array(cols.map(n =>
+      struct(lit(n).as("column_name"), col(n).cast("string").as("v"))): _*))
+      .as("p")).select("p.*")
+    pairs.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("top_count"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__ss"))
+      .select(col("column_name"), col("n_distinct"), col("n_rows"),
+        col("top_count"),
+        expr("CAST(top_count AS DECIMAL(38,0)) * 1000000 DIV n_rows")
+          .as("top_share_ppm"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double")))
+          .as("gini"))
+  }
+
   /** EQUI-DEPTH histogram — [[histogram]]'s bound-free sibling: bucket
     * BOUNDARIES are the exact 1/b..(b−1)/b quantiles of the data, so
     * every bucket holds ≈ n/b rows however skewed the distribution
@@ -1134,6 +1173,12 @@ object Profiler {
     "dq_skew" -> ((s, dir) =>
       keySkew(table(s, dir, "events"), col("user_id"), topK = 10)),
 
+    // Column-level concentration: distinct counts, exact top share,
+    // gini impurity — one row per profiled categorical column
+    "dq_gini" -> ((s, dir) =>
+      concentration(table(s, dir, "documents"), Seq("source", "lang"))
+        .orderBy("column_name")),
+
     // The sketch path beside it: CMS key counts, exact gate values,
     // sketch_ok asserting the estimate obeyed its eps*N guarantee
     "dq_skew_sketch" -> ((s, dir) =>
@@ -1499,6 +1544,26 @@ object Profiler {
         | CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
         | CAST(n * n_keys * 1000 // total AS BIGINT) AS hot_x1000
         |FROM k, t ORDER BY n DESC, key_value LIMIT 10""".stripMargin,
+
+    // gini replay: (column, value) counts from the same unpivot, both
+    // double casts before the one division so the IEEE value matches
+    "dq_gini" ->
+      """WITH p AS (
+        |  SELECT 'source' AS column_name, CAST(source AS VARCHAR) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(lang AS VARCHAR) FROM documents),
+        |g AS (SELECT column_name, v, COUNT(*) AS c FROM p GROUP BY 1, 2),
+        |a AS (SELECT column_name, COUNT(*) AS n_distinct,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS top_count,
+        |  SUM(CAST(c AS HUGEINT) * c) AS ss
+        | FROM g GROUP BY 1)
+        |SELECT column_name, n_distinct, n_rows, top_count,
+        | CAST(CAST(top_count AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+        |   AS top_share_ppm,
+        | 1.0 - CAST(ss AS DOUBLE)
+        |   / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS gini
+        |FROM a ORDER BY column_name""".stripMargin,
 
     // the CMS estimate itself is engine-private (Spark's sketch
     // hashing); the oracle checks the exact values and that the

@@ -207,6 +207,54 @@ object Sampling {
       .drop("__g", "__p")
   }
 
+  /** WITH-REPLACEMENT mixture — epoch UPSAMPLING, the other half of
+    * the mixing story: [[mixtureSample]] reaches target proportions by
+    * DROPPING rows from over-represented sources; this reaches them by
+    * REPEATING rows from under-represented ones, keeping every
+    * original row at least once (the "repeat the good small source
+    * 2.3x per epoch" knob every LLM data-mixing recipe has). Each
+    * group's replication rate is `s·w_g / n_g` with `s = max_g(n_g /
+    * w_g)` — the LEAST-upsampled group stays at exactly 1 copy and
+    * everything else scales up to the target ratio. Rows get
+    * `floor(rate)` copies plus one more when the salted key hash
+    * falls under the fractional part — deterministic, engine-free,
+    * and exact in expectation per group. Output repeats input rows
+    * with a `copy` index (0-based) so downstream epoch ordering can
+    * shuffle copies independently.
+    *
+    * Scale shape: one group-count aggregation (broadcast back), then
+    * a shuffle-free per-row `explode(sequence(...))` — expansion
+    * factor is bounded by max(w)/min(w), a config constant, so the
+    * output stays O(input). Groups without a weight are dropped,
+    * mirroring [[mixtureSample]].
+    */
+  def upsampleMixture(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      weights: Seq[(String, Double)],
+      salt: String = "upsample"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val counts = df.groupBy(group.as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", weights.tail.foldLeft(
+        when(col("__g") === weights.head._1, weights.head._2)) {
+        case (acc, (g, wgt)) => acc.when(col("__g") === g, wgt)
+      })
+      .where(col("__w").isNotNull)
+    val scale = counts.agg(max(col("__n") / col("__w")).as("__s"))
+    val rates = broadcast(counts.crossJoin(broadcast(scale)))
+      .select(col("__g"), (col("__s") * col("__w") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), group === col("__g"), "inner")
+      .withColumn("__copies",
+        floor(col("__rate")).cast("long") +
+          (hashFraction(key, salt) < (col("__rate") - floor(col("__rate"))))
+            .cast("long"))
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__g", "__rate", "__copies")
+  }
+
   /** Quality-weighted sampling: keep each row with probability equal
     * to its quality score in [0,1] — the soft alternative to a hard
     * quality cutoff (low-quality docs are down-weighted, not banished,
@@ -427,6 +475,10 @@ object Sampling {
   private[operators] val GateWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private[operators] val MixWeights =
     Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+  // fractional on purpose: the gate must exercise the hash-gated
+  // extra-copy path, not just integer replication
+  private[operators] val UpWeights =
+    Seq("src0" -> 2.5, "src1" -> 1.5, "src2" -> 1.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // epoch-1 dataloader order over 4 shards — a pure function of
@@ -511,6 +563,15 @@ object Sampling {
     "sa_pack_stats" -> ((s, dir) =>
       packStats(table(s, dir, "documents"), col("doc_id"),
         size(split(trim(col("text")), " +")).cast("long"), 2048L, 8)),
+
+    // with-replacement upsampling to 2.5:1.5:1 over three sources —
+    // exact copies per doc (incl. the hash-gated fractional copy)
+    // checked row by row
+    "sa_upsample" -> ((s, dir) =>
+      upsampleMixture(table(s, dir, "documents"), col("source"),
+        col("doc_id"), UpWeights)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")),
 
     // mixture resampling to 4:2:1:1 over four sources (all others
     // dropped); gate checks the exact surviving rows, not just counts
@@ -685,6 +746,27 @@ object Sampling {
          |SELECT r.source, CAST(r.n AS BIGINT) AS n_total,
          | COALESCE(n_kept, 0) AS n_kept
          |FROM r LEFT JOIN k ON r.source = k.src ORDER BY r.source""".stripMargin,
+    // rate replay in the same IEEE order as the Spark plan (max-scale,
+    // then s*w/n); copies = floor(rate) + hash-gated fractional copy,
+    // unnested to one row per copy
+    "sa_upsample" -> {
+      val frac = s"CAST(${hex8ToLong("md5('upsample|' || doc_id)")} AS DOUBLE) / 4294967296.0"
+      val cases = UpWeights
+        .map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+      s"""WITH g AS (SELECT source AS grp, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT grp, n, CASE grp $cases END AS wgt FROM g),
+         |w2 AS (SELECT * FROM w WHERE wgt IS NOT NULL),
+         |s AS (SELECT MAX(n / wgt) AS s FROM w2),
+         |r AS (SELECT grp, (s.s * wgt / n) AS rate FROM w2, s),
+         |c AS (SELECT d.doc_id, d.source,
+         |  CAST(FLOOR(rate) AS BIGINT)
+         |   + CASE WHEN $frac < rate - FLOOR(rate) THEN 1 ELSE 0 END AS ncopies
+         | FROM documents d JOIN r ON d.source = r.grp)
+         |SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy
+         |FROM c, UNNEST(range(0, ncopies)) u(i)
+         |ORDER BY doc_id, copy""".stripMargin
+    },
     "sa_mixture" -> {
       val frac = s"CAST(${hex8ToLong("md5('mix|' || doc_id)")} AS DOUBLE) / 4294967296.0"
       val cases = MixWeights

@@ -198,4 +198,21 @@ class EntityResolutionSpec extends SparkSpec {
     assert(!phys.contains("Cartesian"), phys.take(1200))
     plan.release()
   }
+
+  test("threshold sweep: nested survival curve, empty thresholds report zero rows") {
+    import spark.implicits._
+    val scored = Seq((1L, 2L, 50L), (2L, 3L, 20L), (4L, 5L, 80L))
+      .toDF("id_a", "id_b", "score")
+    val r = EntityResolution.thresholdSweep(scored, Seq(0L, 30L, 60L, 90L))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(
+      0L -> ((3L, 5L)),   // all pairs, records {1..5}
+      30L -> ((2L, 4L)),  // scores 50, 80
+      60L -> ((1L, 2L)),  // score 80 only
+      90L -> ((0L, 0L)))) // nothing survives, row still present
+    // monotone by construction: pairs and records never increase
+    val sorted = r.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.sliding(2).forall(s =>
+      s.length < 2 || (s(0)._1 >= s(1)._1 && s(0)._2 >= s(1)._2)))
+  }
 }

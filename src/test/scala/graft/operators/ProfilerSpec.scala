@@ -418,4 +418,21 @@ class ProfilerSpec extends SparkSpec {
     // a join: no join node anywhere in this plan
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("concentration: hand-computed gini and top share; nulls are a value; constant column scores 0") {
+    import spark.implicits._
+    val d = Seq(("a", "k", Some(1)), ("a", "k", Some(2)),
+      ("a", "k", None), ("b", "k", Some(2)))
+      .toDF("cat", "const", "num")
+    val r = Profiler.concentration(d, Seq("cat", "const", "num")).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))
+      .toMap
+    // cat: {a:3, b:1} -> gini = 1 - (9+1)/16 = 0.375, top share 750000
+    assert(r("cat") == ((2L, 4L, 3L, 750000L, 0.375)))
+    // constant column: gini exactly 0, share 1e6
+    assert(r("const") == ((1L, 4L, 4L, 1000000L, 0.0)))
+    // nulls count as a value: {1:1, 2:2, null:1} -> 1 - (1+4+1)/16
+    assert(r("num") == ((3L, 4L, 2L, 500000L, 1.0 - 6.0 / 16.0)))
+  }
 }

@@ -315,6 +315,50 @@ class SamplingSpec extends SparkSpec {
     assert(e1.toSet != e2.toSet)
   }
 
+  test("upsampleMixture: least-upsampled source keeps 1 copy, fractional copies hash-gated") {
+    import spark.implicits._
+    // three equal 20-doc sources -> rates are exactly the weights
+    val d = (0L until 60L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "source")
+    val weights = Seq("g0" -> 2.5, "g1" -> 1.5, "g2" -> 1.0)
+    val r = Sampling.upsampleMixture(d, col("source"), col("doc_id"), weights)
+      .select(col("doc_id"), col("source"), col("copy")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byDoc = r.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every input doc survives with contiguous 0-based copy indices
+    assert(byDoc.keySet == (0L until 60L).toSet)
+    byDoc.values.foreach(cs => assert(cs == (0L until cs.length).toSeq))
+    // copy counts bracket the rate: g0 in {2,3}, g1 in {1,2}, g2 == 1
+    def counts(g: String) = r.filter(_._2 == g).groupBy(_._1).map(_._2.length)
+    assert(counts("g0").forall(c => c == 2 || c == 3))
+    assert(counts("g1").forall(c => c == 1 || c == 2))
+    assert(counts("g2").forall(_ == 1))
+    // the fractional copy actually fires on SOME docs and not others
+    assert(counts("g0").toSet == Set(2, 3))
+    // deterministic under repartitioning
+    val again = Sampling.upsampleMixture(d.repartition(7), col("source"),
+      col("doc_id"), weights)
+      .select(col("doc_id"), col("source"), col("copy")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(again.sorted.toSeq == r.sorted.toSeq)
+    // unweighted sources drop, mirroring mixtureSample
+    val withExtra = d.union(Seq((100L, "gX")).toDF("doc_id", "source"))
+    assert(Sampling.upsampleMixture(withExtra, col("source"), col("doc_id"),
+      weights).where(col("source") === "gX").count() == 0)
+  }
+
+  test("upsampleMixture: uneven sources scale to the target ratio in expectation") {
+    import spark.implicits._
+    // g0 tiny (10 docs) with weight 3, g1 big (90 docs) with weight 1:
+    // s = 90, target g0 = 270 -> rate 27 (integer, no fractional noise)
+    val d = ((0L until 10L).map(i => (i, "g0")) ++
+      (100L until 190L).map(i => (i, "g1"))).toDF("doc_id", "source")
+    val out = Sampling.upsampleMixture(d, col("source"), col("doc_id"),
+      Seq("g0" -> 3.0, "g1" -> 1.0))
+      .groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(out == Map("g0" -> 270L, "g1" -> 90L))
+  }
+
   test("fixedK: exactly k rows, same set under repartitioning, top-k plan") {
     import spark.implicits._
     val d = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
