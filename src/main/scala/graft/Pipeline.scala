@@ -92,6 +92,7 @@ object Pipeline {
     case _: StepSpec.EpochOrder      => "epoch_order"
     case _: StepSpec.Pack            => "pack"
     case _: StepSpec.KAnonSuppress   => "k_anon_suppress"
+    case _: StepSpec.LDiversitySuppress => "l_diversity_suppress"
     case _: StepSpec.BpeTrain        => "bpe_train"
     case _: StepSpec.BpeAnnotate     => "bpe_annotate"
     case _: StepSpec.Chunk           => "chunk"
@@ -222,6 +223,26 @@ object Pipeline {
               .partitionBy(quasiCols.map(col): _*)))
         .where(col("__qn") >= k)
         .drop("__qn")
+
+    case StepSpec.LDiversitySuppress(quasiCols, sensitiveCol, l) =>
+      // distinct-count-per-group WITHOUT a per-group set and without
+      // the self-join double-execution trap (see KAnonSuppress):
+      // dense_rank over (quasi ORDER BY sensitive) tops out at the
+      // group's distinct sensitive count, and max of it over the same
+      // partition broadcasts that count to every row — two window
+      // passes over ONE quasi-grain shuffle, state O(1) per row.
+      // Same contract as [[graft.operators.Curation.lDiversityViolations]]
+      // (nulls count as a value, matching its (quasi, sensitive)
+      // grouping grain).
+      {
+        import org.apache.spark.sql.expressions.Window
+        val byQuasi = Window.partitionBy(quasiCols.map(col): _*)
+        df.withColumn("__dr",
+            dense_rank().over(byQuasi.orderBy(col(sensitiveCol))))
+          .withColumn("__nd", max(col("__dr")).over(byQuasi))
+          .where(col("__nd") >= l)
+          .drop("__dr", "__nd")
+      }
 
     case StepSpec.BpeTrain(merges, textCol, keyCol, path, sampleK) =>
       // EAGER side-output boundary by design: the merge table must

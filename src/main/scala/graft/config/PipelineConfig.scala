@@ -173,6 +173,16 @@ object StepSpec {
     */
   final case class KAnonSuppress(quasiCols: Seq[String], k: Long) extends StepSpec
 
+  /** l-diversity suppression: drop every row whose quasi-identifier
+    * group spans fewer than `l` DISTINCT values of `sensitiveCol` —
+    * the enforcement form of
+    * [[graft.operators.Curation.lDiversityViolations]], closing the
+    * attribute-disclosure hole [[KAnonSuppress]] leaves (a large group
+    * with one sensitive value is k-anonymous and still discloses).
+    */
+  final case class LDiversitySuppress(quasiCols: Seq[String],
+      sensitiveCol: String, l: Long) extends StepSpec
+
   /** SCD2 history build ([[graft.queries.Relational.scd2History]]):
     * REPLACES the frame with the type-2 slowly-changing-dimension
     * history — one row per (entity, run) of constant `stateCol` with
@@ -436,6 +446,16 @@ object PipelineLoader {
         val k = require(n, "k", where).asLong
         if (k < 2) throw new IllegalArgumentException(s"$where: k must be >= 2")
         StepSpec.KAnonSuppress(q.elements().asScala.map(_.asText).toSeq, k)
+      case "l_diversity_suppress" =>
+        val q = require(n, "quasi_cols", where)
+        if (!q.isArray || q.isEmpty)
+          throw new IllegalArgumentException(
+            s"$where: quasi_cols must be a non-empty list")
+        val l = require(n, "l", where).asLong
+        if (l < 2) throw new IllegalArgumentException(s"$where: l must be >= 2")
+        StepSpec.LDiversitySuppress(
+          q.elements().asScala.map(_.asText).toSeq,
+          require(n, "sensitive_col", where).asText, l)
       case "scd2" =>
         // entity_col/state_col are semantically required — a default
         // silently binds the history build to columns the user's data

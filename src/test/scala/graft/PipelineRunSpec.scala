@@ -292,6 +292,14 @@ class PipelineRunSpec extends SparkSpec {
     assert(bad(head +
       "  steps:\n    - kind: k_anon_suppress\n      k: 1\n      quasi_cols: [lang]")
       .contains("k must be >= 2"))
+    assert(bad(head + "  steps:\n    - kind: l_diversity_suppress\n      l: 2")
+      .contains("quasi_cols"))
+    assert(bad(head +
+      "  steps:\n    - kind: l_diversity_suppress\n      l: 2\n      quasi_cols: [lang]")
+      .contains("sensitive_col"))
+    assert(bad(head + "  steps:\n    - kind: l_diversity_suppress\n" +
+      "      l: 1\n      quasi_cols: [lang]\n      sensitive_col: source")
+      .contains("l must be >= 2"))
 
     val spec = PipelineLoader.fromYaml(
       s"""pipeline:
@@ -373,6 +381,38 @@ class PipelineRunSpec extends SparkSpec {
       .select("step").collect().map(_.getString(0)).toSeq
     assert(funnel == Seq("input", "k_anon_suppress", "mixture",
       "quality_normalize", "quality_weighted", "fixed_k", "epoch_order", "pack"))
+  }
+
+  test("l_diversity_suppress step: window form equals the operator's violating-group contract") {
+    import graft.config.{PipelineSpec, SideSpec, SourceSpec}
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: l_diversity_suppress
+         |      quasi_cols: [source]
+         |      sensitive_col: lang
+         |      l: 5
+         |""".stripMargin)
+    assert(spec.steps == Seq(
+      StepSpec.LDiversitySuppress(Seq("source"), "lang", 5L)))
+    val docs = spark.read.parquet(docsPath)
+    val viol = graft.operators.Curation
+      .lDiversityViolations(docs, Seq(col("source")), col("lang"), 5L)
+      .select(col("source"))
+    val expect = docs.join(viol, Seq("source"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Pipeline.run(spark, spec)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // the suppression actually bites on the fixture (or the test is vacuous)
+    val total = docs.count()
+    assert(got.nonEmpty && got.size < total, s"${got.size} of $total")
+    // funnel reports the step by name
+    val funnel = Pipeline.funnel(spark, spec)
+      .select("step").collect().map(_.getString(0)).toSeq
+    assert(funnel == Seq("input", "l_diversity_suppress"))
   }
 
   test("funnel: hand-computed per-step retention, stage caches released") {
