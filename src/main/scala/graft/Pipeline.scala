@@ -87,6 +87,7 @@ object Pipeline {
     case _: StepSpec.Kfold           => "kfold"
     case _: StepSpec.QualityNormalize => "quality_normalize"
     case _: StepSpec.Mixture         => "mixture"
+    case _: StepSpec.Upsample        => "upsample"
     case _: StepSpec.QualityWeighted => "quality_weighted"
     case _: StepSpec.FixedK          => "fixed_k"
     case _: StepSpec.EpochOrder      => "epoch_order"
@@ -183,6 +184,9 @@ object Pipeline {
 
     case StepSpec.Mixture(groupCol, keyCol, weights, salt) =>
       Sampling.mixtureSample(df, col(groupCol), col(keyCol), weights, salt)
+
+    case StepSpec.Upsample(groupCol, keyCol, weights, salt) =>
+      Sampling.upsampleMixture(df, col(groupCol), col(keyCol), weights, salt)
 
     case StepSpec.QualityWeighted(keyCol, scoreCol, salt) =>
       Sampling.qualityWeightedSample(df, col(keyCol), col(scoreCol), salt)

@@ -129,6 +129,16 @@ object StepSpec {
   final case class Mixture(groupCol: String, keyCol: String,
       weights: Seq[(String, Double)], salt: String) extends StepSpec
 
+  /** With-replacement mixture
+    * ([[graft.operators.Sampling.upsampleMixture]]): reach the target
+    * proportions by REPEATING under-represented groups' rows (every
+    * original row kept at least once, a 0-based `copy` column added)
+    * instead of [[Mixture]]'s dropping. Same whitelist semantics:
+    * groups absent from the mapping are dropped.
+    */
+  final case class Upsample(groupCol: String, keyCol: String,
+      weights: Seq[(String, Double)], salt: String) extends StepSpec
+
   /** Quality-weighted sampling
     * ([[graft.operators.Sampling.qualityWeightedSample]]): keep each
     * row with probability `scoreCol` (a [0,1] score — e.g. the
@@ -408,6 +418,19 @@ object PipelineLoader {
           opt(n, "group_col").map(_.asText).getOrElse("source"),
           opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
           weights, opt(n, "salt").map(_.asText).getOrElse("mix"))
+      case "upsample" =>
+        val w = require(n, "weights", where)
+        if (!w.isObject || w.isEmpty)
+          throw new IllegalArgumentException(
+            s"$where: weights must be a non-empty mapping of group -> weight")
+        val weights = w.fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toSeq
+        if (weights.exists(_._2 <= 0))
+          throw new IllegalArgumentException(s"$where: weights must be positive")
+        StepSpec.Upsample(
+          opt(n, "group_col").map(_.asText).getOrElse("source"),
+          opt(n, "key_col").map(_.asText).getOrElse("doc_id"),
+          weights, opt(n, "salt").map(_.asText).getOrElse("upsample"))
       case "quality_weighted" =>
         StepSpec.QualityWeighted(
           opt(n, "key_col").map(_.asText).getOrElse("doc_id"),

@@ -243,6 +243,58 @@ object Graph {
     DedupPlan(out, "triangles", Seq(e, deg))
   }
 
+  /** Per-node LOCAL CLUSTERING COEFFICIENT — [[triangleCountPlan]]'s
+    * node-grain sibling: for each node, how many of its neighbor
+    * pairs are themselves connected, in exact integer ppm
+    * (2·triangles·10⁶ div (deg·(deg−1))). The "is this node inside a
+    * community or a hub of strangers" score: spam/bot accounts and
+    * aggregator pages score near 0 while organic community members
+    * score high, which is why it is a standard graph feature next to
+    * PageRank in quality models. Output one row per node of degree
+    * ≥ 2: (id, deg, n_tri, lcc_ppm).
+    *
+    * Scale shape: the SAME degree-ordered wedge join as the global
+    * count (out-degrees capped at O(√m), total work arboricity-
+    * bounded) — each found triangle then fans out to its three
+    * corners (a 3× explode of the triangle stream, far smaller than
+    * the edge list) and one map-side-combinable count per node.
+    * Degrees come from the already-built degree table. The eager
+    * form releases the shared caches; compose via the plan form.
+    */
+  def localClustering(pairs: DataFrame): DataFrame =
+    eagerReleased(localClusteringPlan(pairs))
+
+  def localClusteringPlan(pairs: DataFrame): DedupPlan = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.select(col("u"), col("v"))
+    val deg = p.select(col("u").as("id"))
+      .unionAll(p.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
+    val e = p
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(flip, col("v")).otherwise(col("u")).as("u"),
+        when(flip, col("u")).otherwise(col("v")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val out = deg.where(col("d") >= 2)
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("d").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_ppm",
+        expr("n_tri * 2 * 1000000 DIV (deg * (deg - 1))"))
+    DedupPlan(out, "local-clustering", Seq(e, deg))
+  }
+
   /** BFS hop distance — min hops from a SEED node set to every node
     * reachable within `maxHops`, over a directed edge list. The third
     * canonical iterative-graph shape next to score propagation
@@ -525,6 +577,12 @@ object Graph {
         .orderBy("lvl", "id")
     }),
 
+    // per-node clustering coefficient over the co-purchase graph: the
+    // community-vs-hub score beside the global triangle census
+    "q48_lcc" -> ((s, dir) =>
+      localClustering(copurchaseEdges(table(s, dir, "lineitem")))
+        .orderBy("id")),
+
     // 3 peeling rounds of the 2-core over the co-purchase graph: the
     // dense backbone after pendant/chain products are stripped, with
     // the in-subgraph degree that justified each survival
@@ -617,6 +675,31 @@ object Graph {
         |      FROM e e1 JOIN e e2 ON e1.v = e2.u
         |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
         |SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin,
+
+    // triangle corners unnested to node grain; deg >= 2 nodes kept,
+    // integer-ppm coefficient
+    "q48_lcc" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |p0 AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT id, COUNT(*) AS d FROM
+        |        (SELECT u AS id FROM p0 UNION ALL SELECT v FROM p0)
+        |        GROUP BY id),
+        |e AS (SELECT CASE WHEN (du.d, p0.u) > (dv.d, p0.v) THEN p0.v ELSE p0.u END AS u,
+        |             CASE WHEN (du.d, p0.u) > (dv.d, p0.v) THEN p0.u ELSE p0.v END AS v
+        |      FROM p0 JOIN deg du ON p0.u = du.id JOIN deg dv ON p0.v = dv.id),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |pn AS (SELECT id, COUNT(*) AS n_tri FROM (
+        |       SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+        |SELECT deg.id, deg.d AS deg,
+        | CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        | CAST(COALESCE(pn.n_tri, 0) * 2 * 1000000 // (deg.d * (deg.d - 1))
+        |   AS BIGINT) AS lcc_ppm
+        |FROM deg LEFT JOIN pn USING (id)
+        |WHERE deg.d >= 2 ORDER BY deg.id""".stripMargin,
 
     // 3 peeling rounds replayed: per round, degrees within the
     // surviving subgraph, survivors = deg >= 2; output carries the

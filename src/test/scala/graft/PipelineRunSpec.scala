@@ -383,6 +383,40 @@ class PipelineRunSpec extends SparkSpec {
       "quality_normalize", "quality_weighted", "fixed_k", "epoch_order", "pack"))
   }
 
+  test("upsample step: parses with mixture-style validation, equals the operator call") {
+    def bad(y: String): String =
+      intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
+    val head =
+      s"pipeline:\n  input:\n    db: {type: parquet, path: $docsPath}\n"
+    assert(bad(head + "  steps:\n    - kind: upsample").contains("weights"))
+    assert(bad(head + "  steps:\n    - kind: upsample\n      weights: {a: -1}")
+      .contains("positive"))
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: upsample
+         |      weights: {src0: 2.5, src1: 1.0}
+         |""".stripMargin)
+    assert(spec.steps == Seq(StepSpec.Upsample("source", "doc_id",
+      Seq("src0" -> 2.5, "src1" -> 1.0), "upsample")))
+    val docs = spark.read.parquet(docsPath)
+    val expect = graft.operators.Sampling
+      .upsampleMixture(docs, col("source"), col("doc_id"),
+        Seq("src0" -> 2.5, "src1" -> 1.0))
+      .select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Pipeline.run(spark, spec).select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+    // genuinely upsampled: more output rows than surviving input docs
+    assert(got.size > got.map(_._1).size)
+    val funnel = Pipeline.funnel(spark, spec)
+      .select("step").collect().map(_.getString(0)).toSeq
+    assert(funnel == Seq("input", "upsample"))
+  }
+
   test("l_diversity_suppress step: window form equals the operator's violating-group contract") {
     import graft.config.{PipelineSpec, SideSpec, SourceSpec}
     val spec = PipelineLoader.fromYaml(

@@ -230,6 +230,22 @@ class GraphSpec extends SparkSpec {
     assert(e == Set(("p1", "s10"), ("s10", "p1"), ("p2", "s10"), ("s10", "p2")))
   }
 
+  test("local clustering: hand-computed ppm on K4-minus-an-edge; triangle-free node scores 0") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (6L, 7L)) // a path: 6 has deg 2 and no triangle
+      .toDF("u", "v")
+    val r = Graph.localClustering(e).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // nodes 1,2: deg 3, in 2 triangles -> 2*2e6/(3*2) = 666666
+    assert(r(1L) == ((3L, 2L, 666666L)) && r(2L) == ((3L, 2L, 666666L)))
+    // nodes 3,4: deg 2, 1 triangle -> fully clustered
+    assert(r(3L) == ((2L, 1L, 1000000L)) && r(4L) == ((2L, 1L, 1000000L)))
+    // node 6: deg 2, zero triangles -> 0; degree-1 nodes 5,7 excluded
+    assert(r(6L) == ((2L, 0L, 0L)))
+    assert(!r.contains(5L) && !r.contains(7L))
+  }
+
   test("k-core: pendant peels off the triangle; hub degree drops with it") {
     import spark.implicits._
     // triangle a-b-c plus pendant d hanging off a
