@@ -427,6 +427,61 @@ object Comparator {
     (delta, rows)
   }
 
+  /** REPAIR-SCRIPT emitter — the ACTION form of the diff, completing
+    * report → repair the way the decontamination family completes
+    * report → rewrite: every orphan row becomes one executable DML
+    * statement that reconciles the target toward the source. A
+    * `source`-side orphan (present in source, missing in target)
+    * becomes an INSERT; a `target`-side orphan (extra in target)
+    * becomes a full-column-predicate DELETE. This is what the
+    * reference's workflow leaves to the operator by hand after
+    * reading the diff (/root/reference/example.md's NOK ending) —
+    * here it is a column, auditable and replayable.
+    *
+    * Rendering rules (deterministic, engine-independent):
+    *   - every value renders through [[Canonicalizer.canonCol]] (the
+    *     cross-engine-gated canonical text) and is then SQL-quoted
+    *     with `''` doubling — numbers included (uniform quoting;
+    *     every major engine implicitly casts quoted literals, and one
+    *     rule means one escaping proof);
+    *   - NULL renders as the bare keyword, and DELETE predicates use
+    *     `IS NULL` for null fields;
+    *   - bag semantics caveat: a DELETE's full-column predicate hits
+    *     ALL copies of a duplicated row. When the diff is a
+    *     multiplicity difference (bag delta k > 0 with copies
+    *     remaining), the emitted statement over-deletes — exactly the
+    *     ambiguity SQL DELETE has without a physical row id; emit
+    *     through a ctid/rowid wrapper on engines that expose one.
+    *
+    * Input: an orphans frame shaped like [[DiffReport.orphans]]
+    * (`side` + data columns). Output: (side, action, dml). One narrow
+    * codegen'd projection — no shuffle, linear in orphan volume,
+    * which the circuit breaker already bounds.
+    */
+  def repairActions(orphans: DataFrame, targetTable: String): DataFrame = {
+    require(orphans.columns.contains("side"), "expected a 'side' column")
+    val cols = orphans.columns.filter(_ != "side").toSeq
+    require(cols.nonEmpty, "need at least one data column")
+    def quoted(n: String): Column = {
+      val canon = Canonicalizer.canonCol(col(n), orphans.schema(n).dataType)
+      when(col(n).isNull, lit("NULL"))
+        .otherwise(concat(lit("'"), regexp_replace(canon, "'", "''"), lit("'")))
+    }
+    val insertVals = concat_ws(", ", cols.map(quoted): _*)
+    val whereCond = concat_ws(" AND ", cols.map { n =>
+      when(col(n).isNull, lit(s"$n IS NULL"))
+        .otherwise(concat(lit(s"$n = "), quoted(n)))
+    }: _*)
+    orphans.select(col("side"),
+      when(col("side") === "source", lit("insert"))
+        .otherwise(lit("delete")).as("action"),
+      when(col("side") === "source",
+        concat(lit(s"INSERT INTO $targetTable (${cols.mkString(", ")}) VALUES ("),
+          insertVals, lit(")")))
+        .otherwise(concat(lit(s"DELETE FROM $targetTable WHERE "), whereCond))
+        .as("dml"))
+  }
+
   /** Estimate-only plan: what [[compareAuto]] WOULD run (the analog of
     * the reference's estimate-only config fixture,
     * /root/reference/tests/yaml/default_config_estimate.yaml — plan and

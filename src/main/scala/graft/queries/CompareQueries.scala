@@ -140,6 +140,22 @@ object CompareQueries {
         .orderBy("side")
     }),
 
+    // The ACTION form of the diff: every orphan row rendered as one
+    // executable reconciliation statement (insert the missing source
+    // row, delete the extra target row) — exact DML text is the gate
+    "cmp_repair" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+      val tgt = mutated(li)
+      val cols = li.columns.map(col).toIndexedSeq
+      val orphans = li.exceptAll(tgt)
+        .select(lit("source").as("side") +: cols: _*)
+        .unionAll(tgt.exceptAll(li).select(lit("target").as("side") +: cols: _*))
+      Comparator.repairActions(orphans, "lineitem").orderBy("action", "dml")
+    }),
+
     // Full comparator end-to-end (the product): summary verdict row.
     "cmp_verdict" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
@@ -360,6 +376,48 @@ object CompareQueries {
          |FROM src FULL OUTER JOIN tgt ON src.bucket = tgt.bucket
          |WHERE src_fp IS DISTINCT FROM tgt_fp
          |ORDER BY bucket""".stripMargin,
+    // the repair replay: same projected diff, every value rendered
+    // through the canonical text + ''-doubled SQL quoting, identical
+    // statement assembly (uniform quoting, numbers included)
+    "cmp_repair" -> {
+      val render = Map(
+        "l_orderkey" -> "CAST(l_orderkey AS VARCHAR)",
+        "l_linenumber" -> "CAST(l_linenumber AS VARCHAR)",
+        "l_quantity" -> "CAST(l_quantity AS VARCHAR)",
+        "l_returnflag" -> "l_returnflag",
+        "l_shipdate" -> "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f')")
+      val colsR = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_shipdate")
+      def q(n: String) =
+        s"(CASE WHEN $n IS NULL THEN 'NULL' ELSE '''' || replace(${render(n)}, '''', '''''') || '''' END)"
+      val insertVals = colsR.map(q).mkString(" || ', ' || ")
+      val whereCond = colsR.map(n =>
+        s"(CASE WHEN $n IS NULL THEN '$n IS NULL' ELSE '$n = ' || ${q(n)} END)")
+        .mkString(" || ' AND ' || ")
+      s"""WITH src AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+         |  l_returnflag, l_shipdate FROM lineitem),
+         |mk AS (SELECT MIN(l_orderkey) AS mo FROM lineitem),
+         |mk2 AS (SELECT MIN(l_linenumber) AS ml FROM lineitem
+         |        WHERE l_orderkey = (SELECT mo FROM mk)),
+         |tgt AS (SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN l_orderkey = (SELECT mo FROM mk)
+         |        AND l_linenumber = (SELECT ml FROM mk2)
+         |       THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+         |  l_returnflag, l_shipdate FROM src),
+         |so AS (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt),
+         |to2 AS (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src),
+         |acts AS (
+         | SELECT 'source' AS side, 'insert' AS action,
+         |  'INSERT INTO lineitem (${colsR.mkString(", ")}) VALUES ('
+         |   || $insertVals || ')' AS dml
+         | FROM so
+         | UNION ALL
+         | SELECT 'target' AS side, 'delete' AS action,
+         |  'DELETE FROM lineitem WHERE ' || $whereCond AS dml
+         | FROM to2)
+         |SELECT side, action, dml FROM acts ORDER BY action, dml""".stripMargin
+    },
     "cmp_diff_orphans" ->
       s"""WITH tgt AS ($mutatedSql)
          |SELECT 'source' AS side, * FROM (SELECT * FROM lineitem EXCEPT ALL SELECT * FROM tgt)

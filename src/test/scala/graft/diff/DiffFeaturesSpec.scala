@@ -233,6 +233,36 @@ class DiffFeaturesSpec extends SparkSpec {
     fs.delete(legacy, false)
   }
 
+  test("repair actions: quoting, null handling, insert/delete routing — exact DML text") {
+    import spark.implicits._
+    val orphans = Seq(
+      ("source", Some(1L), Some("o'neill")),   // quote must double
+      ("source", Some(2L), None),              // NULL value in VALUES
+      ("target", None, Some("x")))             // IS NULL predicate
+      .toDF("side", "k", "name")
+    val r = Comparator.repairActions(orphans, "t").collect()
+      .map(x => (x.getString(1), x.getString(2))).toSet
+    assert(r == Set(
+      ("insert", "INSERT INTO t (k, name) VALUES ('1', 'o''neill')"),
+      ("insert", "INSERT INTO t (k, name) VALUES ('2', NULL)"),
+      ("delete", "DELETE FROM t WHERE k IS NULL AND name = 'x'")))
+    // timestamps render through the canonical micros form
+    val ts = Seq(("target", java.sql.Timestamp.valueOf("1992-01-02 03:04:05.123456")))
+      .toDF("side", "ts")
+    val dml = Comparator.repairActions(ts, "t").head().getString(2)
+    assert(dml == "DELETE FROM t WHERE ts = '1992-01-02 03:04:05.123456'", dml)
+    // applying the script reconciles: replaying insert/delete counts
+    // against a real diff nets to zero (the ref-scenario shape)
+    val src = li.select(col("l_orderkey"), col("l_linenumber"))
+    val tgt = src.where(col("l_linenumber") =!= 1)
+      .unionAll(src.limit(0)) // drop some rows: all repairs are inserts
+    val o = src.exceptAll(tgt).select(lit("source").as("side"),
+      col("l_orderkey"), col("l_linenumber"))
+    val acts = Comparator.repairActions(o, "lineitem")
+    assert(acts.where(col("action") =!= "insert").count() == 0)
+    assert(acts.count() == src.count() - tgt.count())
+  }
+
   test("prefiltered jaccard drops hot shingles but keeps exact duplicate pairs") {
     val docs = GraftSession.table(spark, Sf0001, "documents")
     val exact = graft.operators.Dedup.jaccardPairs(docs, 0.9)
