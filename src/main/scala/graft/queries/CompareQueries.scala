@@ -142,18 +142,23 @@ object CompareQueries {
 
     // The ACTION form of the diff: every orphan row rendered as one
     // executable reconciliation statement (insert the missing source
-    // row, delete the extra target row) — exact DML text is the gate
+    // row, delete the extra target row) — exact DML text is the gate.
+    // Orphans come from the PRODUCTION comparator path (fingerprint
+    // compare + bucket-restricted fetch), not a corpus-wide bag diff:
+    // at 100x data this is the cmp_verdict scale shape (~6x), where
+    // the raw exceptAll diff measured 15.6x on the same legs
     "cmp_repair" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+      val raw = table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"), col("l_shipdate"))
-      val tgt = mutated(li)
-      val cols = li.columns.map(col).toIndexedSeq
-      val orphans = li.exceptAll(tgt)
-        .select(lit("source").as("side") +: cols: _*)
-        .unionAll(tgt.exceptAll(li).select(lit("target").as("side") +: cols: _*))
-      Comparator.repairActions(orphans, "lineitem").orderBy("action", "dml")
+      // mutate on the raw double, THEN fix the money type on both
+      // sides (decimal + 1 would widen to (19,2) and trip the
+      // positional schema gate — correctly)
+      def money(df: DataFrame) = df.withColumn("l_quantity",
+        col("l_quantity").cast("decimal(18,2)"))
+      val rep = Comparator.compare(money(raw), money(mutated(raw)),
+        CompareOptions(numBuckets = 512))
+      Comparator.repairActions(rep.orphans, "lineitem").orderBy("action", "dml")
     }),
 
     // Full comparator end-to-end (the product): summary verdict row.
@@ -401,10 +406,11 @@ object CompareQueries {
          |mk2 AS (SELECT MIN(l_linenumber) AS ml FROM lineitem
          |        WHERE l_orderkey = (SELECT mo FROM mk)),
          |tgt AS (SELECT l_orderkey, l_linenumber,
-         |  CASE WHEN l_orderkey = (SELECT mo FROM mk)
-         |        AND l_linenumber = (SELECT ml FROM mk2)
-         |       THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
-         |  l_returnflag, l_shipdate FROM src),
+         |  CAST(CASE WHEN l_orderkey = (SELECT mo FROM mk)
+         |             AND l_linenumber = (SELECT ml FROM mk2)
+         |            THEN l_quantity + 1 ELSE l_quantity END
+         |       AS DECIMAL(18,2)) AS l_quantity,
+         |  l_returnflag, l_shipdate FROM lineitem),
          |so AS (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt),
          |to2 AS (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src),
          |acts AS (
