@@ -452,16 +452,41 @@ object Comparator {
     *     remaining), the emitted statement over-deletes — exactly the
     *     ambiguity SQL DELETE has without a physical row id; emit
     *     through a ctid/rowid wrapper on engines that expose one.
+    *     The detectable half of that hazard is SIGNALLED per
+    *     statement, not just documented: a delete whose full row
+    *     value repeats among the target orphans (bag delta ≤ −2)
+    *     gets action `delete_all_copies` instead of `delete`, so a
+    *     replay consumer can filter or collapse those before
+    *     applying (replaying k identical full-predicate DELETEs is
+    *     never k single-row deletes). A SINGLE delete orphan whose
+    *     target still holds matching copies remains undetectable
+    *     from the orphans frame alone — that residual case is the
+    *     ctid/rowid caveat above.
+    *
+    * Identifier safety: data VALUES are escaped, so column names and
+    * the target table must not become the injection channel —
+    * both are validated against a conservative identifier pattern
+    * (letters/digits/underscore/$, dotted qualification allowed for
+    * the table) and rejected loudly rather than quoted silently,
+    * because a name that needs quoting differs per target engine
+    * and a repair script must replay verbatim.
     *
     * Input: an orphans frame shaped like [[DiffReport.orphans]]
     * (`side` + data columns). Output: (side, action, dml). One narrow
-    * codegen'd projection — no shuffle, linear in orphan volume,
-    * which the circuit breaker already bounds.
+    * codegen'd projection plus one window count at the full-row grain
+    * (partitions are single rows except actual duplicates) — no
+    * corpus-wide shuffle beyond orphan volume, which the circuit
+    * breaker already bounds.
     */
   def repairActions(orphans: DataFrame, targetTable: String): DataFrame = {
     require(orphans.columns.contains("side"), "expected a 'side' column")
     val cols = orphans.columns.filter(_ != "side").toSeq
     require(cols.nonEmpty, "need at least one data column")
+    val ident = "[A-Za-z_][A-Za-z0-9_$]*"
+    require(targetTable.matches(s"$ident(\\.$ident)*"),
+      s"unsafe target table name for DML interpolation: '$targetTable'")
+    cols.foreach(c => require(c.matches(ident),
+      s"unsafe column name for DML interpolation: '$c'"))
     def quoted(n: String): Column = {
       val canon = Canonicalizer.canonCol(col(n), orphans.schema(n).dataType)
       when(col(n).isNull, lit("NULL"))
@@ -472,8 +497,12 @@ object Comparator {
       when(col(n).isNull, lit(s"$n IS NULL"))
         .otherwise(concat(lit(s"$n = "), quoted(n)))
     }: _*)
+    val copies = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("side") +: cols.map(col): _*))
     orphans.select(col("side"),
       when(col("side") === "source", lit("insert"))
+        .when(copies > 1L, lit("delete_all_copies"))
         .otherwise(lit("delete")).as("action"),
       when(col("side") === "source",
         concat(lit(s"INSERT INTO $targetTable (${cols.mkString(", ")}) VALUES ("),

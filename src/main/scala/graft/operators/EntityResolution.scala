@@ -257,26 +257,36 @@ object EntityResolution {
     * content dedup, at the entity grain.
     *
     * Scale shape: thresholds are a config constant list, so the
-    * exploded pair stream is ≤ |thresholds| × pairs — linear; pair
-    * counts are map-side-combinable, the record count is one distinct
-    * at the (threshold, id) grain. Thresholds with no surviving pairs
-    * still report (0, 0) rows via the threshold-list frame.
+    * exploded pair stream is ≤ |thresholds| × pairs — linear. BOTH
+    * counts come off ONE traversal of the scored input (matchScores'
+    * two joins + the explode run once, not once per aggregate): each
+    * surviving pair emits its two id legs with a pair-weight of 1 on
+    * the id_a leg only, so per (threshold, id) group the weight sum
+    * reconstructs the pair count while the group count itself is the
+    * distinct-record count — both map-side-combinable. Thresholds
+    * with no surviving pairs still report (0, 0) rows via the
+    * threshold-list frame.
     */
   def thresholdSweep(scored: DataFrame, thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
     val thLit = typedlit(thresholds)
     val passed = scored.select(col("id_a"), col("id_b"),
       explode(filter(thLit, t => t <= col("score"))).as("threshold"))
-    val pairCounts = passed.groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val recCounts = passed
-      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-      .groupBy(col("threshold")).agg(count(lit(1)).as("n_records"))
+    // both legs from ONE explode (a self-union would plant the scored
+    // subtree twice in the plan — the exact double-execution this
+    // shape exists to avoid)
+    val legs = passed.select(col("threshold"), explode(array(
+        struct(col("id_a").as("id"), lit(1L).as("pair_w")),
+        struct(col("id_b").as("id"), lit(0L).as("pair_w")))).as("leg"))
+      .select(col("threshold"), col("leg.id").as("id"),
+        col("leg.pair_w").as("pair_w"))
+    val counts = legs
+      .groupBy(col("threshold"), col("id")).agg(sum(col("pair_w")).as("w"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("w")).as("n_pairs"), count(lit(1)).as("n_records"))
     scored.sparkSession.range(1)
       .select(explode(thLit).as("threshold"))
-      .join(pairCounts, Seq("threshold"), "left")
-      .join(recCounts, Seq("threshold"), "left")
+      .join(counts, Seq("threshold"), "left")
       .select(col("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_records"), lit(0L)).as("n_records"))

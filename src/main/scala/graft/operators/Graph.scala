@@ -290,8 +290,13 @@ object Graph {
       .join(perNode, Seq("id"), "left")
       .select(col("id"), col("d").as("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      // numerator in DECIMAL(38,0): a hub of degree ~3M has ~4.6e12
+      // triangles possible and n_tri*2e6 silently wraps 64-bit (the
+      // keySkew/concentration count-square precedent); IntegralDivide
+      // on decimals still returns BIGINT so the schema is unchanged
       .withColumn("lcc_ppm",
-        expr("n_tri * 2 * 1000000 DIV (deg * (deg - 1))"))
+        expr("CAST(n_tri AS DECIMAL(38,0)) * 2 * 1000000" +
+          " DIV (CAST(deg AS DECIMAL(38,0)) * (deg - 1))"))
     DedupPlan(out, "local-clustering", Seq(e, deg))
   }
 

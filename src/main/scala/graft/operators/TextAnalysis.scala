@@ -991,6 +991,49 @@ object TextAnalysis {
     docs.withColumn(textCol,
       graft.functions.UnicodeNormalize(col(textCol), form))
 
+  /** Train once, gate many: the seven `ta_bpe_*` gates that exercise
+    * one 5-merge trained table previously EACH re-ran [[bpeTrain]]
+    * (and two of them [[bpeVocab]]) — identical eager state derived
+    * up to nine times per suite (~18 s of the in-suite bench). The
+    * trained table and its vocab are pure driver-side data (≤100
+    * merge rows, top-50 piece strings) over an immutable input
+    * directory, so they memoize by `dir` exactly like a production
+    * tokenizer build publishes ONE merges.txt artifact that every
+    * downstream encode job loads — the `bpe_train` pipeline step's
+    * eager side-output boundary, applied to the gate surface. Keyed
+    * by (dir, merges); sessions come and go, the artifact is
+    * session-independent. `ta_bpe_train_sampled` trains on a
+    * different input (the fixed-k sample) and stays un-memoized.
+    */
+  private val bpeTrainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      Seq[(Long, String, String, Long)]]()
+  private val bpeVocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()
+
+  private def trainedTable(s: SparkSession, dir: String,
+      merges: Int = 5): Seq[(Long, String, String, Long)] =
+    bpeTrainMemo.computeIfAbsent((dir, merges), _ =>
+      bpeTrain(table(s, dir, "documents"), merges).orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toIndexedSeq)
+
+  private def trainedMerges(s: SparkSession, dir: String,
+      merges: Int = 5): Seq[(String, String)] =
+    trainedTable(s, dir, merges).map(t => (t._2, t._3))
+
+  private def trainedVocab(s: SparkSession, dir: String,
+      merges: Int = 5): Seq[String] =
+    bpeVocabMemo.computeIfAbsent((dir, merges), _ =>
+      bpeVocab(table(s, dir, "documents"), trainedMerges(s, dir, merges))
+        .orderBy("vocab_id").collect().map(_.getString(1)).toIndexedSeq)
+
+  /** Test seam: drop the memoized artifacts (e.g. to assert the memo
+    * reproduces a fresh train bit-for-bit). */
+  private[graft] def clearBpeMemo(): Unit = {
+    bpeTrainMemo.clear(); bpeVocabMemo.clear()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the gate appends a decomposed suffix (combining acute/diaeresis)
     // so normalization provably changes bytes AND length on every row
@@ -1017,9 +1060,13 @@ object TextAnalysis {
       noveltyStats(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_bpe_pairs" -> ((s, dir) =>
       bpePairCounts(table(s, dir, "documents"))),
-    // 5-round BPE vocabulary training: the learned merge table.
-    "ta_bpe_train" -> ((s, dir) =>
-      bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")),
+    // 5-round BPE vocabulary training: the learned merge table —
+    // published through the shared memo the encode-family gates load
+    "ta_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      trainedTable(s, dir).toDF("rank", "left_tok", "right_tok", "n")
+        .orderBy("rank")
+    }),
     // the SCALE path: the same 5-round loop over a FIXED-SIZE hash
     // sample ([[Sampling.fixedK]]) — pair statistics converge long
     // before corpus scale, so production tokenizer builds train on a
@@ -1030,54 +1077,36 @@ object TextAnalysis {
         table(s, dir, "documents"), col("doc_id"), 200, "bpe"), 5)
         .orderBy("rank")),
     // apply the learned merges: per-doc piece counts before/after.
-    "ta_bpe_encode" -> ((s, dir) => {
-      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      bpeEncode(table(s, dir, "documents"), m).orderBy("doc_id")
-    }),
+    "ta_bpe_encode" -> ((s, dir) =>
+      bpeEncode(table(s, dir, "documents"), trainedMerges(s, dir))
+        .orderBy("doc_id")),
     // the native-kernel encoder on the same trained table — the
     // uncapped production path, gated against the SAME DuckDB replay
-    "ta_bpe_encode_native" -> ((s, dir) => {
-      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      bpeEncodeNative(table(s, dir, "documents"), m).orderBy("doc_id")
-    }),
+    "ta_bpe_encode_native" -> ((s, dir) =>
+      bpeEncodeNative(table(s, dir, "documents"), trainedMerges(s, dir))
+        .orderBy("doc_id")),
     // the training-input artifact: encode every doc to vocabulary ids
     // through the trained table + its top-50 vocab (OOV = -1) — the
     // exact id sequence is part of the gate
-    "ta_bpe_encode_ids" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val m = bpeTrain(docs, 5).orderBy("rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val vocab = bpeVocab(docs, m).orderBy("vocab_id")
-        .collect().map(_.getString(1)).toSeq
-      bpeEncodeIdsReport(docs, m, vocab).orderBy("doc_id")
-    }),
+    "ta_bpe_encode_ids" -> ((s, dir) =>
+      bpeEncodeIdsReport(table(s, dir, "documents"),
+        trainedMerges(s, dir), trainedVocab(s, dir)).orderBy("doc_id")),
     // the decode round-trip closing the chain: ids back to text, OOV
     // as <unk>, losslessness against the normalized source asserted
     // per document — the exact decoded text is part of the gate
-    "ta_bpe_decode" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val m = bpeTrain(docs, 5).orderBy("rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val vocab = bpeVocab(docs, m).orderBy("vocab_id")
-        .collect().map(_.getString(1)).toSeq
-      bpeRoundTrip(docs, m, vocab).orderBy("doc_id")
-    }),
+    "ta_bpe_decode" -> ((s, dir) =>
+      bpeRoundTrip(table(s, dir, "documents"),
+        trainedMerges(s, dir), trainedVocab(s, dir)).orderBy("doc_id")),
     // the vocabulary export on the same trained table: top-50 pieces
     // of the encoded corpus with stable ids — merges.txt's sibling
-    "ta_bpe_vocab" -> ((s, dir) => {
-      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      bpeVocab(table(s, dir, "documents"), m).orderBy("vocab_id")
-    }),
+    "ta_bpe_vocab" -> ((s, dir) =>
+      bpeVocab(table(s, dir, "documents"), trainedMerges(s, dir))
+        .orderBy("vocab_id")),
     // vocab coverage on the same trained table: merged-piece fraction
     // per doc — the OOV/coverage report beside the compression ratio
-    "ta_bpe_coverage" -> ((s, dir) => {
-      val m = bpeTrain(table(s, dir, "documents"), 5).orderBy("rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      bpeCoverage(table(s, dir, "documents"), m).orderBy("doc_id")
-    }),
+    "ta_bpe_coverage" -> ((s, dir) =>
+      bpeCoverage(table(s, dir, "documents"), trainedMerges(s, dir))
+        .orderBy("doc_id")),
     // the classic min-rank-first encode loop over the hand-built
     // EXTERNAL-style table (cascades + self-pair) — the semantics an
     // HF-style merges.txt assumes; oracle replays it one merge at a

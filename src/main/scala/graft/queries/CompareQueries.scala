@@ -146,7 +146,11 @@ object CompareQueries {
     // Orphans come from the PRODUCTION comparator path (fingerprint
     // compare + bucket-restricted fetch), not a corpus-wide bag diff:
     // at 100x data this is the cmp_verdict scale shape (~6x), where
-    // the raw exceptAll diff measured 15.6x on the same legs
+    // the raw exceptAll diff measured 15.6x on the same legs.
+    // The fixture plants BOTH diff kinds: a value mutation (one
+    // insert + one delete) and a multiplicity diff (two extra copies
+    // of the max-orderkey row, bag delta -2) — the latter must come
+    // back flagged `delete_all_copies`, the over-delete hazard signal
     "cmp_repair" -> ((s, dir) => {
       val raw = table(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -156,8 +160,17 @@ object CompareQueries {
       // positional schema gate — correctly)
       def money(df: DataFrame) = df.withColumn("l_quantity",
         col("l_quantity").cast("decimal(18,2)"))
-      val rep = Comparator.compare(money(raw), money(mutated(raw)),
-        CompareOptions(numBuckets = 512))
+      val src = money(raw)
+      val base = money(mutated(raw))
+      val key = raw.groupBy().agg(max(col("l_orderkey")).as("l_orderkey"))
+        .join(raw.select(col("l_orderkey"), col("l_linenumber")),
+          Seq("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_linenumber")).as("l_linenumber"))
+      val extra = base.join(broadcast(key), Seq("l_orderkey", "l_linenumber"))
+        .select(base.columns.map(col).toIndexedSeq: _*)
+      val tgt = base.unionByName(extra).unionByName(extra)
+      val rep = Comparator.compare(src, tgt, CompareOptions(numBuckets = 512))
       Comparator.repairActions(rep.orphans, "lineitem").orderBy("action", "dml")
     }),
 
@@ -405,12 +418,20 @@ object CompareQueries {
          |mk AS (SELECT MIN(l_orderkey) AS mo FROM lineitem),
          |mk2 AS (SELECT MIN(l_linenumber) AS ml FROM lineitem
          |        WHERE l_orderkey = (SELECT mo FROM mk)),
-         |tgt AS (SELECT l_orderkey, l_linenumber,
+         |xk AS (SELECT MAX(l_orderkey) AS xo FROM lineitem),
+         |xk2 AS (SELECT MIN(l_linenumber) AS xl FROM lineitem
+         |        WHERE l_orderkey = (SELECT xo FROM xk)),
+         |tgt0 AS (SELECT l_orderkey, l_linenumber,
          |  CAST(CASE WHEN l_orderkey = (SELECT mo FROM mk)
          |             AND l_linenumber = (SELECT ml FROM mk2)
          |            THEN l_quantity + 1 ELSE l_quantity END
          |       AS DECIMAL(18,2)) AS l_quantity,
          |  l_returnflag, l_shipdate FROM lineitem),
+         |extra AS (SELECT * FROM tgt0
+         |  WHERE l_orderkey = (SELECT xo FROM xk)
+         |    AND l_linenumber = (SELECT xl FROM xk2)),
+         |tgt AS (SELECT * FROM tgt0 UNION ALL SELECT * FROM extra
+         |        UNION ALL SELECT * FROM extra),
          |so AS (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt),
          |to2 AS (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src),
          |acts AS (
@@ -419,7 +440,9 @@ object CompareQueries {
          |   || $insertVals || ')' AS dml
          | FROM so
          | UNION ALL
-         | SELECT 'target' AS side, 'delete' AS action,
+         | SELECT 'target' AS side,
+         |  CASE WHEN COUNT(*) OVER (PARTITION BY ${colsR.mkString(", ")}) > 1
+         |       THEN 'delete_all_copies' ELSE 'delete' END AS action,
          |  'DELETE FROM lineitem WHERE ' || $whereCond AS dml
          | FROM to2)
          |SELECT side, action, dml FROM acts ORDER BY action, dml""".stripMargin

@@ -251,6 +251,23 @@ class DiffFeaturesSpec extends SparkSpec {
       .toDF("side", "ts")
     val dml = Comparator.repairActions(ts, "t").head().getString(2)
     assert(dml == "DELETE FROM t WHERE ts = '1992-01-02 03:04:05.123456'", dml)
+    // bag-delta over-delete signal: a delete whose full row value
+    // repeats among the target orphans (bag delta <= -2) is flagged
+    // delete_all_copies so replay consumers can filter before applying
+    val dup = Seq(("target", Some(7L), Some("x")),
+      ("target", Some(7L), Some("x")), ("target", Some(8L), Some("y")))
+      .toDF("side", "k", "name")
+    val byAct = Comparator.repairActions(dup, "t").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byAct == Map("delete_all_copies" -> 2, "delete" -> 1), byAct)
+    // unsafe identifiers refuse loudly instead of interpolating into DML
+    intercept[IllegalArgumentException](
+      Comparator.repairActions(orphans, "t; DROP TABLE users"))
+    intercept[IllegalArgumentException](
+      Comparator.repairActions(
+        orphans.withColumnRenamed("name", "na me"), "t"))
+    // dotted qualification stays legal
+    Comparator.repairActions(orphans, "sch1.t_2")
     // applying the script reconciles: replaying insert/delete counts
     // against a real diff nets to zero (the ref-scenario shape)
     val src = li.select(col("l_orderkey"), col("l_linenumber"))

@@ -708,6 +708,21 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.bpeEncode(tricky, Seq(("x", "y"))).head().getLong(2) == 2L)
   }
 
+  test("bpe gate memo: shared trained artifact is bit-identical to a fresh train") {
+    TextAnalysis.clearBpeMemo()
+    val fresh = TextAnalysis.bpeTrain(docs, 5).orderBy("rank")
+      .collect().map(_.toSeq).toSeq
+    val viaMemo = TextAnalysis.queries("ta_bpe_train")(spark, Sf0001)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(fresh == viaMemo)
+    // a second gate read serves from the memo and stays identical
+    val again = TextAnalysis.queries("ta_bpe_train")(spark, Sf0001)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(again == viaMemo)
+    // the vocab-consuming gates run off the same artifact without error
+    assert(TextAnalysis.queries("ta_bpe_vocab")(spark, Sf0001).count() > 0)
+  }
+
   test("bpe encode: a 256-deep merge chain compiles under CODEGEN_ONLY; over the cap fails loudly") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
