@@ -3,7 +3,7 @@ package graft
 import graft.config.{CompareSpec, ConfigLoader}
 import graft.diff.{Comparator, DiffReport}
 import graft.sources.Sources
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** CLI — the `spark-submit` analog of the reference's Docker/CLI
   * contract (/root/reference/command_line.py:7-48,
@@ -93,6 +93,38 @@ object Main {
     }
   }
 
+  /** Config-driven REPAIR emission — the report→fix arc from one
+    * YAML: when `repair_table:` is set and the compare both found
+    * differences and FETCHED the orphan rows (no row fetch → nothing
+    * to render; the circuit breaker and `search_diff: false` both
+    * leave counts unknown), the orphans render as executable
+    * reconciliation DML ([[graft.diff.Comparator.repairActions]]).
+    * `repair_out:` writes the statements one per line (a single
+    * replayable script file — orphan volume is already bounded by the
+    * circuit breaker, so the coalesce(1) is driver-safe by
+    * construction); unset, the script prints beside the report.
+    */
+  def repairScript(rep: DiffReport, spec: CompareSpec): Option[DataFrame] =
+    spec.repairTable.collect {
+      case t if !rep.identical && !rep.countsUnknown =>
+        Comparator.repairActions(rep.orphans, t)
+    }
+
+  def emitRepair(rep: DiffReport, spec: CompareSpec,
+      out: String => Unit = println): Unit =
+    repairScript(rep, spec).foreach { acts =>
+      spec.repairOut match {
+        case Some(path) =>
+          acts.orderBy("action", "dml")
+            .select(org.apache.spark.sql.functions.col("dml"))
+            .coalesce(1).write.mode("overwrite").text(path)
+          out(s"repair script for ${spec.repairTable.get} -> $path")
+        case None =>
+          out(s"repair script for ${spec.repairTable.get}:")
+          acts.orderBy("action", "dml").show(50, truncate = false)
+      }
+    }
+
   def main(argv: Array[String]): Unit = {
     val cli =
       try parseArgs(argv)
@@ -161,6 +193,7 @@ object Main {
       val effectiveFetch = cli.searchDiff.getOrElse(spec.options.fetchRows)
       if (!rep.identical && effectiveFetch)
         rep.orphans.show(50, truncate = false)
+      emitRepair(rep, spec)
       sys.exit(if (rep.withinTolerance) 0 else 1)
     } finally spark.stop()
   }

@@ -72,7 +72,15 @@ final case class CompareSpec(
     // columns (Comparator.alignSchemas), optionally matching renamed
     // target columns under their old source names first
     alignColumns: Boolean = false,
-    renames: Map[String, String] = Map.empty) {
+    renames: Map[String, String] = Map.empty,
+    // repair emission: when set, a non-identical compare with fetched
+    // orphan rows also renders the reconciliation DML
+    // (Comparator.repairActions) against this target table — the
+    // report→fix arc from config alone. `repairOut` writes the script
+    // to a path (one statement per line); unset, it prints with the
+    // report.
+    repairTable: Option[String] = None,
+    repairOut: Option[String] = None) {
   private def hasJdbcSide: Boolean =
     source.source.isInstanceOf[SourceSpec.Jdbc] || target.source.isInstanceOf[SourceSpec.Jdbc]
   def options: CompareOptions = CompareOptions(
@@ -147,10 +155,23 @@ object ConfigLoader {
           throw new IllegalArgumentException(
             "renames must be a mapping of source column -> target column")
         n.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-      }.getOrElse(Map.empty)) match {
+      }.getOrElse(Map.empty),
+      repairTable = opt(root, "repair_table").map(_.asText),
+      repairOut = opt(root, "repair_out").map(_.asText)) match {
       case s if s.renames.nonEmpty && !s.alignColumns =>
         throw new IllegalArgumentException(
           "renames requires align_columns: true")
+      case s if s.repairOut.nonEmpty && s.repairTable.isEmpty =>
+        throw new IllegalArgumentException(
+          "repair_out requires repair_table")
+      case s if s.repairTable.nonEmpty && !s.searchDiff =>
+        throw new IllegalArgumentException(
+          "repair_table requires search_diff: true " +
+            "(the DML renders from fetched orphan rows)")
+      case s if s.repairTable.exists(t =>
+          !t.matches("[A-Za-z_][A-Za-z0-9_$]*(\\.[A-Za-z_][A-Za-z0-9_$]*)*")) =>
+        throw new IllegalArgumentException(
+          s"repair_table is not a safe SQL identifier: '${s.repairTable.get}'")
       case s => s
     }
   }

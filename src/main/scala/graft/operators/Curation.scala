@@ -180,18 +180,23 @@ object Curation {
     * (spec-asserted): every positional match shares ≥ 1 shingle by
     * construction.
     *
-    * Scale shape: the pair floor is derived from the SAME positional
-    * match set the windows consume — `countDistinct(shingle)` at the
-    * pair grain (planned as a partial-distinct two-phase aggregate:
-    * map-side dedup to (pair, shingle) triples, never a corpus-wide
-    * `distinct()` — a first cut that prefiltered via a second
-    * distinct-grain shingle pass MEASURED SLOWER than the unpruned
-    * audit at 100× data, the extra corpus shuffle eating the window
-    * savings) — then applied as a left-semi join on the pair key
-    * before [[Dedup.gramIslands]]. Unmanaged form: no caching, the
-    * match join computes twice (two linear scans, zero cache
-    * residue); [[decontaminateSpansPrunedPlan]] persists the match
-    * set once behind the release contract.
+    * Scale shape: the pair floor derives from DOC-GRAIN DISTINCT
+    * shingle sets ([[Dedup.shingleDf]] on both sides, one
+    * shingle-keyed join, one pair-grain count) and applies as a
+    * broadcast left-semi join on the pair key before
+    * [[Dedup.gramIslands]] — so the coincidence tail is FILTERED
+    * map-side, never sorted by the per-pair windows, and in-document
+    * boilerplate repeats collapse in the distinct before the join
+    * shuffles. The alternative that aggregated `countDistinct` over
+    * the positional match stream was re-measured on the header-tail
+    * gate corpus and LOST to the unpruned audit outright (sf1
+    * local[32]: 8.4 s unmanaged / 16.4 s with the 25M-row match set
+    * persisted, vs 4.8 s unpruned; this form runs at parity inside
+    * host noise on the same windows) — it re-paid the positional
+    * join and shuffled the tail it was built to drop. Unmanaged
+    * form: no caching (the small bench shingle set computes twice);
+    * [[decontaminateSpansPrunedPlan]] persists it behind the release
+    * contract.
     */
   def decontaminateSpansPruned(candidates: DataFrame, bench: DataFrame,
       minSharedShingles: Long): DataFrame =
@@ -226,16 +231,40 @@ object Curation {
         posexplode(transform(sequence(lit(0), size(col("ts")) - k),
           i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))
           .as(Seq("pos", "shingle")))
-    val benchSh = Dedup.shingleDf(bench)
+    val benchSh0 = Dedup.shingleDf(bench)
       .select(col("doc_id").as("bench_doc"), col("shingle"))
-    val matchedBase = cand.join(benchSh, Seq("shingle"))
-    val matched =
-      if (cacheMatches) matchedBase.persist(StorageLevel.MEMORY_AND_DISK_SER)
-      else matchedBase
+    // the bench shingle set is the only frame two consumers read (the
+    // floor join and the positional match join) — it is also the
+    // SMALL side (the benchmark suite), so the managed form persists
+    // it and nothing corpus-sized
+    val benchSh =
+      if (cacheMatches && minSharedShingles.isDefined)
+        benchSh0.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      else benchSh0
+    val matched = cand.join(benchSh, Seq("shingle"))
     val restricted = minSharedShingles.fold(matched) { floor =>
-      val kept = matched
+      // the pair floor comes from DOC-GRAIN DISTINCT shingle sets
+      // (Dedup.shingleDf both sides), NOT from the positional match
+      // stream: boilerplate that repeats WITHIN a document (headers,
+      // footers, navigation text) multiplies positional matches but
+      // collapses to one row per (doc, shingle) before this join ever
+      // shuffles — the map-side-dedup the positional stream can't
+      // have. An earlier cut aggregated countDistinct over the
+      // positional matches instead; on the header gate corpus that
+      // MEASURED SLOWER than no pruning at all (sf1 local[32]:
+      // 8.4 s unmanaged / 16.4 s persisted vs 4.8 s unpruned),
+      // because it re-paid the positional join and shuffled the
+      // coincidence tail it was built to drop. This form runs at
+      // parity with the unpruned audit on the same windows (4.1-4.9 s
+      // vs 3.9-5.3 s, sf1 local[32], inside host noise) while keeping
+      // the structural win: the 25M-row coincidence tail is filtered
+      // by a broadcast semi-join instead of SORTED by the per-pair
+      // window — the term that grows with tail density at the real
+      // corpus grain, and the one the unpruned audit cannot shed.
+      val kept = Dedup.shingleDf(candidates)
+        .join(benchSh, Seq("shingle"))
         .groupBy(col("doc_id"), col("bench_doc"))
-        .agg(countDistinct(col("shingle")).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= floor)
         .select(col("doc_id"), col("bench_doc"))
       matched.join(kept, Seq("doc_id", "bench_doc"), "left_semi")
@@ -247,7 +276,7 @@ object Curation {
         (max(col("e")) - k).cast("long").as("last_pos"),
         sum(col("e") - col("s")).as("covered_tokens"))
     DedupPlan(out, "decontam_spans_pruned",
-      if (cacheMatches) Seq(matched) else Nil)
+      if (cacheMatches && minSharedShingles.isDefined) Seq(benchSh) else Nil)
   }
 
   /** Bloom-filter decontamination — the variant for benchmark suites
@@ -451,6 +480,26 @@ object Curation {
         min(col("ns")).as("achieved_l"))
   }
 
+  /** The span gates' planted coincidence tail: a formulaic 3-token
+    * header opening EVERY document (train and bench sides), the way
+    * crawled corpora share boilerplate openings. Exactly ONE
+    * header-pure shingle ("terms of service") lands in every doc's
+    * shingle set, so every (train, bench) pair shares at least one
+    * distinct shingle — the single-coincidence coincidence tail the
+    * pruned audit's floor exists to cut: on this corpus the unpruned
+    * audit must island-merge EVERY train×bench pair while the floor
+    * keeps only real-overlap pairs. Three tokens exactly: a longer
+    * header would plant ≥ 2 distinct shared shingles and defeat the
+    * floor-2 comparison. (A denser variant that repeated the header
+    * at three positions per doc was measured and rejected: doubling
+    * the corpus inflated the floor's distinct pass more than the
+    * repetition saved — 6.9 s pruned vs 5.6 s unpruned at sf1.)
+    */
+  private val SpanGateHeader = "terms of service"
+
+  private def spanGateText(text: Column): Column =
+    concat_ws(" ", lit(SpanGateHeader), text)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pseudonymized per-user activity: the id column is hashed but the
     // per-entity grouping (and any join on it) is preserved
@@ -499,9 +548,17 @@ object Curation {
         d.where(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy("doc_id")
     }),
-    // the span audit: which bench item leaked, at which token offsets
+    // the span audit: which bench item leaked, at which token offsets.
+    // The gate corpus carries a REALISTIC coincidence tail: every doc
+    // (train and bench) opens with the same formulaic 3-token header,
+    // so every (train, bench) pair shares exactly one header shingle —
+    // the common-phrase pair population that dominates at corpus
+    // scale. The unpruned audit must window every such pair; its
+    // pruned twin (floor 2) drops the tail first — same corpus, same
+    // oracle replay, measurably different work
     "cur_decontam_spans" -> ((s, dir) => {
       val d = table(s, dir, "documents")
+        .withColumn("text", spanGateText(col("text")))
       decontaminateSpans(
         d.where(pmod(col("doc_id"), lit(97)) =!= 0),
         d.where(pmod(col("doc_id"), lit(97)) === 0))
@@ -518,12 +575,15 @@ object Curation {
     }),
     // the containment-prefiltered audit: floor 2 drops the
     // single-shared-shingle coincidence tail (the dominant pair
-    // population at every sf — it provably changes rows here) before
-    // any per-pair window runs
+    // population at every sf — and on this gate corpus a PLANTED one:
+    // the shared formulaic header above gives every pair one
+    // coincidental shingle) before any per-pair window runs
     "cur_decontam_spans_pruned" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      // managed form: the match set feeds the floor aggregate AND the
-      // island merge — one join, persisted (the noveltyStats pattern)
+        .withColumn("text", spanGateText(col("text")))
+      // managed form: the small bench shingle set feeds the floor
+      // join AND the positional match join — persisted; nothing
+      // corpus-sized is cached
       decontaminateSpansPrunedPlan(
         d.where(pmod(col("doc_id"), lit(97)) =!= 0),
         d.where(pmod(col("doc_id"), lit(97)) === 0),
@@ -620,6 +680,16 @@ object Curation {
         .orderBy("table_name")
     }),
   )
+
+  // Header-prefixed replay fragments for the two span-audit oracles —
+  // the DuckDB mirror of the SpanGateHeader gate corpus.
+  private val hdrDocsSql =
+    s"SELECT doc_id, '$SpanGateHeader ' || text AS text FROM documents"
+  private val hdrShingleSql =
+    s"""SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
+       |      FROM ($hdrDocsSql)),
+       |     UNNEST(range(1, len(ts)-1)) AS u(i)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // the six training-prep stages replayed as CTEs: the same window
@@ -740,11 +810,11 @@ object Curation {
     // Spark prev-max-end window verbatim; pos = i - 1 (0-based)
     "cur_decontam_spans" ->
       s"""WITH bs AS (SELECT DISTINCT doc_id AS bench_doc, shingle
-         | FROM (${Dedup.shingleSql}) WHERE doc_id % 97 = 0),
+         | FROM ($hdrShingleSql) WHERE doc_id % 97 = 0),
          |cs AS (SELECT doc_id, i - 1 AS pos,
          |   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
          | FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
-         |       FROM documents WHERE doc_id % 97 <> 0),
+         |       FROM ($hdrDocsSql) WHERE doc_id % 97 <> 0),
          |      UNNEST(range(1, len(ts)-1)) AS u(i)),
          |m AS (SELECT cs.doc_id, bs.bench_doc, cs.pos
          |      FROM cs JOIN bs USING (shingle)),
@@ -808,16 +878,16 @@ object Curation {
     // containment posting-list count), applied before the island merge
     "cur_decontam_spans_pruned" ->
       s"""WITH bs AS (SELECT DISTINCT doc_id AS bench_doc, shingle
-         | FROM (${Dedup.shingleSql}) WHERE doc_id % 97 = 0),
+         | FROM ($hdrShingleSql) WHERE doc_id % 97 = 0),
          |kp AS (SELECT cand.doc_id, bs.bench_doc
-         | FROM (SELECT doc_id, shingle FROM (${Dedup.shingleSql})
+         | FROM (SELECT doc_id, shingle FROM ($hdrShingleSql)
          |       WHERE doc_id % 97 <> 0) cand
          | JOIN bs USING (shingle)
          | GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          |cs AS (SELECT doc_id, i - 1 AS pos,
          |   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
          | FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
-         |       FROM documents WHERE doc_id % 97 <> 0),
+         |       FROM ($hdrDocsSql) WHERE doc_id % 97 <> 0),
          |      UNNEST(range(1, len(ts)-1)) AS u(i)),
          |m AS (SELECT cs.doc_id, bs.bench_doc, cs.pos
          |      FROM cs JOIN bs USING (shingle)

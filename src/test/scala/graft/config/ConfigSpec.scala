@@ -118,6 +118,43 @@ class ConfigSpec extends SparkSpec {
     assert(rep.differences > 0)
   }
 
+  test("repair_table: config-to-DML e2e — script written beside the report; validations fail fast") {
+    // config validation: repair_out alone, unsafe identifier, and
+    // repair without row fetch are all parse-time errors
+    assert(intercept[IllegalArgumentException](ConfigLoader.fromYaml(
+      validYaml + "repair_out: /tmp/x\n")).getMessage.contains("repair_table"))
+    assert(intercept[IllegalArgumentException](ConfigLoader.fromYaml(
+      validYaml + "repair_table: \"t; DROP TABLE x\"\n"))
+      .getMessage.contains("safe SQL identifier"))
+    assert(intercept[IllegalArgumentException](ConfigLoader.fromYaml(
+      validYaml + "repair_table: t\nsearch_diff: false\n"))
+      .getMessage.contains("search_diff"))
+    // e2e: one mutated row -> one INSERT + one DELETE, written to
+    // repair_out one statement per line, replayable text
+    graft.GraftSession.registerAll(spark, Sf0001)
+    val outDir = Files.createTempDirectory("graft_repair").toString
+    val spec = ConfigLoader.fromYaml(
+      s"""source:
+        |  db: {type: sql, qry: "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 5"}
+        |target:
+        |  db: {type: sql, qry: "SELECT l_orderkey, CASE WHEN l_orderkey = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity FROM lineitem WHERE l_linenumber = 5"}
+        |num_buckets: 64
+        |repair_table: wh.lineitem
+        |repair_out: $outDir/script
+        |""".stripMargin)
+    val rep = Main.run(spark, spec)
+    val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+    Main.emitRepair(rep, spec, notes += _)
+    assert(notes.exists(_.contains(s"$outDir/script")), notes)
+    val lines = spark.read.text(s"$outDir/script").collect().map(_.getString(0))
+    assert(lines.length == 2, lines.mkString("\n"))
+    assert(lines.count(_.startsWith("INSERT INTO wh.lineitem (l_orderkey, l_quantity) VALUES (")) == 1)
+    assert(lines.count(_.startsWith("DELETE FROM wh.lineitem WHERE l_orderkey = ")) == 1)
+    // identical compare emits nothing
+    val same = ConfigLoader.fromYaml(validYaml + "repair_table: t\n")
+    assert(Main.repairScript(Main.run(spark, same), same).isEmpty)
+  }
+
   test("align_columns + renames: YAML decodes, validates, and runs the migration audit") {
     // renames without align_columns is a config error
     val e = intercept[IllegalArgumentException](ConfigLoader.fromYaml(
