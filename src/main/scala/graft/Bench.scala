@@ -386,7 +386,7 @@ object Bench {
       if (n.startsWith("dd_") || n.startsWith("pipe_")) 0
       else if (n.startsWith("cmp_") || n.startsWith("er_") || n.startsWith("ss_")
         || n == "q40_pagerank" || n == "q41_triangles" || n == "q42_bfs"
-        || n == "q43_components") 1
+        || n == "q43_components" || n == "q49_link_predict" || n == "q50_ppr") 1
       else 2
     // the scale-rehearsal hook (run just the heavy families at sf1)
     // and the local dev loop's narrow-timing hook — parsed once at

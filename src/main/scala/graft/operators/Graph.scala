@@ -199,6 +199,72 @@ object Graph {
       finalizers = owned.map(d => () => CheckpointBridge.release(d)))
   }
 
+  /** PERSONALIZED PageRank — [[pageRankPlan]] with the teleport mass
+    * restricted to a SEED set: ranks measure relevance *to the seeds*
+    * (random walks restart at a seed, never uniformly), the
+    * recommendation / trust-propagation / related-items form of the
+    * algorithm. Nodes the seeds cannot reach hold rank exactly 0 —
+    * integer arithmetic makes that statement exact, not epsilon —
+    * so the output is naturally LOCALIZED: on a 100 TB graph the
+    * non-zero frontier is the seeds' neighborhood, not the node set.
+    *
+    * Same managed-plan scale shape as the global form (edge list
+    * cached pre-partitioned on src, per-round map-side-combinable
+    * contribution sum); the seed set is node-grain, persisted, and
+    * joins into each round's rank rebuild as the teleport indicator
+    * (a broadcast-sized join at any realistic seed count).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampingPct: Int = 85, checkpointEvery: Int = 0): DataFrame =
+    eagerReleased(
+      personalizedPageRankPlan(edges, seeds, iters, dampingPct, checkpointEvery))
+
+  def personalizedPageRankPlan(edges: DataFrame, seeds: DataFrame,
+      iters: Int, dampingPct: Int = 85,
+      checkpointEvery: Int = 0): DedupPlan = {
+    require(iters >= 1, "need iters >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    import org.apache.spark.sql.graftshim.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val sd = seeds.select(col("id")).distinct()
+      .withColumn("__sd", lit(1))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val k = sd.count()
+    require(k > 0, "personalizedPageRank: empty seed set")
+    val base = (100L - dampingPct) * Scale / (100L * k)
+    var rank = nodes.join(sd, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__sd").isNotNull, lit(Scale / k)).otherwise(lit(0L)).as("r"))
+    var ckpts = List.empty[DataFrame]
+    (1 to iters).foreach { i =>
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("sc"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .join(sd, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("__sd").isNotNull, lit(base)).otherwise(lit(0L))
+            + expr(s"($dampingPct * coalesce(sc, 0)) div 100")).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        rank = roundCkpt(rank)
+        val live = rank :: ckpts
+        live.drop(2).foreach(CheckpointBridge.release)
+        ckpts = live.take(2)
+      }
+    }
+    val owned = ckpts
+    DedupPlan(rank, "personalized-pagerank", Seq(e, nodes, deg, sd),
+      finalizers = owned.map(d => () => CheckpointBridge.release(d)))
+  }
+
   /** Triangle count over an undirected edge list given as distinct
     * (u < v) pairs — the clustering-coefficient numerator and the
     * classic "how cliquish is this graph" audit. Sorted-adjacency
@@ -591,6 +657,68 @@ object Graph {
       checkpointEvery: Int = 0): (DedupPlan, Boolean) =
     kCoreImpl(pairs, k, rounds, checkpointEvery)
 
+  /** LINK PREDICTION over an undirected (u < v) edge list: score every
+    * NON-adjacent node pair at distance 2 by shared-neighborhood
+    * evidence — the "bought X and W together, W and Y together, so X
+    * and Y belong together" recommender/graph-completion primitive.
+    * Output per candidate pair: common-neighbor count, the
+    * resource-allocation index (Σ over shared neighbors w of
+    * 1e6 DIV deg(w) — hub neighbors contribute ~0, rare shared
+    * neighbors dominate, the reason RA beats raw counts on skewed
+    * graphs), both endpoint degrees, and neighborhood Jaccard
+    * (n_common·1e6 DIV (deg_u + deg_v − n_common)). All integer ppm —
+    * bit-reproducible cross-engine where float 1/deg would drift.
+    *
+    * Scale shape: candidates enumerate as wedges PER CENTER node
+    * (cost Σ deg(w)² over centers), so hubs dominate the volume;
+    * `maxHubDegree` drops centers above the cap BEFORE the self-join.
+    * That is principled, not just cheap: a super-hub's RA weight is
+    * 1e6/deg ≈ 0 and co-occurrence through it is noise, the same
+    * argument as the prefiltered jaccard's hot-shingle floor. The
+    * remaining work is Σ_{deg ≤ cap} deg² ≤ cap·m. One self-join at
+    * the center grain, one map-side-combinable pair aggregate, one
+    * left-anti against the edge list, two node-grain degree joins.
+    * A pair ALL of whose shared neighbors are capped hubs is absent
+    * from the output — the cap's documented semantics. `minCommon`
+    * floors the evidence (2+ shared neighbors) the way the ER
+    * threshold sweep floors link evidence.
+    */
+  def linkPrediction(pairs: DataFrame, maxHubDegree: Long = 10000L,
+      minCommon: Long = 2L): DataFrame =
+    eagerReleased(linkPredictionPlan(pairs, maxHubDegree, minCommon))
+
+  def linkPredictionPlan(pairs: DataFrame, maxHubDegree: Long = 10000L,
+      minCommon: Long = 2L): DedupPlan = {
+    require(maxHubDegree >= 1, "need maxHubDegree >= 1")
+    require(minCommon >= 1, "need minCommon >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.select(col("u"), col("v"))
+    val sym = p.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // center-annotated half-edges: consumed twice by the self-join
+    val half = sym
+      .join(deg.where(col("d") <= maxHubDegree)
+        .select(col("id").as("src"), col("d").as("dc")), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val wedges = half.as("a").join(half.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("u"), col("b.dst").as("v"), col("a.dc").as("dc"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 DIV dc")).as("ra_ppm"))
+      .where(col("n_common") >= minCommon)
+    val out = scored.join(p, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("id").as("u"), col("d").as("deg_u")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"), col("ra_ppm"),
+        col("deg_u"), col("deg_v"))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 DIV (deg_u + deg_v - n_common)"))
+    DedupPlan(out, "link-prediction", Seq(deg, half))
+  }
+
   /** Managed form of [[kCore]]. Scale shape: the symmetrized edge
     * list is cached PRE-PARTITIONED on src (the [[pageRankPlan]]
     * layout — the per-round src-side semi-join never re-exchanges
@@ -700,6 +828,26 @@ object Graph {
     "q47_kcore" -> ((s, dir) =>
       kCore(copurchaseEdges(table(s, dir, "lineitem")), k = 2, rounds = 3)
         .orderBy("id")),
+
+    // link prediction over the co-purchase graph: non-adjacent part
+    // pairs sharing >= 2 co-purchase neighbors, scored by integer-ppm
+    // resource allocation and neighborhood Jaccard — the
+    // "recommend Y next to X" candidate table
+    "q49_link_predict" -> ((s, dir) =>
+      linkPrediction(copurchaseEdges(table(s, dir, "lineitem")),
+        maxHubDegree = 1000L, minCommon = 2L)
+        .orderBy("u", "v")),
+
+    // personalized PageRank from the lowest-keyed part over the
+    // part-supplier graph: relevance TO that product — top-25 of the
+    // naturally-localized non-zero frontier (exact integer zeros)
+    "q50_ppr" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val seed = li.agg(concat(lit("p"), min(col("l_partkey"))).as("id"))
+      personalizedPageRank(partSupplierEdges(li), seed, iters = 3)
+        .where(col("r") > 0)
+        .orderBy(col("r").desc, col("id")).limit(25)
+    }),
 
     // 3 synchronous label-propagation rounds over the symmetrized
     // co-purchase graph: deterministic community labels per product
@@ -832,6 +980,61 @@ object Graph {
          |n0 AS (SELECT DISTINCT src AS id FROM e)$rounds
          |SELECT src AS id, CAST(deg AS BIGINT) AS deg
          |FROM d3 WHERE deg >= 2 ORDER BY id""".stripMargin
+    },
+
+    // wedge enumeration per (capped) center, integer-ppm RA and
+    // Jaccard, existing edges anti-joined away
+    "q49_link_predict" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |p0 AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT u AS src, v AS dst FROM p0
+        |      UNION ALL SELECT v, u FROM p0),
+        |deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+        |half AS (SELECT s.src, s.dst, dg.d AS dc FROM sym s
+        |      JOIN deg dg ON s.src = dg.id WHERE dg.d <= 1000),
+        |w AS (SELECT a.dst AS u, b.dst AS v, a.dc FROM half a
+        |      JOIN half b ON a.src = b.src AND a.dst < b.dst),
+        |sc AS (SELECT u, v, COUNT(*) AS n_common,
+        |       SUM(1000000 // dc) AS ra_ppm
+        |      FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |na AS (SELECT sc.* FROM sc WHERE NOT EXISTS
+        |      (SELECT 1 FROM p0 WHERE p0.u = sc.u AND p0.v = sc.v))
+        |SELECT na.u, na.v, CAST(n_common AS BIGINT) AS n_common,
+        | CAST(ra_ppm AS BIGINT) AS ra_ppm,
+        | CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+        | CAST(n_common * 1000000 // (du.d + dv.d - n_common) AS BIGINT)
+        |   AS jaccard_ppm
+        |FROM na JOIN deg du ON na.u = du.id JOIN deg dv ON na.v = dv.id
+        |ORDER BY u, v""".stripMargin,
+
+    // the seeded teleport replay: base mass lands on the seed only;
+    // unreached nodes stay exactly 0 and are filtered like the gate
+    "q50_ppr" -> {
+      def round(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst AS id, SUM($prev.r // deg.deg) AS sc
+           |  FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst),
+           |$cur AS (SELECT nodes.id,
+           |   CASE WHEN nodes.id = (SELECT id FROM sd)
+           |        THEN (15 * ${Scale}) // 100 ELSE 0 END
+           |    + (85 * COALESCE(sc, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN c$cur ON nodes.id = c$cur.id)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s
+         |  FROM lineitem),
+         |e AS (SELECT p AS src, s AS dst FROM e0
+         |      UNION ALL SELECT s AS src, p AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |sd AS (SELECT 'p' || MIN(l_partkey) AS id FROM lineitem),
+         |r0 AS (SELECT id, CASE WHEN id = (SELECT id FROM sd)
+         |       THEN ${Scale} ELSE 0 END AS r FROM nodes),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT id, CAST(r AS BIGINT) AS r
+         |FROM r3 WHERE r > 0 ORDER BY r DESC, id LIMIT 25""".stripMargin
     },
 
     // 3 LPA rounds replayed: per round, in-neighbor label votes, the

@@ -261,6 +261,49 @@ class GraphSpec extends SparkSpec {
     prof.release(); censusPlan.release()
   }
 
+  test("personalized pagerank: teleport mass stays with the seed; unreached nodes are exactly zero") {
+    import spark.implicits._
+    // chain a->b->c reachable from seed a; x->y disconnected
+    val e = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val r = Graph.personalizedPageRank(e, seeds, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val base = 15L * Graph.Scale / 100L
+    // seed has no in-edges: rank = teleport base exactly, every round
+    assert(r("a") == base)
+    // the disconnected component holds EXACT integer zero
+    assert(r("x") == 0L && r("y") == 0L)
+    // mass decays along the chain but reaches c within 3 rounds
+    assert(r("b") > r("c") && r("c") > 0L)
+    // global pagerank on the same graph gives x/y nonzero teleport mass
+    val g = Graph.pageRank(e, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(g("x") > 0L)
+  }
+
+  test("link prediction: square diagonals scored exactly; adjacency and hub cap exclude") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the two diagonals each share both corners
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val r = Graph.linkPrediction(sq, minCommon = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(6))).toMap
+    assert(r.keySet == Set((1L, 3L), (2L, 4L)))
+    // all degrees 2: RA = 2·(1e6 DIV 2); jaccard = 2e6 DIV (2+2−2)
+    assert(r((1L, 3L)) == ((2L, 1000000L, 1000000L)))
+    assert(r((2L, 4L)) == ((2L, 1000000L, 1000000L)))
+    // an existing edge is never a candidate: close one diagonal
+    val withDiag = sq.unionAll(Seq((1L, 3L)).toDF("u", "v"))
+    val r2 = Graph.linkPrediction(withDiag, minCommon = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r2 == Set((2L, 4L)))
+    // hub cap: a pure star's leaf pairs exist only through the hub —
+    // capped below the hub degree, no candidate survives
+    val star = Seq((5L, 9L), (6L, 9L), (7L, 9L)).toDF("u", "v")
+    assert(Graph.linkPrediction(star, maxHubDegree = 2, minCommon = 1).count() == 0)
+    assert(Graph.linkPrediction(star, maxHubDegree = 3, minCommon = 1).count() == 3)
+  }
+
   test("k-core: pendant peels off the triangle; hub degree drops with it") {
     import spark.implicits._
     // triangle a-b-c plus pendant d hanging off a
