@@ -78,6 +78,8 @@ object Pipeline {
     case _: StepSpec.DedupExact      => "dedup_exact"
     case StepSpec.DedupNear          => "dedup_near"
     case _: StepSpec.Decontaminate   => "decontaminate"
+    case _: StepSpec.DecontaminateRewrite => "decontaminate_rewrite"
+    case _: StepSpec.DedupSpanRewrite => "dedup_span_rewrite"
     case _: StepSpec.SourceCap       => "source_cap"
     case _: StepSpec.Split           => "split"
     case _: StepSpec.Forget          => "forget"
@@ -139,6 +141,30 @@ object Pipeline {
         else Curation.decontaminate(df, benchDf)
       df.join(hits.where(col("bench_hits") > maxHits).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+
+    case StepSpec.DecontaminateRewrite(bench, minKept) =>
+      val benchDf = Sources.resolve(spark, bench)
+      // one row per input doc: (doc_id, text_clean, n_tokens,
+      // cut_tokens); text replaced in place so the step is
+      // schema-stable, then the kept-token floor drops documents that
+      // were substantially the benchmark item
+      val rw = Curation.decontaminateRewrite(df, benchDf)
+        .select(col("doc_id"), col("text_clean"),
+          (col("n_tokens") - col("cut_tokens")).as("__kept"))
+      df.join(rw, Seq("doc_id"))
+        .withColumn("text", col("text_clean"))
+        .where(col("__kept") >= minKept)
+        .drop("text_clean", "__kept")
+
+    case StepSpec.DedupSpanRewrite(blockTokens, minKept) =>
+      // (doc_id, text_deduped, n_blocks_kept) one row per input doc;
+      // text replaced in place (schema-stable), then the kept-block
+      // floor drops documents C4 would leave as empty pages
+      val rw = graft.operators.Dedup.spanDedupRewrite(df, blockTokens)
+      df.join(rw, Seq("doc_id"))
+        .withColumn("text", col("text_deduped"))
+        .where(col("n_blocks_kept") >= minKept)
+        .drop("text_deduped", "n_blocks_kept")
 
     case StepSpec.SourceCap(groupCol, k) =>
       Sampling.sourceCap(df, col(groupCol), k).drop("rank_in_source")

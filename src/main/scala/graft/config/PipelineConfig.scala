@@ -62,6 +62,30 @@ object StepSpec {
   final case class Decontaminate(bench: SideSpec, maxHits: Long,
       bloom: Boolean) extends StepSpec
 
+  /** SURGICAL decontamination as a step — the ACTION arm of the span
+    * audit next to [[Decontaminate]]'s drop policy: leaked spans are
+    * REMOVED from `text` and the rest of the document kept
+    * ([[graft.operators.Curation.decontaminateRewrite]]), so one
+    * leaked quotation no longer costs the whole document. Documents
+    * whose surviving token count falls below `minKeptTokens` (they
+    * were substantially the benchmark item) drop entirely — the
+    * rewrite-then-floor composition every decontamination runbook
+    * ends with.
+    */
+  final case class DecontaminateRewrite(bench: SideSpec,
+      minKeptTokens: Long) extends StepSpec
+
+  /** C4-style span-dedup REWRITE as a step
+    * ([[graft.operators.Dedup.spanDedupRewrite]]): duplicated
+    * `blockTokens`-token blocks removed corpus-wide (first occurrence
+    * keeps its copy), each document's text reassembled in place.
+    * Documents left with fewer than `minKeptBlocks` surviving blocks
+    * drop — C4's empty-page behavior, made a config decision instead
+    * of a silent empty string.
+    */
+  final case class DedupSpanRewrite(blockTokens: Int,
+      minKeptBlocks: Long) extends StepSpec
+
   /** Bound any one group's contribution to k docs
     * ([[graft.operators.Sampling.sourceCap]]).
     */
@@ -346,6 +370,17 @@ object PipelineLoader {
           side(require(n, "bench", where), s"$where.bench"),
           opt(n, "max_hits").map(_.asLong).getOrElse(0L),
           opt(n, "bloom").exists(_.asBoolean))
+      case "decontaminate_rewrite" =>
+        StepSpec.DecontaminateRewrite(
+          side(require(n, "bench", where), s"$where.bench"),
+          opt(n, "min_kept_tokens").map(_.asLong).getOrElse(1L))
+      case "dedup_span_rewrite" =>
+        val bt = opt(n, "block_tokens").map(_.asInt).getOrElse(20)
+        if (bt < 1 || bt > 100000)
+          throw new IllegalArgumentException(
+            s"$where: block_tokens must be in [1, 100000], got $bt")
+        StepSpec.DedupSpanRewrite(bt,
+          opt(n, "min_kept_blocks").map(_.asLong).getOrElse(1L))
       case "source_cap" =>
         val k = require(n, "k", where).asInt
         if (k <= 0) throw new IllegalArgumentException(s"$where: k must be positive")

@@ -118,6 +118,88 @@ class PipelineRunSpec extends SparkSpec {
     assert(bench.select("doc_id").collect().map(_.getLong(0)).forall(!got.contains(_)))
   }
 
+  test("decontaminate_rewrite step: spans removed in place, kept-token floor drops hollow docs") {
+    val benchDir = java.nio.file.Files.createTempDirectory("graft-bench-rw").toString
+    val docs = spark.read.parquet(docsPath)
+    docs.orderBy("doc_id").limit(5).write.mode("overwrite").parquet(benchDir)
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: decontaminate_rewrite
+         |      min_kept_tokens: 5
+         |      bench:
+         |        db: {type: parquet, path: $benchDir}
+         |""".stripMargin)
+    assert(spec.steps.head.asInstanceOf[StepSpec.DecontaminateRewrite]
+      .minKeptTokens == 5L)
+    val got = Pipeline.run(spark, spec)
+    // schema-stable: same columns as the input, text rewritten in place
+    assert(got.columns.sameElements(docs.columns))
+    val bench = spark.read.parquet(benchDir)
+    val rw = graft.operators.Curation.decontaminateRewrite(docs, bench)
+    val expect = rw
+      .where(col("n_tokens") - col("cut_tokens") >= 5L)
+      .select(col("doc_id"), col("text_clean")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotMap = got.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotMap == expect && gotMap.nonEmpty)
+    // the seeded bench docs leak ENTIRELY (they are verbatim benchmark
+    // items): their rewrite hollows out below the floor and they drop
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchIds.forall(!gotMap.contains(_)))
+    // default floor is 1 kept token
+    val d = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $docsPath}
+         |  steps:
+         |    - kind: decontaminate_rewrite
+         |      bench:
+         |        db: {type: parquet, path: $benchDir}
+         |""".stripMargin)
+    assert(d.steps.head.asInstanceOf[StepSpec.DecontaminateRewrite]
+      .minKeptTokens == 1L)
+  }
+
+  test("dedup_span_rewrite step: in-place C4 rewrite, block floor, bounds validated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanrw").toString
+    // doc 1 owns the block; doc 2 repeats it plus its own tail block;
+    // doc 3 is ONLY the duplicated block and must drop at the floor
+    val blk = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq((1L, blk, "en", "a", 1L),
+        (2L, s"$blk unique tail content here", "en", "a", 1L),
+        (3L, blk, "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir)
+    val spec = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $dir}
+         |  steps:
+         |    - kind: dedup_span_rewrite
+         |      block_tokens: 20
+         |""".stripMargin)
+    val got = Pipeline.run(spark, spec).orderBy("doc_id")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // schema-stable columns; doc 1 keeps the block, doc 2 keeps only
+    // its unique tail, doc 3 (all duplicated) dropped by the floor
+    assert(got == Map(1L -> blk, 2L -> "unique tail content here"))
+    // bounds fail fast
+    intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $dir}
+         |  steps:
+         |    - kind: dedup_span_rewrite
+         |      block_tokens: 0
+         |""".stripMargin))
+  }
+
   test("lm_filter step: parses, bounds validated, equals the hand semi-join") {
     def bad(y: String): String =
       intercept[IllegalArgumentException](PipelineLoader.fromYaml(y)).getMessage
