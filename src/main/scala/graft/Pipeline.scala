@@ -101,6 +101,7 @@ object Pipeline {
     case _: StepSpec.Chunk           => "chunk"
     case _: StepSpec.Scd2            => "scd2"
     case _: StepSpec.Freshness       => "freshness"
+    case _: StepSpec.KsDrift         => "ks_drift"
   }
 
   private[graft] def applyStep(
@@ -319,5 +320,9 @@ object Pipeline {
 
     case StepSpec.Freshness(keyCol, tsCol, staleSec) =>
       graft.operators.Profiler.freshness(df, col(keyCol), col(tsCol), staleSec)
+
+    case StepSpec.KsDrift(ref, c, bucketWidth) =>
+      graft.operators.Profiler.ksDrift(
+        df, Sources.resolve(spark, ref), c, bucketWidth)
   }
 }

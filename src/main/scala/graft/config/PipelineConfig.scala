@@ -298,6 +298,19 @@ object StepSpec {
     */
   final case class Freshness(keyCol: String, tsCol: String,
       staleSec: Long) extends StepSpec
+
+  /** KS drift report ([[graft.operators.Profiler.ksDrift]]):
+    * REPLACES the frame with the one-row exact two-sample
+    * Kolmogorov–Smirnov report (n_a, n_b, ks_ppm, ks_at) comparing
+    * `col`'s distribution in the CURRENT frame (side a) against a
+    * reference table (side b — the previous drop, the accepted
+    * baseline). The binning-free "did this drop move" gate a
+    * training pipeline runs before committing a new snapshot;
+    * `bucketWidth` only shapes the engine's scale decomposition,
+    * never the statistic.
+    */
+  final case class KsDrift(ref: SideSpec, col: String,
+      bucketWidth: Double) extends StepSpec
 }
 
 final case class OutputSpec(path: String, format: String)
@@ -565,14 +578,25 @@ object PipelineLoader {
           require(n, "key_col", where).asText,
           opt(n, "ts_col").map(_.asText).getOrElse("ts"),
           staleSec)
+      case "ks_drift" =>
+        val width = opt(n, "bucket_width").map(_.asDouble).getOrElse(1000.0)
+        if (width <= 0)
+          throw new IllegalArgumentException(s"$where: bucket_width must be positive")
+        StepSpec.KsDrift(
+          side(require(n, "table", where), s"$where.table"),
+          // the compared column is the report's whole meaning —
+          // required, the scd2 entity_col fail-at-parse rule
+          require(n, "col", where).asText,
+          width)
       case other =>
         throw new IllegalArgumentException(
           s"$where: unknown kind '$other' (valid: filter_stack, normalize_text, redact_pii, " +
-            "pseudonymize, dedup_exact, dedup_near, decontaminate, source_cap, " +
+            "pseudonymize, dedup_exact, dedup_near, decontaminate, " +
+            "decontaminate_rewrite, dedup_span_rewrite, source_cap, " +
             "split, forget, lm_filter, temperature, stratified, kfold, " +
-            "quality_normalize, mixture, quality_weighted, fixed_k, " +
-            "epoch_order, pack, k_anon_suppress, scd2, freshness, chunk, " +
-            "bpe_train, bpe_annotate)")
+            "quality_normalize, mixture, upsample, quality_weighted, fixed_k, " +
+            "epoch_order, pack, k_anon_suppress, l_diversity_suppress, scd2, " +
+            "freshness, ks_drift, chunk, bpe_train, bpe_annotate)")
     }
   }
 }

@@ -514,7 +514,15 @@ object Graph {
     * no row inflates pathologically. Measured at sf0.1 local[32]:
     * 3.4 s vs 8.2 s cold, identical 3573-edge output.
     */
-  def copurchaseEdges(li: DataFrame, minSupport: Int = 2): DataFrame = {
+  def copurchaseEdges(li: DataFrame, minSupport: Int = 2): DataFrame =
+    copurchaseEdgesWeighted(li, minSupport).select(col("u"), col("v"))
+
+  /** [[copurchaseEdges]] keeping the co-occurrence count: (u, v, sup),
+    * u < v, sup >= minSupport. The support column is the natural edge
+    * WEIGHT for distance-flavored analytics (see the q51 gate: w =
+    * 10⁶ div sup turns "frequently bought together" into "close").
+    */
+  def copurchaseEdgesWeighted(li: DataFrame, minSupport: Int = 2): DataFrame = {
     val baskets = li.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .where(size(col("ps")) >= 2)
@@ -524,7 +532,6 @@ object Graph {
       .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
       .agg(count(lit(1)).as("sup"))
       .where(col("sup") >= minSupport)
-      .select(col("u"), col("v"))
   }
 
   /** The gate's graph: the undirected part↔supplier bipartite graph
@@ -789,6 +796,112 @@ object Graph {
       converged)
   }
 
+  /** WEIGHTED single-source shortest paths — min total edge weight
+    * from a seed set to every node reachable within `rounds`
+    * relaxation rounds, over a directed (src, dst, w) edge list with
+    * NON-NEGATIVE integer weights. [[bfsLevelsPlan]]'s weighted
+    * sibling and the fifth iterative-graph shape in the module:
+    * MONOTONE DISTANCE RELAXATION (distributed Bellman-Ford). Output
+    * one row per reached node: (id, dist); integer weights make every
+    * distance exact, so cross-engine equality is bit-level, not
+    * epsilon.
+    *
+    * FRONTIER-DELTA rounds, not full re-relaxation: each round
+    * relaxes only edges whose source IMPROVED last round. That is
+    * result-identical to relaxing every edge every round (distances
+    * are monotone non-increasing, and a non-improved source's offers
+    * were already absorbed the round after it last improved) but does
+    * frontier-proportional work — the property that makes SSSP
+    * tractable on a 100 TB edge list, where rounds × |E| relaxation
+    * would not be. Per round: one src-side join of the cached
+    * pre-partitioned edge list with the frontier (exchange-free by
+    * layout), one map-side-combinable MIN per dst, one full-outer
+    * merge at the O(reached)-node grain. The merged frame is
+    * round-checkpointed (BFS's lineage contract) and its frontier
+    * count doubles as CONVERGENCE detection and EARLY EXIT: an empty
+    * frontier is the SSSP fixpoint — remaining rounds are provable
+    * no-ops and are skipped ([[ssspStatus]] reports the bit; a
+    * `false` means distances are exact only for paths of <= `rounds`
+    * edges, the BFS `maxHops` contract).
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    eagerReleased(ssspImpl(edges, seeds, rounds)._1)
+
+  /** [[sssp]] plus the convergence bit (managed-plan form). */
+  def ssspStatus(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): (DedupPlan, Boolean) = ssspImpl(edges, seeds, rounds)
+
+  private def ssspImpl(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): (DedupPlan, Boolean) = {
+    require(rounds >= 1, "need rounds >= 1")
+    import org.apache.spark.sql.graftshim.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var dist = roundCkpt(seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")))
+    var frontier = dist // improved nodes with their just-set distances
+    var ckpts = List(dist)
+    var converged = false
+    var i = 1
+    while (i <= rounds && !converged) {
+      val offers = e.join(
+          frontier.select(col("id").as("fid"), col("dist").as("fd")),
+          col("src") === col("fid"))
+        .select(col("dst").as("id"), (col("fd") + col("w")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      // full outer: an offer may reach a brand-new node (dist null) or
+      // an already-reached one (keep the min); explicit CASE, not
+      // least(), so null semantics are spelled out for the oracle twin
+      val merged = roundCkpt(dist.join(offers, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .when(col("nd") < col("dist"), col("nd"))
+            .otherwise(col("dist")).as("dist"),
+          (col("dist").isNull ||
+            (col("nd").isNotNull && col("nd") < col("dist"))).as("improved")))
+      // the checkpoint materialized the round; the frontier count read
+      // off it is the convergence probe AND the early-exit guard
+      converged = merged.where(col("improved")).isEmpty
+      dist = merged.select(col("id"), col("dist"))
+      frontier = merged.where(col("improved"))
+        .select(col("id"), col("dist"))
+      val live = merged :: ckpts
+      live.drop(2).foreach(CheckpointBridge.release)
+      ckpts = live.take(2)
+      i += 1
+    }
+    (DedupPlan(dist, "sssp", Seq(e),
+      finalizers = ckpts.map(d => () => CheckpointBridge.release(d))),
+      converged)
+  }
+
+  /** The q51 gate body: inverse-support shortest paths over the
+    * co-purchase graph from its lowest-keyed node. The weighted pair
+    * list feeds THREE consumers (two symmetrization legs via one
+    * in-row explode, plus the seed argmin), so it is persisted here
+    * and released after the eager SSSP materializes — the same
+    * one-traversal discipline as [[componentSummaryPlan]].
+    */
+  private def ssspGate(li: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cp = copurchaseEdgesWeighted(li)
+      .withColumn("w", expr("1000000 DIV sup"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val e = cp.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst"), col("w").as("w")),
+        struct(col("v").as("src"), col("u").as("dst"), col("w").as("w"))))
+        .as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"),
+        col("x.w").as("w"))
+    val seed = cp.agg(min(col("u")).as("id")) // u < v, so min(u) = min node
+    val out = sssp(e, seed, rounds)
+    cp.unpersist(blocking = false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 unrolled rounds; top-25 hub nodes (suppliers dominate: a
     // supplier touches ~20x more edges than any part)
@@ -848,6 +961,12 @@ object Graph {
         .where(col("r") > 0)
         .orderBy(col("r").desc, col("id")).limit(25)
     }),
+
+    // inverse-support shortest paths (4 relaxation rounds) from the
+    // lowest-keyed product over the co-purchase graph: "how close is
+    // every other product, where frequently-bought-together = near"
+    "q51_sssp" -> ((s, dir) =>
+      ssspGate(table(s, dir, "lineitem"), rounds = 4).orderBy("id")),
 
     // 3 synchronous label-propagation rounds over the symmetrized
     // co-purchase graph: deterministic community labels per product
@@ -1035,6 +1154,34 @@ object Graph {
          |${round("r2", "r3")}
          |SELECT id, CAST(r AS BIGINT) AS r
          |FROM r3 WHERE r > 0 ORDER BY r DESC, id LIMIT 25""".stripMargin
+    },
+
+    // 4 Bellman-Ford rounds replayed as FULL re-relaxation — result-
+    // identical to the engine's frontier-delta form (monotone
+    // distances absorb every earlier offer), so the oracle stays
+    // simple while the engine does frontier-proportional work
+    "q51_sssp" -> {
+      def round(prev: String, cur: String): String =
+        s"""o$cur AS (SELECT e.dst AS id, MIN(d.dist + e.w) AS nd
+           |  FROM e JOIN $prev d ON e.src = d.id GROUP BY e.dst),
+           |$cur AS (SELECT COALESCE(d.id, o.id) AS id,
+           |   CASE WHEN d.dist IS NULL THEN o.nd
+           |        WHEN o.nd IS NULL THEN d.dist
+           |        WHEN o.nd < d.dist THEN o.nd ELSE d.dist END AS dist
+           |  FROM $prev d FULL JOIN o$cur o ON d.id = o.id)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |p0 AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS sup FROM li a
+         |      JOIN li b ON a.o = b.o AND a.p < b.p
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT u AS src, v AS dst, 1000000 // sup AS w FROM p0
+         |      UNION ALL SELECT v, u, 1000000 // sup FROM p0),
+         |d0 AS (SELECT MIN(u) AS id, CAST(0 AS BIGINT) AS dist FROM p0),
+         |${round("d0", "d1")},
+         |${round("d1", "d2")},
+         |${round("d2", "d3")},
+         |${round("d3", "d4")}
+         |SELECT id, CAST(dist AS BIGINT) AS dist
+         |FROM d4 ORDER BY id""".stripMargin
     },
 
     // 3 LPA rounds replayed: per round, in-neighbor label votes, the

@@ -521,6 +521,86 @@ object Profiler {
       .select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the largest gap
+    * between the two empirical CDFs, the classic "did this numeric
+    * distribution move between drops" test beside [[histogramDriftTvd]]
+    * (TVD needs a shared binning; KS is binning-free and catches a
+    * pure location shift TVD's coarse bins can smear). One row:
+    * (n_a, n_b, ks_ppm, ks_at) with ks_ppm = max_x |F_a(x) − F_b(x)|
+    * in exact integer parts-per-million (numerators kept as
+    * |c_a·n_b − c_b·n_a| in DECIMAL(38,0) — the lcc_ppm overflow
+    * precedent — with ONE integer division at the end) and ks_at the
+    * smallest value attaining the max — fully deterministic
+    * cross-engine, no float ECDF arithmetic anywhere.
+    *
+    * The global cumulative counts are the interesting scale problem:
+    * a naive `Window.orderBy(v)` ECDF is a SINGLE-PARTITION sort — the
+    * one-executor bottleneck this engine bans. Instead the cumsum
+    * DECOMPOSES over order-preserving range buckets
+    * (`floor(v / bucketWidth)`): per-bucket subtotals aggregate at the
+    * bucket grain (tiny — domain/width rows, caller-bounded), their
+    * EXCLUSIVE prefix runs on that tiny frame (the histogramDrift
+    * single-partition-window precedent: ≤ bins rows, costs nothing)
+    * and broadcasts back; within-bucket cumsums then run partitioned
+    * BY BUCKET — fully parallel, the per-bucket work bounded by the
+    * value density the caller's width implies. Total: two
+    * map-side-combinable shuffles + one broadcast join; nothing
+    * single-partition ever sees more than the bucket-grain frame.
+    *
+    * The value-grain count table feeds two consumers (bucket
+    * subtotals + the cumsum join), so it is persisted and released
+    * after the 1-row result materializes (eager, like the graph
+    * wrappers) — the thresholdSweep one-traversal rule. Empty sides
+    * yield a null ks_ppm (division by a zero total), not an error.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, c: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "need bucketWidth > 0")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(df: DataFrame, tag: Int) =
+      df.select(col(c).cast("double").as("v")).where(col("v").isNotNull)
+        .select(col("v"), lit(tag).as("side"))
+    val vg = side(a, 0).unionAll(side(b, 1))
+      .groupBy(col("v"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("bucket", floor(col("v") / bucketWidth).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val wPrefix = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val buckets = vg.groupBy(col("bucket"))
+      .agg(sum(col("n_a")).as("ba"), sum(col("n_b")).as("bb"))
+      .select(col("bucket"),
+        coalesce(sum(col("ba")).over(wPrefix), lit(0L)).as("off_a"),
+        coalesce(sum(col("bb")).over(wPrefix), lit(0L)).as("off_b"),
+        sum(col("ba")).over(wAll).as("total_a"),
+        sum(col("bb")).over(wAll).as("total_b"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = vg.join(broadcast(buckets), Seq("bucket"))
+      .select(col("v"), col("total_a"), col("total_b"),
+        (sum(col("n_a")).over(wIn) + col("off_a")).as("c_a"),
+        (sum(col("n_b")).over(wIn) + col("off_b")).as("c_b"))
+      .select(col("v"), col("total_a"), col("total_b"),
+        abs(col("c_a").cast(dec) * col("total_b").cast(dec)
+          - col("c_b").cast(dec) * col("total_a").cast(dec)).as("gap"))
+    val out = gaps
+      .agg(max(col("gap")).as("gmax"),
+        min(struct((-col("gap")).as("ng"), col("v").as("v"))).as("am"),
+        max(col("total_a")).as("n_a"), max(col("total_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("gmax * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)")
+          .as("ks_ppm"),
+        col("am.v").as("ks_at"))
+      .localCheckpoint() // eager: 1 row — materialize, then drop the cache
+    vg.unpersist(blocking = false)
+    out
+  }
+
   /** Join-key skew audit — the report a 100 TB pipeline runs BEFORE a
     * big join to decide whether it needs salting
     * ([[graft.operators.Skew]]) or an AQE skew-join hint. Per key:
@@ -1095,6 +1175,16 @@ object Profiler {
         "o_totalprice", 0.0, 600000.0, 12)
     }),
 
+    // Binning-free drift: exact two-sample KS over the order-price
+    // distribution, 1995 vs 1996 — integer-ppm, argmin tie-break
+    "dq_ks" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      ksDrift(
+        o.where(year(col("o_orderdate")) === 1995),
+        o.where(year(col("o_orderdate")) === 1996),
+        "o_totalprice", bucketWidth = 10000.0)
+    }),
+
     // Pearson correlation over cent-quantized lineitem measures: one
     // pass, exact integer sums, fixed double expression tree
     "dq_corr" -> ((s, dir) =>
@@ -1301,6 +1391,33 @@ object Profiler {
          |SELECT CAST(num AS DOUBLE)
          |  / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
          |FROM s""".stripMargin,
+    // single-node window cumsum — DuckDB doesn't need the engine's
+    // bucket-offset decomposition; the MATH is identical (exact
+    // integer cross-products, one final integer division)
+    "dq_ks" ->
+      """WITH vg AS (SELECT v,
+        |   SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+        |   SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+        |  FROM (
+        |   SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS side FROM orders
+        |    WHERE year(o_orderdate) = 1995 AND o_totalprice IS NOT NULL
+        |   UNION ALL
+        |   SELECT CAST(o_totalprice AS DOUBLE), 1 FROM orders
+        |    WHERE year(o_orderdate) = 1996 AND o_totalprice IS NOT NULL)
+        |  GROUP BY v),
+        |cum AS (SELECT v,
+        |   SUM(n_a) OVER (ORDER BY v) AS c_a,
+        |   SUM(n_b) OVER (ORDER BY v) AS c_b,
+        |   SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb
+        |  FROM vg),
+        |g AS (SELECT v, ta, tb,
+        |   ABS(CAST(c_a AS HUGEINT) * tb - CAST(c_b AS HUGEINT) * ta) AS gap
+        |  FROM cum)
+        |SELECT CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b,
+        | CAST(MAX(gap) * 1000000 // (MAX(ta) * CAST(MAX(tb) AS HUGEINT))
+        |   AS BIGINT) AS ks_ppm,
+        | MIN(CASE WHEN gap = (SELECT MAX(gap) FROM g) THEN v END) AS ks_at
+        |FROM g""".stripMargin,
     "dq_group_quantiles" ->
       """SELECT event_type AS grp, q[1] AS p50, q[2] AS p90, q[3] AS p99
         |FROM (SELECT event_type,

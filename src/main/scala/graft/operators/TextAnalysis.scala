@@ -77,6 +77,35 @@ object TextAnalysis {
         (alpha.cast("double") / len) > lit(0.6)).as("passes_filter"))
   }
 
+  /** Readability profile — the Flesch-reading-ease family in EXACT
+    * integer milli-units: words (space-delimited runs), sentences
+    * (terminator runs `[.!?]+`, floored at 1 so punctuation-free
+    * corpora — like the synthetic gate corpus — degrade to a
+    * one-sentence document instead of dividing by zero), and
+    * syllables approximated as vowel-group runs `[aeiouy]+` (the
+    * standard dictionary-free estimator). Derived columns:
+    * words-per-sentence and syllables-per-word in milli, and
+    * `flesch_milli` = 206835 − 1015·wps − 84600·spw (each term DIV'd
+    * back to milli) — the classic 206.835 − 1.015·wps − 84.6·spw
+    * scaled ×1000 with every division integral, so the score is
+    * bit-identical cross-engine where the float formula would not be.
+    * One narrow codegen'd pass (regexp_count ×3 + integer
+    * arithmetic), the fused-filter-stack scale shape.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit("[^ ]+")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("wps_milli",
+        expr("n_words * 1000 DIV greatest(n_sentences, 1)"))
+      .withColumn("spw_milli",
+        expr("n_syllables * 1000 DIV greatest(n_words, 1)"))
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * wps_milli) DIV 1000" +
+          " - (84600 * spw_milli) DIV 1000"))
+
   private val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
@@ -1131,6 +1160,8 @@ object TextAnalysis {
       commonness(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_tokens" -> ((s, dir) => tokenStats(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_quality" -> ((s, dir) => qualityScores(table(s, dir, "documents")).orderBy("doc_id")),
+    "ta_readability" -> ((s, dir) =>
+      readability(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_langid" -> ((s, dir) => langId(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_fingerprint" -> ((s, dir) => fingerprints(table(s, dir, "documents")).orderBy("doc_id")),
     "ta_repetition" -> ((s, dir) => repetitionStats(table(s, dir, "documents")).orderBy("doc_id")),
@@ -1465,6 +1496,21 @@ object TextAnalysis {
          | (len($toksSql) BETWEEN 10 AND 1000
          |   AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) > 0.6) AS passes_filter
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_readability" ->
+      """WITH r AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CAST(n_words * 1000 // greatest(n_sentences, 1) AS BIGINT) AS wps_milli,
+        | CAST(n_syllables * 1000 // greatest(n_words, 1) AS BIGINT) AS spw_milli,
+        | CAST(206835
+        |   - (1015 * (n_words * 1000 // greatest(n_sentences, 1))) // 1000
+        |   - (84600 * (n_syllables * 1000 // greatest(n_words, 1))) // 1000
+        |  AS BIGINT) AS flesch_milli
+        |FROM r ORDER BY doc_id""".stripMargin,
     "ta_langid" ->
       s"""WITH h AS (SELECT doc_id,
          |  len(list_filter($toksSql, t -> t IN ('the','a','and','of','is'))) AS en_hits,

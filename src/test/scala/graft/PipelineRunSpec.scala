@@ -889,4 +889,59 @@ class PipelineRunSpec extends SparkSpec {
          |""".stripMargin)).getMessage
     assert(msgEntity.contains("entity_col"))
   }
+
+  test("ks_drift step: parses, matches the operator twin, zero vs self, fails fast") {
+    val ordPath = s"$Sf0001/orders.parquet"
+    def spec(refPath: String) = PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $ordPath}
+         |  steps:
+         |    - kind: ks_drift
+         |      col: o_totalprice
+         |      bucket_width: 10000
+         |      table:
+         |        db: {type: parquet, path: $refPath}
+         |""".stripMargin)
+    val s0 = spec(ordPath)
+    assert(s0.steps.length == 1 &&
+      s0.steps.head.asInstanceOf[StepSpec.KsDrift].col == "o_totalprice")
+    // vs itself: identical distributions, KS exactly 0
+    val self = Pipeline.run(spark, s0).head()
+    assert(self.getLong(2) == 0L, s"self-KS must be 0, got $self")
+    // vs a truncated reference: a real gap, and the step's report is
+    // bit-identical to the operator called directly
+    val o = GraftSession.table(spark, Sf0001, "orders")
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft-ks").toString + "/ref.parquet"
+    o.where(col("o_totalprice") < 100000).write.parquet(refDir)
+    val viaPipe = Pipeline.run(spark, spec(refDir)).head()
+    val direct = graft.operators.Profiler.ksDrift(
+      o, spark.read.parquet(refDir), "o_totalprice", 10000.0).head()
+    assert(viaPipe.getLong(2) == direct.getLong(2) && viaPipe.getLong(2) > 0L)
+    assert(viaPipe.getDouble(3) == direct.getDouble(3))
+    // the compared column is required at parse time
+    val msgCol = intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $ordPath}
+         |  steps:
+         |    - kind: ks_drift
+         |      table:
+         |        db: {type: parquet, path: $ordPath}
+         |""".stripMargin)).getMessage
+    assert(msgCol.contains("col"))
+    val msgW = intercept[IllegalArgumentException](PipelineLoader.fromYaml(
+      s"""pipeline:
+         |  input:
+         |    db: {type: parquet, path: $ordPath}
+         |  steps:
+         |    - kind: ks_drift
+         |      col: o_totalprice
+         |      bucket_width: -1
+         |      table:
+         |        db: {type: parquet, path: $ordPath}
+         |""".stripMargin)).getMessage
+    assert(msgW.contains("bucket_width"))
+  }
 }

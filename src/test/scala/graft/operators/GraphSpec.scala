@@ -368,4 +368,52 @@ class GraphSpec extends SparkSpec {
     plain.release()
     ck.release()
   }
+
+  test("sssp: cheaper two-hop path beats the direct edge; exact integer distances") {
+    import spark.implicits._
+    // a->b(10), b->c(10), a->c(25): the direct edge is NOT shortest
+    val e = Seq(("a", "b", 10L), ("b", "c", 10L), ("a", "c", 25L))
+      .toDF("src", "dst", "w")
+    val seed = Seq("a").toDF("id")
+    val r = Graph.sssp(e, seed, rounds = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 0L, "b" -> 10L, "c" -> 20L))
+    // partitioning-invariant (integer relaxation, no float order)
+    val rp = Graph.sssp(e.repartition(7), seed, rounds = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rp == r)
+  }
+
+  test("sssp: convergence bit flags budget-truncated runs; fixpoint early-exits") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 10L), ("b", "c", 10L), ("a", "c", 25L))
+      .toDF("src", "dst", "w")
+    val seed = Seq("a").toDF("id")
+    // round 1 still holds the 25 direct distance and cannot prove a fixpoint
+    val (p1, c1) = Graph.ssspStatus(e, seed, rounds = 1)
+    assert(!c1, "round-1 result is budget-truncated, must be flagged")
+    assert(p1.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      == Map("a" -> 0L, "b" -> 10L, "c" -> 25L))
+    p1.release()
+    // converges at round 3 (round-2 improvement, round-3 empty frontier);
+    // a 10-round budget must early-exit to the same frame
+    val (p10, c10) = Graph.ssspStatus(e, seed, rounds = 10)
+    assert(c10)
+    assert(p10.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      == Map("a" -> 0L, "b" -> 10L, "c" -> 20L))
+    p10.release()
+  }
+
+  test("sssp: unreachable nodes are absent; an off-graph seed converges to itself") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 1L), ("c", "d", 1L)).toDF("src", "dst", "w")
+    val r = Graph.sssp(e, Seq("a").toDF("id"), rounds = 5).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 0L, "b" -> 1L)) // c, d never appear
+    val (pz, cz) = Graph.ssspStatus(e, Seq("z").toDF("id"), rounds = 5)
+    assert(cz, "a seed with no out-edges is already the fixpoint")
+    assert(pz.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      == Map("z" -> 0L))
+    pz.release()
+  }
 }

@@ -638,6 +638,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(4) == 4.0)        // avg
   }
 
+  test("readability: hand-computed integer Flesch; sentence floor on bare text") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb. cc dd ee!"), (2L, "xy zz")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(d).orderBy("doc_id").collect()
+    // doc 1: words [aa, bb., cc, dd, ee!] = 5; sentences [. !] = 2;
+    // syllables (vowel groups): aa, ee -> 2
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((5L, 2L, 2L)))
+    assert(r(0).getLong(4) == 2500L) // 5000 div 2
+    assert(r(0).getLong(5) == 400L)  // 2000 div 5
+    // 206835 - 1015*2500 div 1000 - 84600*400 div 1000
+    assert(r(0).getLong(6) == 206835L - 2537L - 33840L)
+    // doc 2: no terminators -> sentence floor 1; one vowel group (the y)
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 0L, 1L)))
+    assert(r(1).getLong(4) == 2000L)
+  }
+
   test("language id picks the profile with most stopword hits") {
     import spark.implicits._
     val d = Seq(

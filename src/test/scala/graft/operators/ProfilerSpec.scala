@@ -221,6 +221,31 @@ class ProfilerSpec extends SparkSpec {
     assert(s(0).getDouble(3) == 0.0 && s(2).getDouble(3) > 0.0)
   }
 
+  test("ks drift: hand-computed exact statistic, argmin tie-break, width-invariant") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0).toDF("x")
+    // gaps (|c_a*3 - c_b*3|): v=1 -> 3, v=2 -> 6, v=3 -> 6, v=4 -> 3,
+    // v=5 -> 0; max 6 attained at v=2 and v=3, argmin picks 2
+    val r = Profiler.ksDrift(a, b, "x", bucketWidth = 2.0).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getLong(2) == 666666L) // 6 * 1e6 div 9
+    assert(r.getDouble(3) == 2.0)
+    // the bucket-offset decomposition is an implementation detail:
+    // any width gives the same statistic
+    for (w <- Seq(0.5, 1.0, 100.0)) {
+      val rw = Profiler.ksDrift(a, b, "x", bucketWidth = w).head()
+      assert((rw.getLong(2), rw.getDouble(3)) == ((666666L, 2.0)), s"width $w")
+    }
+    // identical inputs: zero statistic, argmin = smallest value
+    val same = Profiler.ksDrift(a, a, "x", bucketWidth = 2.0).head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 1.0)
+    // disjoint supports: KS = 1 (1e6 ppm) exactly
+    val c = Seq(10.0, 11.0).toDF("x")
+    assert(Profiler.ksDrift(a, c, "x", bucketWidth = 2.0).head().getLong(2)
+      == 1000000L)
+  }
+
   test("key skew: exact ppm shares and hotness-vs-uniform, deterministic ties") {
     import spark.implicits._
     val d = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c")).toDF("k")
