@@ -33,12 +33,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 local executor threads share this one heap — 8g caused GC-bound
   // variance (up to 9x) on cache-heavy queries at sf0.1. Deliberately
-  // NO -Xms pin: this sandbox provisions guest pages lazily at
-  // ~1.5 GiB/s (measured) and charges first-touch at host pressure,
-  // so pre-committing the full heap was measured to WORSEN tail
-  // latency (stalls moved into whatever query touched fresh pages)
+  // NO -Xms pin by default: this sandbox provisions guest pages lazily
+  // at ~1.5 GiB/s (measured) and charges first-touch at host pressure,
+  // and an -Xms pin ALONE was measured to WORSEN tail latency — commit
+  // without touch just moves the first-touch faults into whatever
+  // query grows into the fresh pages first
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++
+  // SPARK_GRAFT_PRETOUCH=1: -Xms=Xmx WITH AlwaysPreTouch — the pair
+  // the earlier -Xms-only experiment lacked. Pre-touch faults every
+  // heap page in at JVM STARTUP (~16 s at 24g), so mid-run heap
+  // growth — the dominant canary-spike source in bench windows, which
+  // lands exactly on the early allocation-heavy queries — never
+  // provisions a guest page inside a timed rep. Opt-in because tests
+  // and short dev runs should not pay the startup tax
+  (if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
+    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+      "-XX:+AlwaysPreTouch")
+  else Seq.empty) ++
   // diagnosis aid: SPARK_GC_LOG=/path enables unified GC logging in the
   // forked JVM (used to attribute rare slow bench reps to GC vs plan)
   sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -37,8 +37,12 @@ import org.apache.spark.sql.SparkSession
   *     = noise score (canary_max/canary_med) above the 3× floor AND
   *     no better than the committed artifact's own score (the max
   *     over ~570 canaries is an extreme statistic — an absolute rule
-  *     alone would block runs cleaner than what they replace). The
-  *     gate is a ratchet: once noisy, the whole run is.
+  *     alone would block runs cleaner than what they replace) AND
+  *     worst canary worse than the committed artifact's worst in
+  *     ABSOLUTE terms (the same lesson applied to the denominator:
+  *     when the steady state improves, the ratio penalizes identical
+  *     absolute blips — see isNoisy). The gate is a ratchet: once
+  *     noisy, the whole run is.
   *
   * Artifact-delivery constraints (learned the hard way in r5, where a
   * timeout left the round with NO parsed bench at all):
@@ -99,14 +103,30 @@ object Bench {
   /** The artifact-routing decision (pure, spec-tested): a run is
     * NOISY — must not replace the committed clean-window artifacts —
     * iff its noise score exceeds the absolute floor AND is no better
-    * than the committed artifact's own score. `committedScore` is
-    * +Infinity when no committed artifact exists (any run beats
-    * nothing).
+    * than the committed artifact's own score AND its worst single
+    * canary is worse than the committed artifact's worst
+    * (`committedAbsMax`, 0 = unknown/absent, escape disabled).
+    *
+    * The ABSOLUTE-MAX ESCAPE is the r14 lesson applied to the
+    * denominator: the score is max/median, so a run whose STEADY
+    * STATE improves (heap pre-touch dropped canary_med ~33 → ~24 ms)
+    * scores WORSE on an identical absolute blip — measured in r16,
+    * where a window with max 74.5 ms (better than the committed
+    * artifact's 78.9 ms worst blip) scored 3.14 and was rejected
+    * protecting an artifact with strictly worse absolute noise. A
+    * window whose every canary lands inside the committed artifact's
+    * observed noise envelope cannot be noisier than it. Genuinely
+    * degraded windows still reject on both arms: uniform slowdown
+    * inflates the median (score survives) and stall windows blow the
+    * absolute max past the committed one (r13: 227 ms, r15 driver
+    * run: 227.7 ms — both >> any clean-window max on record).
     */
   private[graft] def isNoisy(canaryMed: Double, canaryMax: Double,
-      committedScore: Double, floor: Double = 3.0): Boolean = {
+      committedScore: Double, floor: Double = 3.0,
+      committedAbsMax: Double = 0.0): Boolean = {
     val score = noiseScore(canaryMed, canaryMax)
-    canaryMed > 0 && score > floor && score >= committedScore
+    canaryMed > 0 && score > floor && score >= committedScore &&
+      !(committedAbsMax > 0 && canaryMax <= committedAbsMax)
   }
 
   /** Extract the committed artifact's noise score from its totals
@@ -118,6 +138,14 @@ object Bench {
         .findFirstMatchIn(totalsJson).map(_.group(1).toDouble)
     for (med <- num("canary_med"); mx <- num("canary_max"); if med > 0)
       yield mx / med
+  }
+
+  /** The committed artifact's worst single canary (absolute seconds)
+    * from its totals JSON line; None when unparseable or unset.
+    */
+  private[graft] def committedCanaryMaxOf(totalsJson: String): Option[Double] = {
+    ("\"canary_max\"\\s*:\\s*(-?[0-9.]+)").r
+      .findFirstMatchIn(totalsJson).map(_.group(1).toDouble).filter(_ > 0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -198,6 +226,12 @@ object Bench {
     val committedNoiseScore: Double = preRunTotals
       .flatMap(committedNoiseScoreOf)
       .getOrElse(Double.PositiveInfinity)
+    // the committed artifact's worst single canary: the absolute arm
+    // of the gate (see isNoisy — a run whose every canary is inside
+    // the committed noise envelope is not noisier than it)
+    val committedAbsMax: Double = preRunTotals
+      .flatMap(committedCanaryMaxOf)
+      .getOrElse(0.0)
     var noisyRatchet = false
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -322,7 +356,8 @@ object Bench {
       val canaryMed = if (allCanaries.isEmpty) -1.0 else median(allCanaries)
       val canaryMax = if (allCanaries.isEmpty) -1.0 else allCanaries.max
       if (canaryGated && !noisyRatchet &&
-          isNoisy(canaryMed, canaryMax, committedNoiseScore, CanaryNoisyFactor)) {
+          isNoisy(canaryMed, canaryMax, committedNoiseScore, CanaryNoisyFactor,
+            committedAbsMax)) {
         noisyRatchet = true
         System.err.println(f"[bench] canary_max $canaryMax%.3f > " +
           f"${CanaryNoisyFactor}x canary_med $canaryMed%.4f — noisy window, " +

@@ -16,6 +16,7 @@ for i in $(seq 1 "$MAX_TRIES"); do
   echo "[clean-window] attempt $i/$MAX_TRIES -> $LOG"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_BUDGET_SEC=900 \
+    SPARK_GRAFT_PRETOUCH=1 \
     sbt -batch "runMain graft.Bench" > "$LOG" 2>&1 &
   PID=$!
   while kill -0 "$PID" 2>/dev/null; do
