@@ -917,8 +917,17 @@ object Dedup {
     // list is a LogicalRDD leaf: shallow plan, bounded stats, computed
     // once.
     val pairsCkpt = ckpt(pairs.select(col("doc_a"), col("doc_b")))
+    // PRE-PARTITIONED on v, the per-round join key: Dataset.checkpoint
+    // preserves the physical plan's output partitioning on the
+    // LogicalRDD leaf, so every round's edge⋈labels join re-exchanges
+    // only the O(|V|) label table — never the edge list. Same layout
+    // contract as pageRankPlan's repartition(src).persist (guide §2.4:
+    // establish the partitioning once); before this, each round paid a
+    // full |E| exchange of sym (measured in the r16 pass: the edge
+    // exchange was the largest per-round shuffle on every CC gate).
     val sym = ckpt(pairsCkpt.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairsCkpt.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+      .unionAll(pairsCkpt.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .repartition(col("v")))
     release(pairsCkpt) // sym holds the only copy the loop needs
     // __chg rides inside each round's checkpoint so the convergence
     // check is a block-local aggregate over the just-materialized
@@ -939,21 +948,35 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      val neighborLabels = sym
+      // neighbor-min FIRST (map-side-combinable, so the post-join
+      // exchange carries one (doc_id, min) row per map partition×key,
+      // not the raw edge-grain label stream the previous
+      // union-then-groupBy shape shuffled), then least() with the own
+      // label via a node-grain join. Value-identical per round to the
+      // old min-over-(self ∪ neighbors) formulation.
+      val nmin = sym
         .join(labels.select(col("doc_id").as("v"), col("label")), Seq("v"))
-        .select(col("u").as("doc_id"), col("label"))
-      val propagated = labels.select(col("doc_id"), col("label"))
-        .unionAll(neighborLabels)
-        .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
-      // pointer doubling: resolve each label through the current label
-      // table (label's own label), collapsing chains exponentially
-      val next = ckpt(propagated.as("p")
-        .join(labels.select(col("doc_id").as("label"), col("label").as("label2")).as("l"),
-          Seq("label"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        .join(labels.withColumnRenamed("label", "__old"), Seq("doc_id"))
-        .select(col("doc_id"), col("label"), (col("label") =!= col("__old")).as("__chg")))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("label")).as("__nl"))
+      // carry the OWN label through as __old: the round's change bit
+      // falls out of the final projection instead of costing the extra
+      // labels⋈next join the previous shape paid per round
+      val prop = labels.join(nmin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("__old"),
+          least(col("label"), col("__nl")).as("pl")) // least() skips nulls
+      // pointer doubling: resolve each label through the JUST-PROPAGATED
+      // table (not the previous round's), so each round's reach is
+      // 2·(prev + 1) instead of prev + prev(-1) — fewer rounds to the
+      // same fixpoint (measured 8 → 6 on the co-purchase gate). The
+      // right side re-keys prop's own (doc_id → pl) mapping; its nmin
+      // shuffle is AQE-stage-reused, so the second reference costs one
+      // node-grain join, not a recompute of the edge pass.
+      val next = ckpt(prop
+        .join(prop.select(col("doc_id").as("pl"), col("pl").as("__l2")),
+          Seq("pl"), "left")
+        .select(col("doc_id"),
+          least(col("pl"), col("__l2")).as("label"),
+          (least(col("pl"), col("__l2")) =!= col("__old")).as("__chg")))
       changed = next.where(col("__chg")).count() // reads checkpoint blocks only
       if (grace != null) release(grace) // round N-2: no consumer can remain
       grace = prev
