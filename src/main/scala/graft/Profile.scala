@@ -13,6 +13,12 @@ object Profile {
     names.foreach { n =>
       val q = SparkEntry.queries(n)
       (1 to reps).foreach { i =>
+        // same per-rep hygiene as Bench.dropCaches: without it,
+        // localCheckpoint blocks accumulate across queries and the
+        // later numbers measure memory pressure, not the query
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         q(spark, sfDir).count()
         println(f"PROFILE $n#$i ${(System.nanoTime() - t0) / 1e9}%.2f")

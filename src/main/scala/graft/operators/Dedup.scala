@@ -927,7 +927,10 @@ object Dedup {
     // exchange was the largest per-round shuffle on every CC gate).
     val sym = ckpt(pairsCkpt.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairsCkpt.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .repartition(col("v")))
+      .repartition(col("v"))
+      .sortWithinPartitions(col("v"))) // pre-sorted too: the checkpoint
+      // leaf keeps ordering, so each round's sort-merge join skips both
+      // the exchange AND the sort on the edge side
     release(pairsCkpt) // sym holds the only copy the loop needs
     // __chg rides inside each round's checkpoint so the convergence
     // check is a block-local aggregate over the just-materialized

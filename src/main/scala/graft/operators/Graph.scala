@@ -167,6 +167,10 @@ object Graph {
     // requirement, so the per-round exchange of the (large) edge list
     // disappears — iters × |E| shuffle becomes one
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .sortWithinPartitions(col("src")) // cached pre-SORTED on the join
+      // key too: the per-round sort-merge join then needs neither an
+      // exchange nor a sort on the (large) edge side — only the
+      // node-grain table pays per-round shuffle+sort (guide §2.4)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
@@ -227,6 +231,10 @@ object Graph {
     import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .sortWithinPartitions(col("src")) // cached pre-SORTED on the join
+      // key too: the per-round sort-merge join then needs neither an
+      // exchange nor a sort on the (large) edge side — only the
+      // node-grain table pays per-round shuffle+sort (guide §2.4)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
@@ -449,6 +457,10 @@ object Graph {
     // per-round frontier join requires hashpartitioning(src), and the
     // cached layout satisfies it — rounds stop re-exchanging the edges
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .sortWithinPartitions(col("src")) // cached pre-SORTED on the join
+      // key too: the per-round sort-merge join then needs neither an
+      // exchange nor a sort on the (large) edge side — only the
+      // node-grain table pays per-round shuffle+sort (guide §2.4)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var lvl = ckpt(seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("lvl")))
@@ -546,6 +558,31 @@ object Graph {
       .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
   }
 
+  /** LONG-keyed twin of [[partSupplierEdges]] — the iterative gates'
+    * internal form (guide §2.3, narrower types): every round's join/
+    * aggregation key is an 8-byte long (part k → 2k, supplier k →
+    * 2k+1) instead of a rendered `p…`/`s…` string, so the distinct,
+    * the per-round shuffles and the node-grain state all move fixed-
+    * width ints; [[renderPsId]] rebuilds the exact public string id at
+    * the output grain (one narrow projection on O(nodes) rows). Key
+    * range: TPC-H keys are ≥ 1 and far below 2⁶², so 2k+1 cannot
+    * overflow.
+    */
+  private def partSupplierEdgesL(li: DataFrame): DataFrame = {
+    val pairs = li.select(
+      (col("l_partkey").cast("long") * 2).as("p"),
+      (col("l_suppkey").cast("long") * 2 + 1).as("s")).distinct()
+    pairs.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+  }
+
+  /** Decode a [[partSupplierEdgesL]] node id back to the public
+    * `p<partkey>` / `s<suppkey>` string form.
+    */
+  private def renderPsId(id: Column): Column =
+    when(pmod(id, lit(2L)) === 0L, concat(lit("p"), (id / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((id - 1) / 2).cast("long")))
+
   /** Synchronous label propagation (community detection), `iters`
     * fixed rounds: every node starts as its own label; each round a
     * node adopts the most frequent label among its IN-neighbors
@@ -575,6 +612,10 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     def ckpt(df: DataFrame): DataFrame = roundCkpt(df)
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .sortWithinPartitions(col("src")) // cached pre-SORTED on the join
+      // key too: the per-round sort-merge join then needs neither an
+      // exchange nor a sort on the (large) edge side — only the
+      // node-grain table pays per-round shuffle+sort (guide §2.4)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
@@ -751,6 +792,7 @@ object Graph {
     val e = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src"))
+      .sortWithinPartitions(col("src")) // pre-sorted: see pageRankPlan
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var alive = e.select(col("src").as("id")).distinct()
     // survivors WITH the degree that justified survival — the output
@@ -838,6 +880,7 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src"))
+      .sortWithinPartitions(col("src")) // pre-sorted: see pageRankPlan
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var dist = roundCkpt(seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")))
@@ -904,9 +947,13 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 unrolled rounds; top-25 hub nodes (suppliers dominate: a
-    // supplier touches ~20x more edges than any part)
+    // supplier touches ~20x more edges than any part). Long-keyed
+    // internally (partSupplierEdgesL); ids render to the public
+    // string form BEFORE the (r DESC, id) order so the tie-break
+    // stays the oracle's string order
     "q40_pagerank" -> ((s, dir) =>
-      pageRank(partSupplierEdges(table(s, dir, "lineitem")), iters = 3)
+      pageRank(partSupplierEdgesL(table(s, dir, "lineitem")), iters = 3)
+        .select(renderPsId(col("id")).as("id"), col("r"))
         .orderBy(col("r").desc, col("id")).limit(25)),
 
     // triangles in the support-2 co-purchase graph
@@ -921,11 +968,13 @@ object Graph {
       componentSummary(copurchaseEdges(table(s, dir, "lineitem")))),
 
     // 4-hop reach from the lowest-keyed part over the part-supplier
-    // graph: which parts/suppliers are within two supply steps
+    // graph: which parts/suppliers are within two supply steps.
+    // Long-keyed internally; render before the (lvl, id) string order
     "q42_bfs" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
-      val seed = li.agg(concat(lit("p"), min(col("l_partkey"))).as("id"))
-      bfsLevels(partSupplierEdges(li), seed, maxHops = 4)
+      val seed = li.agg((min(col("l_partkey")).cast("long") * 2).as("id"))
+      bfsLevels(partSupplierEdgesL(li), seed, maxHops = 4)
+        .select(renderPsId(col("id")).as("id"), col("lvl"))
         .orderBy("lvl", "id")
     }),
 
@@ -956,9 +1005,10 @@ object Graph {
     // naturally-localized non-zero frontier (exact integer zeros)
     "q50_ppr" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
-      val seed = li.agg(concat(lit("p"), min(col("l_partkey"))).as("id"))
-      personalizedPageRank(partSupplierEdges(li), seed, iters = 3)
+      val seed = li.agg((min(col("l_partkey")).cast("long") * 2).as("id"))
+      personalizedPageRank(partSupplierEdgesL(li), seed, iters = 3)
         .where(col("r") > 0)
+        .select(renderPsId(col("id")).as("id"), col("r"))
         .orderBy(col("r").desc, col("id")).limit(25)
     }),
 
