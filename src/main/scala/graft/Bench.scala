@@ -376,6 +376,20 @@ object Bench {
       val effDetailFile =
         if (noisyRatchet) "BENCH_DETAIL.noisy.json" else detailFile
       println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"median_total":${fmt2(medTotal)},"canary_med":${f"$canaryMed%.4f"},"canary_max":${f"$canaryMax%.4f"},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      // Chunked per-query lines (r16 verdict item 1): the cumulative
+      // line above grows past any fixed tail capture at 200+ queries,
+      // so the same per-query minima ALSO ship as ≤20-query parts —
+      // every line short enough that no single record can overflow a
+      // line- or tail-bounded capture. Printed between the cumulative
+      // line and the final short totals line so the retained suffix
+      // still ends in a parseable totals record.
+      val chunkNames = mins.keys.toSeq
+      val nparts = (chunkNames.size + 19) / 20
+      chunkNames.grouped(20).zipWithIndex.foreach { case (grp, i) =>
+        val part = grp.map(k => "\"" + k + "\":" + fmt2(mins(k)))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"queries","part":${i + 1},"nparts":$nparts,"queries":$part,"sf":"$sfDir"}""")
+      }
       // Totals-only line AFTER the cumulative one: at 134+ queries the
       // full line outgrows the ~2 KB stdout tail the driver retains and
       // the LEADING totals are what got truncated (r7). The retained
@@ -465,7 +479,12 @@ object Bench {
       .sortBy { case (n, _) =>
         (-priorMedians.getOrElse(n, -1.0), costRank(n), n) }
       .foreach { case (name, fn) =>
-      // settle the session once per query, outside any timed window
+      // settle the session once per query, outside any timed window.
+      // The BPE artifact memo is dropped too: a query's reps must
+      // never ride a trained table built by a DIFFERENT query — its
+      // own warm rep rebuilds it (the warm rep's documented job),
+      // and ta_bpe_train bypasses the memo entirely (always trains).
+      graft.operators.TextAnalysis.clearBpeMemo()
       System.gc()
       def runOnce(): Either[String, Double] = {
         val t0 = System.nanoTime()

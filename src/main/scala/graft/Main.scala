@@ -107,7 +107,7 @@ object Main {
   def repairScript(rep: DiffReport, spec: CompareSpec): Option[DataFrame] =
     spec.repairTable.collect {
       case t if !rep.identical && !rep.countsUnknown =>
-        Comparator.repairActions(rep.orphans, t)
+        Comparator.repairActions(rep.orphansWithCopies, t)
     }
 
   def emitRepair(rep: DiffReport, spec: CompareSpec,

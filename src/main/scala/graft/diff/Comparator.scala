@@ -89,7 +89,15 @@ final case class DiffReport(
     orphans: DataFrame,
     buckets: DataFrame,
     private val retained: Seq[DataFrame] = Nil,
-    circuitBroken: Boolean = false) {
+    circuitBroken: Boolean = false,
+    private val orphansDetail: Option[DataFrame] = None) {
+  /** `orphans` plus the internal `__copies` column — the per-row bag
+    * |delta| the diff aggregation already computed. Feed THIS to
+    * [[Comparator.repairActions]]: the over-delete signal then rides
+    * the existing aggregation instead of a full-row window over the
+    * orphans (one Exchange+Sort+Window less in the repair plan).
+    */
+  def orphansWithCopies: DataFrame = orphansDetail.getOrElse(orphans)
   /** Unpersist the small caches backing `orphans`/`buckets`. */
   def release(): Unit = retained.foreach(_.unpersist())
   /** True when row-level counts were not fetched (fetchRows=false with
@@ -360,10 +368,11 @@ object Comparator {
         s"maxMismatchFraction=${opts.maxMismatchFraction} " +
         s"(~${projectedFetch.toLong} rows to fetch) — skipping row fetch")
 
-    val (orphans: DataFrame, oSrc: Long, oTgt: Long, retained: Seq[DataFrame]) =
+    val (orphans: DataFrame, detail: Option[DataFrame], oSrc: Long,
+        oTgt: Long, retained: Seq[DataFrame]) =
       if (bad == 0 || !opts.fetchRows || broke) {
         val counts = if (bad == 0) (0L, 0L) else (-1L, -1L) // unknown if !fetchRows
-        (empty, counts._1, counts._2, Seq(joined))
+        (empty, None, counts._1, counts._2, Seq(joined))
       } else {
         val t1 = System.nanoTime()
         val ss = side(sb).cache()
@@ -378,14 +387,16 @@ object Comparator {
           coalesce(sum(greatest(-col("__d"), lit(0L))), lit(0L))).head()
         opts.progress(
           s"orphans: ${c.getLong(0)} source-only, ${c.getLong(1)} target-only (in ${ms(t1)}ms)")
-        (all, c.getLong(0), c.getLong(1), Seq(joined, ss, ts, delta))
+        (all.drop("__copies"), Some(all), c.getLong(0), c.getLong(1),
+          Seq(joined, ss, ts, delta))
       }
 
     // drop the big full-input caches; the small restricted caches stay
     // with the report (DiffReport.release) so orphans/buckets stay cheap
     if (opts.persistScans) { sb.unpersist(); tb.unpersist() }
     DiffReport(srcRows, tgtRows, buckets, bad, oSrc, oTgt, opts.maxDelta,
-      orphans, bucketTable, retained, circuitBroken = broke)
+      orphans, bucketTable, retained, circuitBroken = broke,
+      orphansDetail = detail)
   }
 
   /** Bag diff keyed on the two independent 64-bit row hashes carried by
@@ -417,11 +428,18 @@ object Comparator {
       .where(col("__d") =!= 0L)
       .cache()
     val w = Window.partitionBy("__h", "__h2").orderBy(lit(1))
+    // __copies rides along: |bag delta| per key IS the number of
+    // identical orphan copies this side emits — the over-delete
+    // signal repairActions needs, carried from the aggregation that
+    // already computed it instead of re-derived by a full-row window
+    // over the orphans (one Exchange+Sort+Window less in every
+    // repair-script plan; r16 verdict item 3).
     def pick(s: DataFrame, name: String, cond: Column, n: Column): DataFrame =
       s.join(delta.where(cond), Seq("__h", "__h2"))
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= n)
-        .select(lit(name).as("side") +: cols.map(col): _*)
+        .select(lit(name).as("side") +: cols.map(col)
+          :+ abs(col("__d")).as("__copies"): _*)
     val rows = pick(ss, "source", col("__d") > 0, col("__d"))
       .unionAll(pick(ts, "target", col("__d") < 0, -col("__d")))
     (delta, rows)
@@ -480,7 +498,13 @@ object Comparator {
     */
   def repairActions(orphans: DataFrame, targetTable: String): DataFrame = {
     require(orphans.columns.contains("side"), "expected a 'side' column")
-    val cols = orphans.columns.filter(_ != "side").toSeq
+    // the comparator's internal multiplicity column, when the caller
+    // passes DiffReport.orphansWithCopies: the bag |delta| per orphan
+    // row, computed by the diff aggregation itself — equal full rows
+    // hash equally, so it IS the full-row copy count the window below
+    // would derive, for free (no Exchange+Sort+Window over the orphans)
+    val hasCopies = orphans.columns.contains("__copies")
+    val cols = orphans.columns.filter(c => c != "side" && c != "__copies").toSeq
     require(cols.nonEmpty, "need at least one data column")
     val ident = "[A-Za-z_][A-Za-z0-9_$]*"
     require(targetTable.matches(s"$ident(\\.$ident)*"),
@@ -497,9 +521,11 @@ object Comparator {
       when(col(n).isNull, lit(s"$n IS NULL"))
         .otherwise(concat(lit(s"$n = "), quoted(n)))
     }: _*)
-    val copies = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("side") +: cols.map(col): _*))
+    val copies =
+      if (hasCopies) col("__copies")
+      else count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("side") +: cols.map(col): _*))
     orphans.select(col("side"),
       when(col("side") === "source", lit("insert"))
         .when(copies > 1L, lit("delete_all_copies"))

@@ -155,6 +155,26 @@ object Graph {
     * be in flight); surviving checkpoint storage is owned by the
     * returned plan's `release()`.
     */
+  /** Shared per-round edge layout for the rank walks: the edge list
+    * cached PRE-PARTITIONED and PRE-SORTED on `src` (a cached frame's
+    * output partitioning/ordering satisfies the per-round join's
+    * requirement, so the iters × |E| exchange becomes one — guide
+    * §2.4), with the out-degree FOLDED IN as a window count over the
+    * same partitioning+ordering (zero extra exchange: the window's
+    * hashpartitioning(src)+sort(src) requirements are exactly the
+    * layout being built). Each round then needs ONE join (edges ⋈
+    * rank) instead of two (edges ⋈ rank ⋈ deg) — iters−1 joins and a
+    * separately cached degree table gone.
+    */
+  private def edgesWithDeg(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    edges.select(col("src"), col("dst")).repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
   def pageRankPlan(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                    checkpointEvery: Int = 0): DedupPlan = {
     require(iters >= 1, "need iters >= 1")
@@ -162,20 +182,9 @@ object Graph {
     import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
     def ckpt(df: DataFrame): DataFrame = roundCkpt(df)
-    // cached PRE-PARTITIONED on src: every round joins e by src, and a
-    // cached frame's output partitioning satisfies the join's
-    // requirement, so the per-round exchange of the (large) edge list
-    // disappears — iters × |E| shuffle becomes one
-    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
-      .sortWithinPartitions(col("src")) // cached pre-SORTED on the join
-      // key too: the per-round sort-merge join then needs neither an
-      // exchange nor a sort on the (large) edge side — only the
-      // node-grain table pays per-round shuffle+sort (guide §2.4)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val e = edgesWithDeg(edges)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = nodes.count() // one job, one long — bounded driver state
     val base = (100L - dampingPct) * Scale / (100L * n)
@@ -185,7 +194,6 @@ object Graph {
     var ckpts = List.empty[DataFrame]
     (1 to iters).foreach { i =>
       val contrib = e.join(rank, e("src") === rank("id"))
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("sc"))
       rank = nodes.join(contrib, Seq("id"), "left")
@@ -199,7 +207,7 @@ object Graph {
       }
     }
     val owned = ckpts
-    DedupPlan(rank, "pagerank", Seq(e, nodes, deg),
+    DedupPlan(rank, "pagerank", Seq(e, nodes),
       finalizers = owned.map(d => () => CheckpointBridge.release(d)))
   }
 
@@ -230,37 +238,34 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     import org.apache.spark.sql.graftshim.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
-      .sortWithinPartitions(col("src")) // cached pre-SORTED on the join
-      // key too: the per-round sort-merge join then needs neither an
-      // exchange nor a sort on the (large) edge side — only the
-      // node-grain table pays per-round shuffle+sort (guide §2.4)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val e = edgesWithDeg(edges)
     val sd = seeds.select(col("id")).distinct()
       .withColumn("__sd", lit(1))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val k = sd.count()
     require(k > 0, "personalizedPageRank: empty seed set")
     val base = (100L - dampingPct) * Scale / (100L * k)
-    var rank = nodes.join(sd, Seq("id"), "left")
-      .select(col("id"),
-        when(col("__sd").isNotNull, lit(Scale / k)).otherwise(lit(0L)).as("r"))
+    // FRONTIER-SIZED rounds (guide §2.6 — the r16 q50 anti-scaling
+    // fix): the walk is localized by construction (integer zeros are
+    // exact), so the round state carries ONLY non-zero rows — seeds
+    // at round 0, (contribution receivers ∪ seeds) afterwards. A
+    // zero-rank node contributes r div deg = 0, so dropping it moves
+    // no mass; its next-round value rebuilds from the contribution
+    // table exactly as the node-grain form computed it. Rounds thus
+    // shuffle the seeds' expanding neighborhood, never O(|V|); the
+    // full node set joins back ONCE at the end for the exact-zero
+    // rows of the output contract.
+    var rank: DataFrame = sd.select(col("id"), lit(Scale / k).as("r"))
     var ckpts = List.empty[DataFrame]
     (1 to iters).foreach { i =>
       val contrib = e.join(rank, e("src") === rank("id"))
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("sc"))
-      rank = nodes.join(contrib, Seq("id"), "left")
-        .join(sd, Seq("id"), "left")
+      rank = contrib.join(sd, Seq("id"), "full_outer")
         .select(col("id"),
           (when(col("__sd").isNotNull, lit(base)).otherwise(lit(0L))
             + expr(s"($dampingPct * coalesce(sc, 0)) div 100")).as("r"))
+        .where(col("r") > 0)
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
         rank = roundCkpt(rank)
         val live = rank :: ckpts
@@ -268,8 +273,14 @@ object Graph {
         ckpts = live.take(2)
       }
     }
+    // exact zeros for everything the walk never reached — the same
+    // (id, r)-for-every-node output the node-grain form returned
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val out = nodes.join(rank, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r"), lit(0L)).as("r"))
     val owned = ckpts
-    DedupPlan(rank, "personalized-pagerank", Seq(e, nodes, deg, sd),
+    DedupPlan(out, "personalized-pagerank", Seq(e, sd),
       finalizers = owned.map(d => () => CheckpointBridge.release(d)))
   }
 
@@ -577,11 +588,17 @@ object Graph {
   }
 
   /** Decode a [[partSupplierEdgesL]] node id back to the public
-    * `p<partkey>` / `s<suppkey>` string form.
+    * `p<partkey>` / `s<suppkey>` string form. INTEGER division only
+    * (`shiftright`, never Column `/`, which is double division and
+    * loses exactness above 2⁵³): the decode is exact over the full
+    * non-negative long range, so the encoding's stated 2⁶² safety
+    * bound holds end-to-end. Ids are non-negative by construction
+    * (TPC-H keys ≥ 1), so the arithmetic shift is the floor the
+    * decode needs; (id − 1) >> 1 = id >> 1 for odd id.
     */
-  private def renderPsId(id: Column): Column =
-    when(pmod(id, lit(2L)) === 0L, concat(lit("p"), (id / 2).cast("long")))
-      .otherwise(concat(lit("s"), ((id - 1) / 2).cast("long")))
+  private[operators] def renderPsId(id: Column): Column =
+    when(pmod(id, lit(2L)) === 0L, concat(lit("p"), shiftright(id, 1)))
+      .otherwise(concat(lit("s"), shiftright(id, 1)))
 
   /** Synchronous label propagation (community detection), `iters`
     * fixed rounds: every node starts as its own label; each round a

@@ -167,11 +167,20 @@ object CompareQueries {
           Seq("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(min(col("l_linenumber")).as("l_linenumber"))
+      // the planted extra row materializes ONCE (eager, 1 row): both
+      // union branches and both full passes over tgt (fingerprint +
+      // restricted fetch) then read the checkpoint instead of
+      // re-deriving the max-key aggregate + join per branch per pass
+      // (4x at persistScans=false) — fixture cost, not compare cost
       val extra = base.join(broadcast(key), Seq("l_orderkey", "l_linenumber"))
         .select(base.columns.map(col).toIndexedSeq: _*)
+        .localCheckpoint()
       val tgt = base.unionByName(extra).unionByName(extra)
       val rep = Comparator.compare(src, tgt, CompareOptions(numBuckets = 512))
-      Comparator.repairActions(rep.orphans, "lineitem").orderBy("action", "dml")
+      // orphansWithCopies: the over-delete flag rides the diff
+      // aggregation's own bag delta — no full-row window in the plan
+      Comparator.repairActions(rep.orphansWithCopies, "lineitem")
+        .orderBy("action", "dml")
     }),
 
     // Full comparator end-to-end (the product): summary verdict row.

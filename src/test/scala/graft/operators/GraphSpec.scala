@@ -230,6 +230,19 @@ class GraphSpec extends SparkSpec {
     assert(e == Set(("p1", "s10"), ("s10", "p1"), ("p2", "s10"), ("s10", "p2")))
   }
 
+  test("renderPsId: exact integer decode up to the 2^62 encoding bound") {
+    import spark.implicits._
+    // keys near 2^61: encoded ids (2k, 2k+1) approach 2^62 — double
+    // division would round these (2^53 is the double mantissa limit);
+    // shiftright must render the exact original key
+    val pk = (1L << 61) - 3L // part key
+    val sk = (1L << 61) - 7L // supplier key
+    val ids = Seq(pk * 2, sk * 2 + 1, 2L, 3L).toDF("id")
+    val got = ids.select(Graph.renderPsId(col("id")).as("s"))
+      .as[String].collect().toSet
+    assert(got == Set(s"p$pk", s"s$sk", "p1", "s1"))
+  }
+
   test("local clustering: hand-computed ppm on K4-minus-an-edge; triangle-free node scores 0") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
